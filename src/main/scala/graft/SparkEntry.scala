@@ -1,13 +1,80 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is an implemented operator/query from SURVEY.md §2
+  * (parity with the reference) or the extension surface (dedup / similarity /
+  * text analysis). [[oracleSql]] holds a DuckDB-equivalent SQL per key; keys
+  * without oracle SQL get a weaker rows-only check from the driver.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> Analytics.q1PricingSummary _,
+    "q3_top_orders"      -> Analytics.q3TopOrders _,
+    "q4_segment_stats"   -> Analytics.q4SegmentStats _,
+    "q5_revenue_nation"  -> Analytics.q5RevenueByNation _,
+    "q6_supplier_rank"   -> Analytics.q6SupplierRank _,
+    "q7_brand_parts"     -> Analytics.q7BrandParts _
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Column names/aliases match the Spark side exactly —
+    * the driver sorts columns by name before hashing.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_segment_stats" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal,
+        |  round(avg(c_acctbal), 2) AS avg_bal,
+        |  count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q5_revenue_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "q6_supplier_rank" ->
+      """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal, bal_rank
+        |FROM (
+        |  SELECT s_name, s_nationkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |                       ORDER BY s_acctbal DESC, s_suppkey ASC) AS bal_rank
+        |  FROM supplier) s
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE bal_rank <= 3""".stripMargin,
+    "q7_brand_parts" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 2) AS avg_price,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand HAVING count(*) > 0""".stripMargin
+  )
 }

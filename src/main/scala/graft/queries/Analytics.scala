@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Headline analytic queries over the driver testdata (TPC-H-ish star schema).
+  *
+  * These exercise the relational core of the engine — scan, filter, project,
+  * hash aggregate, broadcast + shuffle joins, sort/limit, window — and are the
+  * BENCH workload. Scale notes (100 TB / 1000-executor mindset):
+  *   - Dimension tables (`region`, `nation`, `supplier`, `customer` at small SF)
+  *     are broadcast explicitly so the fact-table side never shuffles for them.
+  *   - Aggregations are partial (map-side combine) by construction — all are
+  *     `groupBy.agg` over codegen'd built-ins, no UDFs.
+  *   - Filters are applied directly on scan columns so Catalyst pushes them
+  *     into the Parquet reader (`PushedFilters`), and only referenced columns
+  *     are read (`ReadSchema` pruning).
+  *
+  * All non-exact floating-point aggregates are rounded to 2 decimals so the
+  * DuckDB oracle hash-compare is stable across summation orders.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pricing summary (TPC-H Q1 shape): full lineitem scan, 6-way aggregate,
+    * tiny group cardinality → map-side partial agg does nearly all the work.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** Revenue by nation (TPC-H Q5 shape): one big fact table joined through a
+    * chain of dimensions. Dims are broadcast — zero shuffles for the joins;
+    * the only shuffle is the final small groupBy.
+    */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders   = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation   = t(spark, dir, "nation")
+    val region   = t(spark, dir, "region")
+
+    lineitem
+      .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Top-10 orders by revenue (TPC-H Q3 shape): join + agg + sort + limit.
+    * The orderkey join is a genuine shuffle join at scale (both sides large);
+    * sort/limit is a TakeOrderedAndProject — no global sort materialized.
+    * Ties broken by orderkey so the result set is deterministic.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders   = t(spark, dir, "orders")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+  }
+
+  /** Market-segment account stats: single-pass groupBy over customer with a
+    * conditional aggregate (FILTER-style) — exercises null-safe conditional
+    * aggregation.
+    */
+  def q4SegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"),
+        count(when(col("c_acctbal") < 0, 1)).as("n_negative")
+      )
+  }
+
+  /** Supplier ranking inside each nation (window function): rank suppliers by
+    * account balance per nation — partitioned window, no global sort.
+    */
+  def q6SupplierRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supplier = t(spark, dir, "supplier")
+    val nation   = t(spark, dir, "nation")
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    supplier
+      .withColumn("bal_rank", row_number().over(w))
+      .filter(col("bal_rank") <= 3)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_name"),
+        round(col("s_acctbal"), 2).as("s_acctbal"), col("bal_rank"))
+  }
+
+  /** Parts price distribution by brand with a having-style post-filter. */
+  def q7BrandParts(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        max(col("p_size")).as("max_size")
+      )
+      .filter(col("n_parts") > 0)
+  }
+}
