@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, EventOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,17 @@ object SparkEntry {
     "q4_segment_stats"   -> Analytics.q4SegmentStats _,
     "q5_revenue_nation"  -> Analytics.q5RevenueByNation _,
     "q6_supplier_rank"   -> Analytics.q6SupplierRank _,
-    "q7_brand_parts"     -> Analytics.q7BrandParts _
+    "q7_brand_parts"     -> Analytics.q7BrandParts _,
+    // SURVEY §2 parity operators over the events (telemetry) table
+    "p_json_parse"       -> EventOps.jsonParse _,
+    "p_filter_alert"     -> EventOps.filterAlert _,
+    "p_normalize"        -> EventOps.normalize _,
+    "p_latest_per_key"   -> EventOps.latestPerKey _,
+    "p_point_lookup"     -> EventOps.pointLookup _,
+    "p_dedup"            -> EventOps.dedupKeys _,
+    "p_partition_counts" -> EventOps.partitionCounts _,
+    "p_session_gaps"     -> EventOps.sessionGaps _,
+    "p_enum_validate"    -> EventOps.enumValidate _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -75,6 +85,72 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
         |  round(avg(p_retailprice), 2) AS avg_price,
         |  max(p_size) AS max_size
-        |FROM part GROUP BY p_brand HAVING count(*) > 0""".stripMargin
+        |FROM part GROUP BY p_brand HAVING count(*) > 0""".stripMargin,
+    "p_json_parse" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL""".stripMargin,
+    "p_filter_alert" ->
+      """SELECT event_id,
+        |  'Raining alert! High humidity detected: ' ||
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS alert
+        |FROM events WHERE value > 70.0""".stripMargin,
+    "p_normalize" ->
+      """SELECT user_id AS station_id, event_id AS s_no,
+        |  strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(hour(ts) AS INTEGER) AS hour,
+        |  lower(event_type) AS event_type,
+        |  CAST(round(value, 0) AS INTEGER) AS reading
+        |FROM events
+        |WHERE lower(event_type) IN ('click','view','purchase','signup','error')""".stripMargin,
+    "p_latest_per_key" ->
+      """SELECT station_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  s_no, event_type, round(value, 2) AS value
+        |FROM (
+        |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS s_no, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "p_point_lookup" ->
+      """SELECT station_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  s_no, event_type, round(value, 2) AS value
+        |FROM (
+        |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS s_no, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND station_id = 7""".stripMargin,
+    "p_dedup" ->
+      """SELECT user_id, event_type, count(*) AS n_rows,
+        |  min(event_id) AS first_event
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "p_partition_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(hour(ts) AS INTEGER) AS hour,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "p_session_gaps" ->
+      """SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap_us) / 1e6, 2) AS avg_gap_sec,
+        |  round(max(gap_us) / 1e6, 2) AS max_gap_sec
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events) t
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+    "p_enum_validate" ->
+      """SELECT event_type, count(*) AS n,
+        |  event_type IN ('click','view','purchase','signup','error') AS valid
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 parity operators, expressed over the driver's `events` table
+  * (`event_id, ts, user_id, event_type, value, props`) — the telemetry-shaped
+  * stand-in for the reference's weather stream (user_id ↔ station_id,
+  * event_id ↔ s_no, ts ↔ status_timestamp, props ↔ nested weather JSON).
+  *
+  * Each method is the batch-queryable form of a reference operator; the
+  * streaming twins live in [[graft.streaming]] and the weather-domain API in
+  * [[graft.core]]. Scale notes per operator in the Scaladoc.
+  */
+object EventOps {
+
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read nanos as long and truncate to micros (same truncation
+    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** T1 — JSON parse with PERMISSIVE-drop semantics
+    * (ref: Rain-Detector/Main.java:36-44, CentralStation.java:63).
+    * `from_json` is codegen'd and runs map-side; corrupt rows become null
+    * structs and are filtered — no exceptions, no driver involvement.
+    */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), schema).as("parsed"))
+      .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
+      .select(col("event_id"), col("parsed.k").as("k"))
+  }
+
+  /** T2+T3 — predicate filter on a reading + alert-string projection
+    * (ref: Rain-Detector/Main.java:34-46). The filter is pushed into the
+    * Parquet scan; the string build is a codegen'd concat. The decimal cast
+    * makes the number format deterministic across engines.
+    */
+  def filterAlert(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("value") > 70.0)
+      .select(col("event_id"),
+        concat(lit("Raining alert! High humidity detected: "),
+          col("value").cast(DecimalType(12, 2)).cast(StringType))
+          .as("alert"))
+
+  /** T4+T5+T7+T11 — schema normalization: rename to the archive shape,
+    * calendar extraction for partition keys, lowercase + closed-enum
+    * validation, round-to-int reading
+    * (ref: CentralStation.java:91-120, ParquetArchiver.java:122-143).
+    * Pure narrow projection — no shuffle, fully pushed/pruned.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(lower(col("event_type"))
+        .isin("click", "view", "purchase", "signup", "error"))
+      .select(
+        col("user_id").as("station_id"),
+        col("event_id").as("s_no"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        hour(col("ts")).as("hour"),
+        lower(col("event_type")).as("event_type"),
+        round(col("value"), 0).cast(IntegerType).as("reading"))
+
+  /** A1 — latest-value-per-key (the BitCask `put` semantics, event-time
+    * corrected: max by (ts, s_no), ref: BitCask.java:119-141).
+    * Implemented as `max_by(struct(...), struct(ts, event_id))` — a real
+    * aggregate with map-side partial combine, NOT a window+row_number
+    * (which would force a full shuffle+sort of every row at 100 TB; the
+    * aggregate moves one row per key per partition).
+    */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id").as("station_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("station_id"),
+        date_format(col("latest.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("latest.event_id").as("s_no"),
+        col("latest.event_type").as("event_type"),
+        round(col("latest.value"), 2).as("value"))
+
+  /** A3 — keyed point lookup against the latest-value table
+    * (ref: BitCask.java:143-168, CentralStationServer.java:43-58).
+    * The station filter lands on the scan (partition-prunable when the lake
+    * is partitioned by key); at serving scale this is the memory-sink /
+    * state-store probe.
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    latestPerKey(spark, dir).filter(col("station_id") === 7)
+
+  /** A8 — dedup on a key set with a deterministic representative
+    * (ref: ES doc-id dedup, ParquetToElasticsearch.java:192-200).
+    * `dropDuplicates` keeps an arbitrary row; at scale (and for oracle
+    * comparison) we keep min(event_id) via aggregation instead — same
+    * partial-agg shape as A1.
+    */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("first_event"))
+
+  /** A7 — group-by-partition-key accounting (what
+    * `write.partitionBy(date,hour)` does shuffle-free on write;
+    * ref: ParquetArchiver.java:96-103).
+    */
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** S2-inverse — inter-arrival gap analysis per key (the reference's
+    * sequence-gap/drop detection analog, WeatherStation.java:47-52).
+    * Window `lag` partitioned by key: the sort is per-key within shuffle
+    * partitions — no global sort. Micros arithmetic keeps it exact-integer
+    * until the final rounded average.
+    */
+  def sessionGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1e6, 2).as("avg_gap_sec"),
+        round(max(col("gap_us")) / lit(1e6), 2).as("max_gap_sec"))
+  }
+
+  /** T4-enum — closed-set validation accounting
+    * (ref: WeatherStatus.avsc enum + isin check).
+    */
+  def enumValidate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("valid",
+        col("event_type").isin("click", "view", "purchase", "signup", "error"))
+}
