@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.schema.{WeatherReading, WeatherStatus}
+
+/** A1 — latest-value-per-station (the BitCask keyDir semantics).
+  *
+  * The reference overwrites on ARRIVAL order (ref: BitCask.java:136); we offer
+  * that plus the corrected EVENT-TIME order `(status_timestamp, s_no)` as
+  * canonical (SURVEY §7.4 divergence note).
+  *
+  * Batch: `max_by` aggregate — partial map-side combine moves one row per key
+  * per partition, so the shuffle is O(keys × partitions) not O(rows). Never a
+  * window + row_number here: that sorts every row at the shuffle. At 100 TB
+  * with small key cardinality this is the difference between seconds and
+  * hours.
+  *
+  * Streaming: `mapGroupsWithState` with one WeatherStatus per key — state size
+  * is O(stations), bounded; NoTimeout because the latest table is meant to
+  * live forever (the reference never expires keys).
+  */
+object LatestState {
+
+  /** Batch, event-time order (canonical). */
+  def latest(archive: DataFrame): DataFrame =
+    archive
+      .groupBy(col("station_id"))
+      .agg(max_by(
+        struct(col("s_no"), col("battery_status"), col("status_timestamp"),
+          col("weather")),
+        struct(col("status_timestamp"), col("s_no"))).as("r"))
+      .select(col("station_id"), col("r.s_no").as("s_no"),
+        col("r.battery_status").as("battery_status"),
+        col("r.status_timestamp").as("status_timestamp"),
+        col("r.weather").as("weather"))
+
+  /** Streaming: groupByKey(station).mapGroupsWithState keeping the event-time
+    * max. Output mode must be Update; pair with a memory/foreachBatch sink to
+    * serve point lookups (A3/A4).
+    */
+  def latestStream(archive: DataFrame): Dataset[WeatherStatus] = {
+    implicit val enc = Encoders.product[WeatherStatus]
+    implicit val longEnc = Encoders.scalaLong
+    val typed = archive.as[WeatherStatus]
+    typed
+      .groupByKey(_.station_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[WeatherStatus], state: GroupState[WeatherStatus]) =>
+          import scala.math.Ordering.Implicits._
+          def key(s: WeatherStatus): (Long, Long) =
+            (s.status_timestamp.getTime, s.s_no)
+          val incoming = rows.reduceOption((a, b) => if (key(b) > key(a)) b else a)
+          val best = (state.getOption.toSeq ++ incoming.toSeq).maxBy(key)
+          state.update(best)
+          best
+      }
+  }
+
+  /** A3 — point lookup against a latest table. */
+  def point(latestTable: DataFrame, stationId: Long): DataFrame =
+    latestTable.filter(col("station_id") === stationId)
+}

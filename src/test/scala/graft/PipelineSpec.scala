@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.StationSource
+import graft.core.Normalize
+import graft.lake.Archive
+import graft.serve.QueryApi
+import graft.streaming.WeatherPipeline
+
+class ArchiveSpec extends SparkSpec {
+
+  test("lake round-trips with hive partition layout and prunes on read") {
+    val dir = tmpDir("lake")
+    val archive = Normalize.toArchive(
+      StationSource.messages(spark, nStations = 4, perStation = 50,
+        startEpochSec = 1700000000L))
+    Archive.write(archive, dir)
+
+    // hive-style dirs exist
+    val top = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(top.nonEmpty)
+
+    val back = Archive.read(spark, dir)
+    assert(back.count() == archive.count())
+
+    // partition pruning: filter on station_id must show in PartitionFilters
+    val pruned = back.filter(col("station_id") === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("station_id"), plan.take(500))
+    assert(pruned.count() == archive.filter(col("station_id") === 2).count())
+  }
+}
+
+class QueryApiSpec extends SparkSpec {
+
+  lazy val archive = Normalize.toArchive(
+    StationSource.messages(spark, nStations = 6, perStation = 40))
+  lazy val api = new QueryApi(spark, graft.core.LatestState.latest(archive))
+
+  test("point lookup answers for known keys, None for unknown (404 path)") {
+    val r = api.point(3L)
+    assert(r.isDefined && r.get.getAs[Long]("station_id") == 3L)
+    assert(api.point(999L).isEmpty)
+  }
+
+  test("full scan and SQL over the latest view agree") {
+    assert(api.scan().count() == 6)
+    assert(api.sql("SELECT count(*) AS n FROM latest").collect().head.getLong(0) == 6)
+  }
+
+  test("CSV export writes a flat header file (client parity)") {
+    val dir = tmpDir("csv")
+    api.exportCsv(dir)
+    val csv = new java.io.File(dir).listFiles().find(_.getName.endsWith(".csv")).get
+    val lines = scala.io.Source.fromFile(csv).getLines().toList
+    assert(lines.head == "station_id,s_no,battery_status,status_timestamp,humidity,temperature,wind_speed")
+    assert(lines.length == 7) // header + 6 stations
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end: json files → normalize → latest state + lake + alerts") {
+    val srcDir = tmpDir("wire")
+    val lakeDir = tmpDir("lake")
+    val ckpt1 = tmpDir("ck1"); val ckpt2 = tmpDir("ck2")
+
+    // stage wire JSON as files (the kafka stand-in: same value column)
+    val json = StationSource.messagesAsJson(spark, nStations = 5, perStation = 60)
+    json.select("value").coalesce(2).write.mode("overwrite").text(srcDir)
+
+    val wire = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(srcDir)
+    val archive = WeatherPipeline.normalize(wire)
+
+    val qLatest = WeatherPipeline.startLatest(archive, "latest_e2e")
+    val qLake = WeatherPipeline.startArchive(archive, lakeDir, ckpt1)
+    val qAlerts = WeatherPipeline.startAlerts(archive, "alerts_e2e")
+    try {
+      qLatest.processAllAvailable()
+      qLake.processAllAvailable()
+      qAlerts.processAllAvailable()
+
+      // oracle: batch computation over the same files
+      val batchArchive = WeatherPipeline.normalize(spark.read.text(srcDir))
+      val expectLatest = graft.core.LatestState.latest(batchArchive)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      val got = spark.table("latest_e2e")
+        .groupBy("station_id").agg(max("s_no").as("s_no"))   // Update-mode sink appends; take last
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expectLatest)
+
+      // the lake holds every (deduped) row with partition dirs
+      val lake = Archive.read(spark, lakeDir)
+      assert(lake.count() == batchArchive.count())
+      assert(lake.columns.contains("date") && lake.columns.contains("hour"))
+
+      // alerts match the batch predicate count
+      val nAlerts = spark.table("alerts_e2e").count()
+      assert(nAlerts == batchArchive.filter(col("weather.humidity") > 70).count())
+    } finally {
+      qLatest.stop(); qLake.stop(); qAlerts.stop()
+    }
+  }
+}
