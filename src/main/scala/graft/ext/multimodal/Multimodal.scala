@@ -1,0 +1,83 @@
+package graft.ext.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed batch-wise with `mapPartitions` over a typed Dataset
+  * (the Scala analog of pandas-batch UDFs: amortize per-batch setup —
+  * decoder init, model load — across a partition's rows).
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): [[StubDecoder.decode]] produces deterministic fake features
+  * from the payload bytes. Everything around it — schema, batch shape,
+  * partition sizing, null/corrupt handling — is real and tested; swapping in
+  * a real decoder changes only the function body.
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata the lake would carry alongside. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (the decoder output contract). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, checksum: Long, ok: Boolean)
+
+  /** Deterministic fake decoder — stands in for an image/audio codec.
+    * Derives "dimensions" and a checksum from the bytes; flags empty
+    * payloads as corrupt instead of throwing (a decoder that throws kills
+    * the task — at scale you always sandbox decode errors into a column).
+    */
+  object StubDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      if (bytes.isEmpty)
+        MediaFeatures(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < bytes.length) {
+          acc = (acc * 31L + (bytes(i) & 0xffL)) % 1000000007L
+          i += 1
+        }
+        MediaFeatures(r.media_id, r.kind, bytes.length,
+          width = (acc % 640L).toInt + 1,
+          height = ((acc / 640L) % 480L).toInt + 1,
+          checksum = acc, ok = true)
+      }
+    }
+  }
+
+  /** Batch feature extraction: one decoder instantiation per partition, rows
+    * streamed through it. Partition sizing note: media payloads are large —
+    * repartition by byte budget (`maxPartitionBytes` down, or
+    * `repartition(n)` after size estimation), never by row count alone.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec contexts, buffers)
+      rows.map(StubDecoder.decode)
+    }
+  }
+
+  /** Build a media table from the documents fixture: text bytes as payload —
+    * exercising the exact binary plumbing a real image column would use.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        lit("text/plain").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** The oracle-checkable query: features of the document-derived media.
+    * checksum/width/height are reproducible in SQL because the stub decoder
+    * is the same fold as [[graft.functions.PolyHash]].
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, dir)).toDF()
+      .select("media_id", "kind", "n_bytes", "width", "height", "checksum", "ok")
+}

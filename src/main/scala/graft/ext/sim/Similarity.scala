@@ -1,0 +1,79 @@
+package graft.ext.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: one scan, per-row dot
+  * product in codegen (zip_with/aggregate higher-order functions), TopK via
+  * sort+limit (TakeOrderedAndProject — no global sort materialized).
+  *
+  * The LSH variant buckets vectors by random-hyperplane signature; the query
+  * probes buckets in increasing hamming distance from its own signature.
+  * At 100 TB the bucketed table is written partitioned by bucket id so a
+  * probe is a partition-pruned scan (touching `probes/2^bits` of the data);
+  * brute force stays the recall=1.0 yardstick.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact brute-force cosine top-k neighbors of `queryVecId`. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("query_vec")))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Bucket every vector by hyperplane LSH signature. Persisting this
+    * partitioned by `bucket` turns ANN probes into partition-pruned scans.
+    */
+  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 8): DataFrame =
+    emb(spark, dir).withColumn("bucket",
+      hyperplaneBucket(col("embedding"), nBits))
+
+  /** ANN top-k: probe the `probes` buckets nearest (by signature hamming
+    * distance) to the query's bucket. With probes = 2^nBits this degrades to
+    * exact brute force; fewer probes trade recall for a pruned scan.
+    */
+  def lshTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+      k: Int = 10, nBits: Int = 8, probes: Int = 32): DataFrame = {
+    val b = lshBuckets(spark, dir, nBits)
+    val qRow = b.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("query_vec"), col("bucket").as("qb"))
+    val q = broadcast(qRow)
+    val nBuckets = 1 << nBits
+    val probeSet = b.crossJoin(q)
+      .withColumn("hamming", bit_count(col("bucket").bitwiseXOR(col("qb"))))
+    // rank buckets by hamming, keep the `probes` closest bucket ids
+    val keep = probeSet.select(col("bucket"), col("hamming")).distinct()
+      .orderBy(col("hamming").asc, col("bucket").asc).limit(probes)
+    probeSet.join(broadcast(keep.select(col("bucket"))), "bucket")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding column statistics per label: count, mean norm — the sanity
+    * profile a pipeline runs before indexing.
+    */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.dedup.TextDedup
+import graft.ext.sim.Similarity
+import graft.ext.text.TextAnalysis
+import graft.ext.multimodal.Multimodal
+import graft.functions.PolyHash.poly_hash
+
+class TextDedupSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds the same near-dup pairs as the exhaustive join") {
+    val exhaustive = TextDedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exhaustive)
+  }
+
+  test("near-dup pairs have high jaccard; background pairs are excluded") {
+    val pairs = TextDedup.ngramJaccardPairs(spark, dir, threshold = 0.8).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("simhash: identical docs collide, near-dups are close in hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark filter join group sort merge window hash scan table"),
+      (2L, "spark filter join group sort merge window hash scan table"),
+      (3L, "spark filter join group sort merge window hash scan chair"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <
+      java.lang.Long.bitCount(sh(1L) ^ sh(4L)))
+  }
+
+  test("shingles have size-n+1 entries pre-distinct and drop short docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, 3).collect()
+    assert(sh.length == 1)
+    assert(sh.head.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("LSH ANN with full probes equals brute force") {
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val lsh = Similarity.lshTopK(spark, dir, probes = 256).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(brute.sameElements(lsh))
+    assert(brute.length == 10)
+    // scores are a descending cosine list in [-1, 1]
+    assert(brute.map(_._2).sliding(2).forall(s => s.head >= s.last))
+    assert(brute.forall(x => x._2 >= -1.0 && x._2 <= 1.0))
+  }
+
+  test("reduced probes trade recall but never return worse-ranked garbage") {
+    val brute = Similarity.bruteForceTopK(spark, dir, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(spark, dir, k = 10, probes = 64).collect()
+      .map(_.getLong(0)).toSet
+    // every reduced-probe hit that IS in the exact top-10 is fine; recall
+    // is data-dependent, but the probe set must return 10 candidates
+    assert(lsh.size == 10)
+    assert((lsh intersect brute).nonEmpty)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = df.select(graft.functions.VectorFunctions
+      .cosine(col("embedding"), col("embedding")).as("c")).collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("polyhash matches a reference fold and stays in codegen") {
+    import spark.implicits._
+    val df = Seq("abc", "", "hello world").toDF("text")
+    val got = df.select(poly_hash(col("text"))).collect().map(_.getLong(0))
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(got.toSeq == Seq(ref("abc"), ref(""), ref("hello world")))
+    // whole-stage codegen keeps the expression in a codegen stage (a local
+    // Seq constant-folds to LocalTableScan, so assert over a file scan)
+    val plan = TextAnalysis.fingerprints(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project") && plan.contains("polyhash"), plan)
+  }
+
+  test("quality ratios are bounded and langid predicts a declared language code") {
+    val q = TextAnalysis.qualityScores(spark, dir)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    val l = TextAnalysis.languageId(spark, dir)
+    assert(l.filter(!col("pred_lang").isin("en", "de", "es", "fr")).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("binary plumbing: payload bytes survive, stub features are deterministic") {
+    val feats = Multimodal.mediaFeatures(spark, dir)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(feats.count() == n)
+    assert(feats.filter(!col("ok")).count() == 0)
+    assert(feats.filter(col("width") < 1 || col("width") > 640 ||
+      col("height") < 1 || col("height") > 480).count() == 0)
+    // checksum equals polyhash of the text (same fold over the same bytes)
+    val joined = feats.join(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"), poly_hash(col("text")).as("ph")),
+      "media_id")
+    assert(joined.filter(col("checksum") =!= col("ph")).count() == 0)
+  }
+
+  test("corrupt (empty) payloads are flagged, not thrown") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(2L, "image/png", Array.empty[Byte])
+    ).toDS()
+    val out = Multimodal.extractFeatures(media).collect()
+    assert(out.find(_.media_id == 1L).get.ok)
+    assert(!out.find(_.media_id == 2L).get.ok)
+  }
+}
