@@ -67,11 +67,18 @@ object TextDedup {
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's shingle hashes — a permutation-min sketch whose
     * agreement rate estimates Jaccard.
+    *
+    * Shape: explode shingles once, hash each (shingle × seed) in one
+    * projection, take per-doc mins with a partial-aggregating groupBy —
+    * one pass over the exploded data instead of `numHashes` array traversals
+    * per row, and the aggregate combines map-side (the shuffle carries one
+    * 32-long signature per doc per partition).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))): _*)
-    sh.select(col("doc_id"), size(col("shingles")).as("n"), sig.as("sig"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    ex.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
@@ -114,16 +121,11 @@ object TextDedup {
     * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small
     * hamming distance. Pairs are found by joining on rotated 16-bit bands
     * (any pair at hamming ≤ 3 shares at least one of 4 exact bands).
+    * One codegen'd pass via the custom [[graft.functions.SimHash64]]
+    * expression.
     */
-  def simhash(text: Column): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val bitSum = aggregate(th, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(tokens(text))
 
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
