@@ -28,6 +28,12 @@ object SparkEntry {
     "q5_revenue_nation"  -> Analytics.q5RevenueByNation _,
     "q6_supplier_rank"   -> Analytics.q6SupplierRank _,
     "q7_brand_parts"     -> Analytics.q7BrandParts _,
+    "q8_exists_semi"     -> Analytics.q8ExistsSemi _,
+    "q9_anti_join"       -> Analytics.q9AntiJoin _,
+    "q10_set_ops"        -> Analytics.q10SetOps _,
+    "q11_scalar_subq"    -> Analytics.q11ScalarSubquery _,
+    "q12_tumbling_window" -> Analytics.q12TumblingWindow _,
+    "q13_rollup"         -> Analytics.q13Rollup _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
     "p_filter_alert"     -> EventOps.filterAlert _,
@@ -103,6 +109,41 @@ object SparkEntry {
         |  round(avg(p_retailprice), 2) AS avg_price,
         |  max(p_size) AS max_size
         |FROM part GROUP BY p_brand HAVING count(*) > 0""".stripMargin,
+    "q8_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive,
+        |  round(sum(c_acctbal), 2) AS idle_balance
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT nationkey, n_name
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      INTERSECT
+        |      SELECT s_nationkey AS nationkey FROM supplier) q
+        |JOIN nation ON nationkey = n_nationkey""".stripMargin,
+    "q11_scalar_subq" ->
+      """SELECT p_type, count(*) AS n_premium,
+        |  round(min(p_retailprice), 2) AS min_price
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_type""".stripMargin,
+    "q12_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "p_json_parse" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

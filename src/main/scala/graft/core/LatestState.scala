@@ -61,4 +61,32 @@ object LatestState {
   /** A3 — point lookup against a latest table. */
   def point(latestTable: DataFrame, stationId: Long): DataFrame =
     latestTable.filter(col("station_id") === stationId)
+
+  /** Streaming ARRIVAL-order mode — faithful BitCask semantics: the last row
+    * to arrive wins, even if its event time is older
+    * (ref: BitCask.java:136 overwrites unconditionally). Within one
+    * micro-batch, arrival order per key is the iterator order.
+    */
+  def latestStreamArrivalOrder(archive: DataFrame): Dataset[WeatherStatus] = {
+    implicit val enc = Encoders.product[WeatherStatus]
+    implicit val longEnc = Encoders.scalaLong
+    archive.as[WeatherStatus]
+      .groupByKey(_.station_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[WeatherStatus], state: GroupState[WeatherStatus]) =>
+          var last: WeatherStatus = state.getOption.orNull
+          rows.foreach(r => last = r)
+          state.update(last)
+          last
+      }
+  }
+
+  /** A2-analog — persist the latest table as a "current state" parquet dir,
+    * atomically replaced per refresh (the reference's compaction rewrites
+    * segments to exactly this effect: one live row per key,
+    * ref: BitCask.java:182-254). Call from foreachBatch in streaming or
+    * directly in batch.
+    */
+  def persistSnapshot(latestTable: DataFrame, path: String): Unit =
+    latestTable.write.mode("overwrite").parquet(path)
 }

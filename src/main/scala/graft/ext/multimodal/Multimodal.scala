@@ -73,6 +73,32 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** A sampled "frame" from a media payload (the video-pipeline shape:
+    * one input row explodes into `frame_idx` rows of fixed-size chunks).
+    */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: split each payload into up to `maxFrames` fixed-size
+    * chunks — the 1→N explode pattern a video decode uses (sample every Nth
+    * frame). Runs as flatMap in codegen'd Dataset form; output rows carry
+    * (media_id, frame_idx) so downstream feature extraction keys correctly.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32,
+      maxFrames: Int = 4): Dataset[MediaFrame] = {
+    implicit val enc = Encoders.product[MediaFrame]
+    media.flatMap { r =>
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      val nFrames = math.min(maxFrames,
+        math.max(1, bytes.length / math.max(frameBytes, 1)))
+      val stride = math.max(1, bytes.length / nFrames)
+      (0 until nFrames).iterator.map { i =>
+        val start = i * stride
+        MediaFrame(r.media_id, i,
+          bytes.slice(start, math.min(start + frameBytes, bytes.length)))
+      }
+    }
+  }
+
   /** The oracle-checkable query: features of the document-derived media.
     * checksum/width/height are reproducible in SQL because the stub decoder
     * is the same fold as [[graft.functions.PolyHash]].

@@ -127,4 +127,74 @@ object Analytics {
       )
       .filter(col("n_parts") > 0)
   }
+
+  /** Semi join (EXISTS): orders having at least one high-quantity line.
+    * `left_semi` never materializes right-side columns and map-side
+    * short-circuits on first match.
+    */
+  def q8ExistsSemi(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = t(spark, dir, "orders")
+    val bigLines = t(spark, dir, "lineitem").filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"))
+    orders
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Anti join (NOT EXISTS): customers who never ordered. */
+  def q9AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders   = t(spark, dir, "orders").select(col("o_custkey"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"),
+        round(sum(col("c_acctbal")), 2).as("idle_balance"))
+  }
+
+  /** Set operation: nation keys present among BOTH customers and suppliers
+    * (INTERSECT) — distinct-based set ops shuffle once per side.
+    */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(s)
+      .join(broadcast(t(spark, dir, "nation")),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"))
+  }
+
+  /** Scalar subquery: parts priced above the global average retail price. */
+  def q11ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val avgPrice = part.agg(avg(col("p_retailprice"))).first().getDouble(0)
+    part.filter(col("p_retailprice") > avgPrice)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_premium"),
+        round(min(col("p_retailprice")), 2).as("min_price"))
+  }
+
+  /** Tumbling-window aggregation over event time (15-minute buckets) — the
+    * batch form of the streaming windowed aggregate; DuckDB oracle uses
+    * time_bucket. Window start is emitted as a string for hash-stable
+    * comparison.
+    */
+  def q12TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Rollup aggregation: subtotals per (returnflag, linestatus) plus grand
+    * totals — multi-grouping-set aggregate in one pass.
+    */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 }

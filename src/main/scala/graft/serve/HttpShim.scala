@@ -1,0 +1,65 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** K6 — minimal HTTP façade over [[QueryApi]], JDK-only (no deps).
+  *
+  * Routes mirror the reference's Javalin server
+  * (ref: CentralStationServer.java:23-58):
+  *   GET /stations          → all latest rows as a JSON array
+  *   GET /station?id=<K>    → one row; 400 missing param, 404 unknown key
+  * CORS `*` like the reference (ref: CentralStationServer.java:26-29).
+  *
+  * Serving-path note: the handler queries the Spark latest-table per request
+  * (collect of O(stations) rows). For high QPS you'd snapshot to a local map
+  * per refresh — the HTTP layer is a shim, not the engine.
+  */
+class HttpShim(api: QueryApi, port: Int = 0) {
+
+  private def rowJson(r: org.apache.spark.sql.Row): String = {
+    val w = r.getStruct(r.fieldIndex("weather"))
+    s"""{"station_id":${r.getAs[Long]("station_id")},"s_no":${r.getAs[Long]("s_no")},""" +
+      s""""battery_status":"${r.getAs[String]("battery_status")}",""" +
+      s""""status_timestamp":"${r.getAs[java.sql.Timestamp]("status_timestamp")}",""" +
+      s""""weather":{"humidity":${w.getInt(0)},"temperature":${w.getInt(1)},"wind_speed":${w.getInt(2)}}}"""
+  }
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  server.createContext("/stations", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      respond(ex, 200,
+        api.scan().collect().map(rowJson).mkString("[", ",", "]"))
+  })
+
+  server.createContext("/station", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+      params.get("id").flatMap(s => s.toLongOption) match {
+        case None =>
+          respond(ex, 400, """{"error":"missing or invalid id parameter"}""")
+        case Some(id) => api.point(id) match {
+          case Some(row) => respond(ex, 200, rowJson(row))
+          case None => respond(ex, 404, s"""{"error":"unknown station $id"}""")
+        }
+      }
+    }
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+}
