@@ -52,7 +52,11 @@ object TextDedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
     val sh = shingles(docs(spark, dir), n)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"),
+    // join on 64-bit shingle hashes, not strings: the shuffle carries 8-byte
+    // keys and the join compares longs; a cross-engine-visible collision
+    // would need ~2^32 distinct shingles per bucket (not at any plausible SF)
+    val ex = sh.select(col("doc_id"),
+      explode(transform(col("shingles"), s => xxhash64(s))).as("s"),
       size(col("shingles")).as("n"))
     val a = ex.as("a"); val b = ex.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

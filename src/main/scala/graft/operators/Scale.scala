@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out building blocks: bucketed co-located joins and skew salting.
+  * These are the knobs a 100 TB deployment turns when the default
+  * shuffle-everything plan stops being acceptable.
+  */
+object Scale {
+
+  /** Persist a frame bucketed by join key. Two tables bucketed the same way
+    * (same key, same bucket count) join WITHOUT a shuffle on either side —
+    * at repeated-join scale this amortizes one write-time shuffle across
+    * every subsequent join. (Spark managed-table bucketing; the lake analog
+    * of co-partitioned storage.)
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int = 32, sortByKey: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(nBuckets, key)
+    (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** A two-phase (salted) aggregate: `partial` runs per (key, salt) group,
+    * `merge` combines partials per key and must reference the partial by its
+    * `name` (e.g. `TwoPhase("s", sum($"v"), sum($"s"))`). Only decomposable
+    * aggregates fit (sum/count/min/max and combinations); derive avg as
+    * sum/count after merging.
+    */
+  case class TwoPhase(name: String, partial: Column, merge: Column)
+
+  object TwoPhase {
+    def sumOf(name: String, c: Column): TwoPhase =
+      TwoPhase(name, sum(c), sum(col(name)))
+    def countAll(name: String): TwoPhase =
+      TwoPhase(name, count(lit(1)), sum(col(name)))
+    def minOf(name: String, c: Column): TwoPhase =
+      TwoPhase(name, min(c), min(col(name)))
+    def maxOf(name: String, c: Column): TwoPhase =
+      TwoPhase(name, max(c), max(col(name)))
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
+    * (key, salt) so a hot key's rows spread over `nSalts` reducers; phase 2
+    * merges the partials per key. (Spark's hash aggregate already partial-
+    * aggregates map-side; salting additionally splits a hot REDUCER key —
+    * use it when one group receives a pathological share of rows.)
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], nSalts: Int,
+      aggs: Seq[TwoPhase]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(rand(42L) * lit(nSalts)), lit(nSalts.toLong)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head.partial.as(aggs.head.name),
+        aggs.tail.map(a => a.partial.as(a.name)): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head.merge.as(aggs.head.name),
+        aggs.tail.map(a => a.merge.as(a.name)): _*)
+  }
+
+  /** Salted broadcast-free join for one hot build-side key set: the small
+    * side is replicated `nSalts`× with an explicit salt, the big side draws
+    * a random salt — a hot key's probe rows land on `nSalts` tasks instead
+    * of one. Use when AQE skew-join splitting isn't available (e.g. a
+    * non-AQE-visible skew after a transform).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      nSalts: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(rand(42L) * lit(nSalts)), lit(nSalts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

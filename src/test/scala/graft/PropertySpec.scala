@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.PolyHash.poly_hash
+
+/** Property tests over generated inputs (seeded ScalaCheck Gens, driven
+  * manually — no scalatest/scalacheck bridge in the dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("polyhash(expression) == reference fold for arbitrary unicode strings") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val strs = samples(Gen.asciiPrintableStr, 60) ++
+      samples(Gen.listOf(Gen.choose(32, 0x10FFFF)).map(
+        _.filterNot(c => c >= 0xD800 && c <= 0xDFFF)
+         .map(Character.toChars).map(String.valueOf).mkString), 40)
+    val got = strs.toDF("text").select(poly_hash(col("text"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == strs.map(ref))
+  }
+
+  test("wire json roundtrip: to_json then parseWire is the identity") {
+    val msgs = graft.gen.StationSource.messages(spark, 5, 50)
+    val json = graft.gen.StationSource.messagesAsJson(spark, 5, 50)
+    val back = graft.core.Normalize.parseWire(json.select("value"))
+    assert(back.count() == msgs.count())
+    assert(back.exceptAll(msgs).count() == 0)
+    assert(msgs.exceptAll(back).count() == 0)
+  }
+
+  test("dedup is idempotent and replay-invariant for arbitrary replication") {
+    val archive = graft.core.Normalize.toArchive(
+      graft.gen.StationSource.messages(spark, 4, 40))
+    samples(Gen.choose(2, 4), 3).foreach { k =>
+      val replayed = (1 to k).map(_ => archive).reduce(_ union _)
+      assert(graft.core.Dedup.exactReplays(replayed).count() == archive.count())
+      assert(graft.core.Dedup.deterministic(replayed).count() == archive.count())
+    }
+  }
+
+  test("latest-per-key is invariant to input order") {
+    val archive = graft.core.Normalize.toArchive(
+      graft.gen.StationSource.messages(spark, 6, 60))
+    val a = graft.core.LatestState.latest(archive)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val shuffled = graft.core.LatestState.latest(
+      archive.orderBy(rand(7L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == shuffled)
+  }
+
+  test("simhash hamming distance is monotone in token overlap (statistically)") {
+    import graft.ext.dedup.TextDedup.simhash
+    val base = (1 to 40).map(i => s"tok$i")
+    // replace m tokens: hamming should trend upward with m
+    val rows = Seq(0, 5, 20, 40).map { m =>
+      val mutated = base.zipWithIndex.map { case (t, i) =>
+        if (i < m) s"other$i" else t }
+      (m.toLong, mutated.mkString(" "))
+    }
+    val hs = (rows :+ (-1L, base.mkString(" ")))
+      .toDF("m", "text")
+      .select(col("m"), simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val origin = hs(-1L)
+    val dists = Seq(0, 5, 20, 40).map(m =>
+      java.lang.Long.bitCount(origin ^ hs(m.toLong)))
+    assert(dists.head == 0)
+    assert(dists(1) < dists(3), s"dists=$dists")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+import graft.operators.Scale.TwoPhase
+
+class ScaleSpec extends SparkSpec {
+
+  lazy val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("bucketed tables join without an exchange on either side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // clear any stray managed-table locations from prior runs (in-memory
+    // catalog forgets tables on restart but the warehouse files persist)
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    try {
+      Scale.writeBucketed(li.select("l_orderkey", "l_quantity"),
+        "li_b", "l_orderkey", nBuckets = 4)
+      Scale.writeBucketed(orders.select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b", "l_orderkey", nBuckets = 4)
+      val joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() == li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted aggregate equals the direct aggregate") {
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"),
+        max("l_extendedprice").as("mx"))
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(1 + 1), r.getDouble(3)))).toMap
+    val salted = Scale.saltedAggregate(li, Seq("l_returnflag"), nSalts = 7,
+      Seq(TwoPhase.sumOf("q", col("l_quantity")), TwoPhase.countAll("n"),
+        TwoPhase.maxOf("mx", col("l_extendedprice"))))
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (q, n, mx)) =>
+      val (dq, dn, dmx) = direct(k)
+      assert(n == dn && mx == dmx && math.abs(q - dq) < 1e-6 * math.abs(dq))
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val small = orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_totalprice")).limit(200)
+    val plain = li.join(small, "l_orderkey").count()
+    val salted = Scale.saltedJoin(li, small, "l_orderkey", nSalts = 5).count()
+    assert(salted == plain)
+  }
+}
+
+class WindowedStatsSpec extends SparkSpec {
+
+  import graft.streaming.WindowedStats
+
+  // start aligned to a 15-minute boundary (1700000100 % 900 == 0) so the
+  // hour of data covers exactly 4 tumbling windows
+  lazy val archive = graft.core.Normalize.toArchive(
+    graft.gen.StationSource.messages(spark, nStations = 3, perStation = 3600,
+      startEpochSec = 1700000100L))
+
+  test("tumbling windows partition time without loss (batch-mode check)") {
+    val w = WindowedStats.tumbling(archive)
+    assert(w.agg(sum("n")).collect().head.getLong(0) == archive.count())
+    assert(w.select("window_start").distinct().count() == 4)
+  }
+
+  test("sliding windows overlap: each row lands in window/slide windows") {
+    val s = WindowedStats.sliding(archive)
+    val total = s.agg(sum("n")).collect().head.getLong(0)
+    assert(total == archive.count() * 3) // 15min window / 5min slide = 3
+  }
+
+  test("rising-edge alerts fire once per crossing (streaming)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.schema.{WeatherReading, WeatherStatus}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    def st(sno: Long, hum: Int) = WeatherStatus(1L, sno, "high",
+      new java.sql.Timestamp(sno * 1000L), WeatherReading(hum, 70, 5))
+
+    val input = MemoryStream[WeatherStatus]
+    val q = WindowedStats.risingEdgeAlerts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("edge_alerts").start()
+    try {
+      // 50, 80, 85 (one crossing), 60, 90 (second crossing), 95
+      input.addData(st(1, 50), st(2, 80), st(3, 85))
+      q.processAllAvailable()
+      input.addData(st(4, 60), st(5, 90), st(6, 95))
+      q.processAllAvailable()
+      val fired = spark.table("edge_alerts").collect()
+        .map(_.getAs[Long]("s_no")).sorted.toSeq
+      assert(fired == Seq(2L, 5L)) // only the two rising edges
+    } finally q.stop()
+  }
+}
