@@ -34,6 +34,8 @@ object SparkEntry {
     "q11_scalar_subq"    -> Analytics.q11ScalarSubquery _,
     "q12_tumbling_window" -> Analytics.q12TumblingWindow _,
     "q13_rollup"         -> Analytics.q13Rollup _,
+    "q14_pivot"          -> Analytics.q14Pivot _,
+    "q15_percentiles"    -> Analytics.q15Percentiles _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
     "p_filter_alert"     -> EventOps.filterAlert _,
@@ -144,6 +146,20 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "p_json_parse" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

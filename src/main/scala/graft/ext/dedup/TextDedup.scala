@@ -70,20 +70,15 @@ object TextDedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's shingle hashes — a permutation-min sketch whose
-    * agreement rate estimates Jaccard.
-    *
-    * Shape: explode shingles once, hash each (shingle × seed) in one
-    * projection, take per-doc mins with a partial-aggregating groupBy —
-    * one pass over the exploded data instead of `numHashes` array traversals
-    * per row, and the aggregate combines map-side (the shuffle carries one
-    * 32-long signature per doc per partition).
+    * agreement rate estimates Jaccard. One codegen'd pass per row via the
+    * custom [[graft.functions.MinHashSig]] expression: per-doc narrow
+    * compute, zero shuffles (an explode+groupBy formulation would shuffle
+    * every (doc, shingle) pair).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    ex.groupBy(col("doc_id"))
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("shingles"), numHashes)
+        .as("sig"))
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows, bucket-join docs agreeing on any whole band,

@@ -197,4 +197,34 @@ object Analytics {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Pivot: daily event counts with one column per event type. The value
+    * list is explicit, so the pivot is a single-pass conditional aggregate
+    * (no extra job to discover values — which at 100 TB would be a full
+    * scan before the real one).
+    */
+  def q14Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
+  /** Exact percentiles (median/p90) of the event value per type — sort-based
+    * exact percentile; at 100 TB swap to `approx_percentile` (t-digest,
+    * partial-aggregating) and document the error bound.
+    */
+  def q15Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
 }
