@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration and its
+  * custom functions registered for SQL use.
+  *
+  * `GraftSession.builder()` applies: AQE (with skew-join handling), UTC
+  * session time zone, nanos-as-long parquet compatibility, and a shuffle
+  * partition count suited to the master. [[register]] exposes the custom
+  * Catalyst expressions (`polyhash`, `simhash64`, `minhash_sig`) to
+  * `spark.sql(...)` users.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Register graft's custom expressions in the session's function registry
+    * so they're callable from SQL:
+    * {{{
+    *   GraftSession.register(spark)
+    *   spark.sql("SELECT polyhash(text), simhash64(split(text, ' ')) FROM docs")
+    * }}}
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("polyhash",
+      exprs => graft.functions.PolyHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.functions.SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => {
+        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+        graft.functions.MinHashSig(exprs.head, k)
+      }, "scala_udf")
+  }
+
+  /** Build + register in one call. */
+  def create(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    register(spark)
+    spark
+  }
+}

@@ -58,6 +58,7 @@ object SparkEntry {
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_embed_stats"      -> Similarity.normStats _,
+    "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _
   )
 
@@ -277,6 +278,17 @@ object SparkEntry {
          |    AS normalized_fingerprint
          |FROM documents""".stripMargin,
     "x_ann_topk" -> annTopkOracle,
+    // LSH-bucketed candidates, exact-cosine verified; the oracle is the
+    // exhaustive pair join — equal when every >=0.8 pair shares a bucket
+    // (trivially true on this data: no such pairs exist; planted-pair
+    // recall is covered by SimilaritySpec)
+    "x_embed_neardup" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.8""".stripMargin,
     // probes=256 covers all 2^8 buckets -> LSH degrades to exact brute force
     "x_ann_lsh" -> annTopkOracle,
     "x_embed_stats" ->

@@ -61,6 +61,23 @@ object Multimodal {
     }
   }
 
+  /** Resize (downsample) stub: keep every `factor`-th byte — the
+    * deterministic stand-in for an image resize; preserves the
+    * transform-in-place shape (same schema out, smaller payload), which is
+    * what matters for the Spark plumbing. A real implementation swaps the
+    * byte loop for a codec call.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+        val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
   /** Build a media table from the documents fixture: text bytes as payload —
     * exercising the exact binary plumbing a real image column would use.
     */

@@ -66,6 +66,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
+    * agreement (same `nBits`-bit hyperplane signature), verified by exact
+    * cosine ≥ threshold. The bucket join keeps candidates ∝ true near-dups;
+    * at 100 TB add multi-probe (hamming-1 buckets) for recall, or lower
+    * nBits. The exhaustive O(n²) form is the yardstick only.
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, nBits: Int = 8): DataFrame = {
+    val b = lshBuckets(spark, dir, nBits)
+    val a1 = b.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("bucket"))
+    val a2 = b.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("bucket"))
+    a1.join(a2, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("e1"), col("e2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Exhaustive cosine pair join (yardstick for recall testing — O(n²)). */
+  def cosineNearDupPairsExhaustive(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val e = emb(spark, dir)
+    val a1 = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val a2 = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a1.crossJoin(a2).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(cosine(col("e1"), col("e2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Embedding column statistics per label: count, mean norm — the sanity
     * profile a pipeline runs before indexing.
     */

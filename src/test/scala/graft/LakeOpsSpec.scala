@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Normalize
+import graft.gen.StationSource
+import graft.lake.Archive
+
+class CompactionSpec extends SparkSpec {
+
+  test("compact collapses per-batch small files to one file per partition") {
+    val dir = tmpDir("lake") + "/lake"
+    val archive = Normalize.toArchive(
+      StationSource.messages(spark, nStations = 3, perStation = 40))
+    // three appends → ≥3 files per partition
+    (1 to 3).foreach(_ => Archive.write(archive.limit(60), dir))
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles().size
+    val rowsBefore = spark.read.parquet(dir).count()
+    Archive.compact(spark, dir)
+    val after = parquetFiles().size
+    assert(after < before, s"$before -> $after")
+    assert(spark.read.parquet(dir).count() == rowsBefore)
+    // still a valid hive layout with pruning
+    val plan = spark.read.parquet(dir).filter(col("station_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("streaming read of the lake feeds the index sink (SURVEY 3.2 path)") {
+    val dir = tmpDir("lake2") + "/lake"
+    val archive = Normalize.toArchive(
+      StationSource.messages(spark, nStations = 4, perStation = 30))
+    Archive.write(archive, dir)
+    val stream = Archive.readStream(spark, dir, maxFilesPerTrigger = 10)
+    val idxDir = tmpDir("idx")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.index.IndexSink.docs(batch.drop("date", "hour"))
+          .write.mode("append").parquet(idxDir)
+      }
+      .option("checkpointLocation", tmpDir("ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val idx = spark.read.parquet(idxDir)
+      assert(idx.count() == archive.count())
+      assert(idx.select("doc_id").distinct().count() == archive.count())
+    } finally q.stop()
+  }
+}
+
+class GraftSessionSpec extends SparkSpec {
+
+  test("custom expressions are SQL-callable after register()") {
+    GraftSession.register(spark)
+    val r = spark.sql(
+      """SELECT polyhash('abc') AS p,
+        |  simhash64(array('a','b')) AS s,
+        |  minhash_sig(array('a','b'), 4) AS m""".stripMargin).collect().head
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(r.getAs[Long]("p") == ref("abc"))
+    assert(r.getAs[scala.collection.Seq[Long]]("m").length == 4)
+  }
+}
+
+class EmbedNearDupSpec extends SparkSpec {
+
+  test("LSH-bucketed cosine near-dup catches planted near-identical vectors") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val other = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, base.toSeq, 0), (1L, nearDup.toSeq, 0), (2L, other.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir("emb")
+    df.write.parquet(s"$dir/embeddings.parquet")
+    val pairs = graft.ext.sim.Similarity.cosineNearDupPairs(spark, dir, 0.99)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 1L)
+    // and equals the exhaustive yardstick
+    val ex = graft.ext.sim.Similarity
+      .cosineNearDupPairsExhaustive(spark, dir, 0.99).collect()
+    assert(ex.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("resize stub downsamples payloads deterministically") {
+    import spark.implicits._
+    import graft.ext.multimodal.Multimodal
+    val media = Seq(Multimodal.MediaRow(1L, "image/fake",
+      Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val out = Multimodal.resize(media, factor = 4).collect().head
+    assert(out.payload.length == 25)
+    assert(out.payload.toSeq == (0 until 100 by 4).map(_.toByte))
+  }
+}
