@@ -36,6 +36,9 @@ object SparkEntry {
     "q13_rollup"         -> Analytics.q13Rollup _,
     "q14_pivot"          -> Analytics.q14Pivot _,
     "q15_percentiles"    -> Analytics.q15Percentiles _,
+    "q16_session_window" -> Analytics.q16SessionWindow _,
+    "q17_top_terms"      -> Analytics.q17TopTerms _,
+    "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
     "p_filter_alert"     -> EventOps.filterAlert _,
@@ -161,6 +164,39 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // session semantics: a new session starts when the gap from the previous
+    // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
+    "q16_session_window" ->
+      """SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (
+        |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |          IS NULL THEN 1
+        |        WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (
+        |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |    FROM events) m) s
+        |GROUP BY user_id, sid""".stripMargin,
+    "q17_top_terms" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q18_string_funcs" ->
+      """SELECT event_type, upper(event_type) AS upper_t,
+        |  substr(event_type, 1, 3) AS prefix3,
+        |  lpad(event_type, 10, '_') AS padded,
+        |  length(event_type) AS len,
+        |  levenshtein(event_type, 'click') AS dist_click,
+        |  concat_ws('-', 'evt', event_type) AS tagged
+        |FROM (SELECT DISTINCT event_type FROM events) q""".stripMargin,
     "p_json_parse" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -35,12 +35,15 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucket every vector by hyperplane LSH signature. Persisting this
-    * partitioned by `bucket` turns ANN probes into partition-pruned scans.
+  /** Bucket every vector by hyperplane LSH signature (one codegen'd pass via
+    * the custom [[graft.functions.HyperplaneBucket]] expression — the
+    * hyperplane matrix is built once, not re-derived per row). Persisting
+    * this partitioned by `bucket` turns ANN probes into partition-pruned
+    * scans.
     */
   def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 8): DataFrame =
     emb(spark, dir).withColumn("bucket",
-      hyperplaneBucket(col("embedding"), nBits))
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits))
 
   /** ANN top-k: probe the `probes` buckets nearest (by signature hamming
     * distance) to the query's bucket. With probes = 2^nBits this degrades to

@@ -227,4 +227,47 @@ object Analytics {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** Sessionization: `session_window` groups a user's events into sessions
+    * separated by ≥ 30-minute gaps — the canonical telemetry/clickstream
+    * operator. Works identically on streams (with watermark-based session
+    * closing). Oracle reproduces the gap semantics with lag + cumulative
+    * sum.
+    */
+  def q16SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Top terms by document frequency — generator (explode) + agg + topK.
+    * The explode is the UDTF shape; ties broken by token for determinism.
+    */
+  def q17TopTerms(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Scalar string-function surface in one pass: case mapping, substring,
+    * padding, trim, edit distance, concat — every function cross-checked
+    * against the oracle engine's implementation.
+    */
+  def q18StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type")).distinct()
+      .select(
+        col("event_type"),
+        upper(col("event_type")).as("upper_t"),
+        substring(col("event_type"), 1, 3).as("prefix3"),
+        lpad(col("event_type"), 10, "_").as("padded"),
+        length(col("event_type")).as("len"),
+        levenshtein(col("event_type"), lit("click")).as("dist_click"),
+        concat_ws("-", lit("evt"), col("event_type")).as("tagged"))
 }
