@@ -39,6 +39,8 @@ object SparkEntry {
     "q16_session_window" -> Analytics.q16SessionWindow _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
+    "q19_correlated"     -> Analytics.q19Correlated _,
+    "q20_sketch_distinct" -> Analytics.q20SketchDistinct _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
     "p_filter_alert"     -> EventOps.filterAlert _,
@@ -189,6 +191,14 @@ object SparkEntry {
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token
         |      FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q19_correlated" ->
+      """SELECT n_name, count(*) AS n_above,
+        |  round(max(s_acctbal), 2) AS top_bal
+        |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |GROUP BY n_name""".stripMargin,
+    // q20_sketch_distinct: rows-only (HLL estimates are engine-specific)
     "q18_string_funcs" ->
       """SELECT event_type, upper(event_type) AS upper_t,
         |  substr(event_type, 1, 3) AS prefix3,

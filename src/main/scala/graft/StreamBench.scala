@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.gen.StationSource
+import graft.streaming.WeatherPipeline
+
+/** End-to-end streaming throughput benchmark: stage N wire-JSON messages as
+  * files, run the full 3-fork topology (normalize → latest-state +
+  * partitioned lake + alerts), report rows/sec over the ingest wall time.
+  * The reference's design envelope is ~10.33 msg/s (BASELINE.md); this
+  * measures how far a single node of the Spark engine exceeds it.
+  * `sbt "runMain graft.StreamBench [nMessages]"`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val total = args.headOption.map(_.toInt).getOrElse(200000)
+    val nStations = 100
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("stream-bench")
+    val srcDir = s"$base/wire"
+    StationSource.messagesAsJson(spark, nStations, total / nStations)
+      .select("value").coalesce(8).write.text(srcDir)
+
+    val wire = spark.readStream.schema("value STRING").text(srcDir)
+    val archive = WeatherPipeline.normalize(wire)
+
+    val t0 = System.nanoTime()
+    val qLatest = WeatherPipeline.startLatest(archive, "sb_latest")
+    val qLake = WeatherPipeline.startArchive(archive, s"$base/lake", s"$base/ck")
+    val qAlerts = WeatherPipeline.startAlerts(archive, "sb_alerts")
+    Seq(qLatest, qLake, qAlerts).foreach(_.processAllAvailable())
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = spark.read.parquet(s"$base/lake").count()
+
+    println(f"""{"metric":"stream_rows_per_sec","value":${rows / sec}%.0f,"unit":"rows/sec","rows":$rows,"wall_sec":$sec%.2f,"forks":3}""")
+    Seq(qLatest, qLake, qAlerts).foreach(_.stop())
+    spark.stop()
+  }
+}

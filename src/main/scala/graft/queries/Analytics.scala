@@ -255,6 +255,38 @@ object Analytics {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** Correlated scalar subquery: suppliers whose balance exceeds their own
+    * nation's average — Catalyst decorrelates this into an aggregate + join
+    * (no per-row re-execution). Written in SQL against temp views to
+    * exercise the SQL front-end + decorrelation path.
+    */
+  def q19Correlated(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("supplier_v")
+    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT n_name, count(*) AS n_above,
+        |  round(max(s_acctbal), 2) AS top_bal
+        |FROM supplier_v s JOIN nation_v ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier_v s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  /** Sketch-based distinct counting: Apache DataSketches HLL through
+    * `hll_sketch_agg` — the mergeable-sketch shape 100 TB distinct-count
+    * pipelines need (partial sketches merge associatively across partitions
+    * and days). Exact distinct alongside for the error to be visible.
+    * Rows-only driver check (estimates are engine-specific by design).
+    */
+  def q20SketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+          .as("hll_estimate"),
+        approx_count_distinct(col("l_partkey")).as("hllpp_estimate"))
+
   /** Scalar string-function surface in one pass: case mapping, substring,
     * padding, trim, edit distance, concat — every function cross-checked
     * against the oracle engine's implementation.

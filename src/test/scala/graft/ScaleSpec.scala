@@ -37,6 +37,16 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("filters and projections are pushed into the parquet scan") {
+    val pruned = li.filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      scan.take(600))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan.take(600))
+  }
+
   test("salted aggregate equals the direct aggregate") {
     val direct = li.groupBy("l_returnflag")
       .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"),
