@@ -41,6 +41,7 @@ object SparkEntry {
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
     "q20_sketch_distinct" -> Analytics.q20SketchDistinct _,
+    "q21_except"         -> Analytics.q21Except _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
     "p_filter_alert"     -> EventOps.filterAlert _,
@@ -62,6 +63,7 @@ object SparkEntry {
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
+    "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _
@@ -198,6 +200,12 @@ object SparkEntry {
         |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
         |                   WHERE s2.s_nationkey = s.s_nationkey)
         |GROUP BY n_name""".stripMargin,
+    "q21_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |EXCEPT SELECT n_nationkey AS nationkey FROM nation
+        |        WHERE n_regionkey = 0""".stripMargin,
     // q20_sketch_distinct: rows-only (HLL estimates are engine-specific)
     "q18_string_funcs" ->
       """SELECT event_type, upper(event_type) AS upper_t,
@@ -337,6 +345,9 @@ object SparkEntry {
         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.8""".stripMargin,
     // probes=256 covers all 2^8 buckets -> LSH degrades to exact brute force
     "x_ann_lsh" -> annTopkOracle,
+    // nProbe = nLists -> IVF searches every list -> exact (reduced-probe
+    // recall covered in SimilaritySpec)
+    "x_ann_ivf" -> annTopkOracle,
     "x_embed_stats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(nrm), 4) AS avg_norm,

@@ -101,6 +101,83 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** IVF coarse quantizer: Lloyd's k-means on a bounded driver-side sample
+    * (seeded, deterministic), returning k centroids. At 100 TB the sample
+    * stays bounded (`sampleSize` rows collected once); assignment of the
+    * full corpus happens distributed via [[ivfAssign]]. For huge k use a
+    * distributed k-means instead — this is the IVF-list builder, where k is
+    * typically √n and the sample covers it.
+    */
+  def ivfFitCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 8, sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = emb(spark, dir)
+      .select(col("embedding")).orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = sample.take(k).map(_.clone())
+    (1 to iters).foreach { _ =>
+      val dims = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var d = 0
+          while (d < dims) { val x = v(d) - centroids(c)(d); dist += x * x; d += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dims) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Distributed IVF assignment: every vector tagged with its nearest
+    * centroid (one codegen'd pass; centroid matrix rides inside the
+    * expression). Persist `partitionBy("ivf_list")` to make probes
+    * partition-pruned scans.
+    */
+  def ivfAssign(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    emb(spark, dir).withColumn("ivf_list",
+      graft.functions.NearestCentroid.nearest_centroid(col("embedding"), centroids))
+
+  /** IVF top-k: search only the `nProbe` lists nearest to the query vector.
+    * nProbe = k degrades to exact brute force (the correctness config);
+    * nProbe « k is the scale path reading `nProbe/k` of the corpus.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+      k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfFitCentroids(spark, dir, nLists)
+    val assigned = ivfAssign(spark, dir, centroids)
+    val qRow = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("query_vec")).collect().head
+    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    // rank lists by centroid distance to the query, driver-side (k floats)
+    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
+      val dist = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, dist)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("query_vec")))
+    assigned
+      .filter(col("ivf_list").isin(probeLists.toSeq: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding column statistics per label: count, mean norm — the sanity
     * profile a pipeline runs before indexing.
     */

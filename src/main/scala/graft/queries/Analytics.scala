@@ -287,6 +287,18 @@ object Analytics {
           .as("hll_estimate"),
         approx_count_distinct(col("l_partkey")).as("hllpp_estimate"))
 
+  /** UNION ALL + EXCEPT set-op chain: every nationkey referenced by a
+    * customer or supplier, minus region-0 nations.
+    */
+  def q21Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val region0 = t(spark, dir, "nation")
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nationkey"))
+    c.unionAll(s).except(region0)
+  }
+
   /** Scalar string-function surface in one pass: case mapping, substring,
     * padding, trim, edit distance, concat — every function cross-checked
     * against the oracle engine's implementation.

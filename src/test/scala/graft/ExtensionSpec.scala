@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
     assert((lsh intersect brute).nonEmpty)
   }
 
+  test("IVF with full probes equals brute force; reduced probes return k hits") {
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ivfFull = Similarity.ivfTopK(spark, dir, nLists = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivfFull.sameElements(brute))
+    val ivfProbe = Similarity.ivfTopK(spark, dir, nLists = 16, nProbe = 4)
+      .collect()
+    assert(ivfProbe.length == 10)
+    // reduced probes still recall a meaningful share of the exact top-10
+    val recall = ivfProbe.map(_.getLong(0)).toSet
+      .intersect(brute.map(_._1).toSet).size
+    assert(recall >= 1, s"recall $recall/10")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")

@@ -96,6 +96,34 @@ class WindowedStatsSpec extends SparkSpec {
     assert(total == archive.count() * 3) // 15min window / 5min slide = 3
   }
 
+  test("session windows close after the gap in streaming mode (watermarked)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+      input.addData((1L, t(0)), (1L, t(10)), (1L, t(20)))
+      q.processAllAvailable()
+      input.addData((1L, t(120)))      // 100-min gap: closes session 1
+      q.processAllAvailable()
+      input.addData((1L, t(300)))      // advances watermark past session 2
+      q.processAllAvailable()
+      val done = spark.table("stream_sessions").collect()
+      assert(done.length == 2)
+      assert(done.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("rising-edge alerts fire once per crossing (streaming)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
