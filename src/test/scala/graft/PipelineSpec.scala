@@ -56,6 +56,16 @@ class QueryApiSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(csv).getLines().toList
     assert(lines.head == "station_id,s_no,battery_status,status_timestamp,humidity,temperature,wind_speed")
     assert(lines.length == 7) // header + 6 stations
+
+    // round trip: the typed CSV reader recovers the exported table
+    val back = graft.sources.TableSources.csv(spark, dir,
+      graft.sources.TableSources.exportCsvSchema)
+    assert(back.count() == 6)
+    assert(back.schema.fieldNames.toSeq ==
+      graft.sources.TableSources.exportCsvSchema.fieldNames.toSeq)
+    val row = back.filter(org.apache.spark.sql.functions.col("station_id") === 3)
+      .collect().head
+    assert(row.getAs[Int]("humidity") >= 10 && row.getAs[Int]("humidity") <= 100)
   }
 }
 
