@@ -44,10 +44,21 @@ object GraftSession {
       }, "scala_udf")
   }
 
-  /** Build + register in one call. */
+  /** Install graft's optimizer rules (e.g. the row_number→max_by top-1
+    * rewrite, [[graft.plans.TopOnePerKeyRewrite]]) into an existing session.
+    */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TopOnePerKeyRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopOnePerKeyRewrite
+    }
+
+  /** Build + register functions + install optimizer rules in one call. */
   def create(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     register(spark)
+    installOptimizations(spark)
     spark
   }
 }

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite the `row_number() over (partition by K order by O)
+  * ... where rn = 1` idiom into a `min_by`/`max_by` aggregate.
+  *
+  * The window formulation shuffles and sorts EVERY row; the aggregate is a
+  * partial-combining hash aggregate whose shuffle carries one row per key
+  * per map partition — at 100 TB the difference between sorting the dataset
+  * and sorting nothing (SCALE.md "latest-per-station"). This rule makes the
+  * engine apply the rewrite automatically, so users who write the common
+  * window idiom get the aggregate plan.
+  *
+  * Safety: fires only when
+  *   - the Window has exactly ONE window expression, a `row_number()` over
+  *     ROWS UNBOUNDED PRECEDING..CURRENT ROW (the default frame),
+  *   - the filter is `rn = 1` / `1 = rn` / `rn <= 1` directly above it,
+  *   - every sort key has the SAME direction (lexicographic struct
+  *     comparison must agree with the multi-column sort order),
+  *   - sort keys are orderable atomic types.
+  * Tie semantics: with duplicate (K, O) rows, `row_number` picks a
+  * sort-implementation-defined winner and min_by/max_by an
+  * aggregation-order-defined winner — both are nondeterministic choices
+  * among ties, so the rewrite preserves the (already nondeterministic)
+  * semantics.
+  *
+  * Register per-session:
+  * `spark.experimental.extraOptimizations ++= Seq(TopOnePerKeyRewrite)`
+  * or via [[GraftExtensions]] at session build time.
+  */
+object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
+
+  private def isOne(e: Expression): Boolean = e match {
+    case Literal(v: Int, _)  => v == 1
+    case Literal(v: Long, _) => v == 1L
+    case _ => false
+  }
+
+  /** The filter predicate keeps only rank 1 of `rnId`. */
+  private def keepsRankOne(cond: Expression, rnId: ExprId): Boolean = cond match {
+    case EqualTo(a: AttributeReference, l) => a.exprId == rnId && isOne(l)
+    case EqualTo(l, a: AttributeReference) => a.exprId == rnId && isOne(l)
+    case LessThanOrEqual(a: AttributeReference, l) => a.exprId == rnId && isOne(l)
+    case GreaterThanOrEqual(l, a: AttributeReference) => a.exprId == rnId && isOne(l)
+    case _ => false
+  }
+
+  /** Sort keys must be scalar orderable types whose struct-lexicographic
+    * comparison matches multi-column sort semantics.
+    */
+  private def scalarOrderable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | TimestampType | TimestampNTZType |
+           DateType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  private def defaultRowFrame(f: WindowFrame): Boolean = f match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond,
+        Window(Seq(alias @ Alias(
+          WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order, frame)), _)), _, _, child0, _))
+        if keepsRankOne(cond, alias.exprId) &&
+          defaultRowFrame(frame) &&
+          order.nonEmpty &&
+          order.map(_.direction).distinct.size == 1 &&
+          order.forall(o => scalarOrderable(o.child.dataType)) =>
+
+      // Spark's InferWindowGroupLimit may already have inserted a
+      // WindowGroupLimit below the Window; it requires a per-partition sort
+      // the aggregate doesn't need — strip it and aggregate the raw child.
+      val child = child0 match {
+        case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+        case other => other
+      }
+      val value = CreateStruct(child.output)
+      val ordering = if (order.length == 1) order.head.child
+        else CreateStruct(order.map(_.child).toList)
+      val aggFn = order.head.direction match {
+        case Ascending  => MinBy(value, ordering)
+        case Descending => MaxBy(value, ordering)
+      }
+      val best = Alias(
+        AggregateExpression(aggFn, Complete, isDistinct = false), "__top1")()
+      val agg = Aggregate(part, Seq(best), child)
+      val bestRef = best.toAttribute
+      // restore the original output attributes (same names AND exprIds so
+      // parent plans keep resolving) + the rank column as literal 1
+      val restored = child.output.zipWithIndex.map { case (a, i) =>
+        Alias(GetStructField(bestRef, i, Some(a.name)), a.name)(exprId = a.exprId)
+      } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId)
+      Project(restored, agg)
+  }
+}
+
+/** SparkSessionExtensions injector:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => TopOnePerKeyRewrite)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopOnePerKeyRewrite
+
+class RewriteSpec extends SparkSpec {
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopOnePerKeyRewrite
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopOnePerKeyRewrite)
+  }
+
+  lazy val events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  private def windowTop1 = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  test("rn=1 window rewrites to a max_by aggregate with identical results") {
+    val baseline = windowTop1.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).sorted
+    withRule {
+      val df = windowTop1
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("max_by") && !optimized.contains("row_number"),
+        optimized.take(800))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Window"), physical.take(800))
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).sorted
+      assert(got.sameElements(baseline))
+      // the rank column survives with value 1
+      assert(df.select("rn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    }
+  }
+
+  test("ascending order uses min_by; rewrite keeps downstream projections working") {
+    withRule {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val first = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+      assert(first.queryExecution.optimizedPlan.toString.contains("min_by"))
+      val got = first.collect().map(_.getAs[Long]("user_id")).sorted
+      assert(got.length == events.select("user_id").distinct().count())
+    }
+  }
+
+  test("rule leaves non-matching windows untouched") {
+    withRule {
+      // rank() (not row_number), rn = 2, mixed sort directions → no rewrite
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").asc)
+      val mixed = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("row_number"))
+
+      val rnk = events.withColumn("r",
+          rank().over(Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+        .filter(col("r") === 1)
+      assert(rnk.queryExecution.optimizedPlan.toString.contains("rank"))
+
+      val second = events.withColumn("rn",
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+        .filter(col("rn") === 2)
+      assert(second.queryExecution.optimizedPlan.toString.contains("row_number"))
+    }
+  }
+}
