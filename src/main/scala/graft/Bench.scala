@@ -21,6 +21,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.register(spark)
+    GraftSession.installOptimizations(spark)
 
     // warmup: file metadata + scan paths + codegen/JIT for common shapes
     Seq("region", "nation", "customer", "supplier", "part", "orders",

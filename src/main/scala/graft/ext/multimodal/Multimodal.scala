@@ -48,6 +48,20 @@ object Multimodal {
     }
   }
 
+  /** Byte-budget repartitioning: media rows are size-skewed, so partition by
+    * total payload bytes, not row count — the binding constraint for decode
+    * memory (SCALE.md). One cheap aggregate estimates total bytes, then a
+    * round-robin repartition targets `targetBytesPerPartition`.
+    */
+  def repartitionByBytes(media: Dataset[MediaRow],
+      targetBytesPerPartition: Long = 128L << 20): Dataset[MediaRow] = {
+    val totalBytes = media.toDF()
+      .select(sum(length(col("payload")).cast("long")))
+      .collect().head.getLong(0)
+    val n = math.max(1, (totalBytes / targetBytesPerPartition).toInt + 1)
+    media.repartition(n)
+  }
+
   /** Batch feature extraction: one decoder instantiation per partition, rows
     * streamed through it. Partition sizing note: media payloads are large —
     * repartition by byte budget (`maxPartitionBytes` down, or

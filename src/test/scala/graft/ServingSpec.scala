@@ -132,4 +132,16 @@ class FrameSamplingSpec extends SparkSpec {
     assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
     assert(byId(2L).length == 1 && byId(2L).head.frame.toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("byte-budget repartition sizes partitions by payload bytes, not rows") {
+    import spark.implicits._
+    import graft.ext.multimodal.Multimodal
+    // 40 rows × 1 KiB payloads = 40 KiB; 10 KiB budget → ≥4 partitions
+    val media = (1L to 40L).map(i =>
+      Multimodal.MediaRow(i, "blob", Array.fill[Byte](1024)(i.toByte))).toDS()
+    val repartitioned = Multimodal.repartitionByBytes(media,
+      targetBytesPerPartition = 10 * 1024)
+    assert(repartitioned.rdd.getNumPartitions >= 4)
+    assert(repartitioned.count() == 40)
+  }
 }
