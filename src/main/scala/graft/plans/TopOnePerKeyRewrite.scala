@@ -19,9 +19,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - the Window has exactly ONE window expression, a `row_number()` over
   *     ROWS UNBOUNDED PRECEDING..CURRENT ROW (the default frame),
   *   - the filter is `rn = 1` / `1 = rn` / `rn <= 1` directly above it,
+  *   - PARTITION BY is non-empty (a global aggregate emits one all-null row
+  *     on empty input where the window form emits zero rows),
   *   - every sort key has the SAME direction (lexicographic struct
   *     comparison must agree with the multi-column sort order),
   *   - sort keys are orderable atomic types.
+  *
+  * Null ordering: `min_by`/`max_by` skip rows whose ordering value is null,
+  * while `row_number` ranks them per each key's NULLS FIRST/LAST. To
+  * preserve those semantics with nullable sort keys, each nullable key is
+  * encoded in the aggregate's ordering struct as a pair
+  * `(null-rank-flag, key)`: the flag is 0/1 chosen so that null keys compare
+  * exactly where the window's `nullOrdering` puts them under the aggregate's
+  * min/max selection. The flag itself is never null, so the ordering struct
+  * is never null (never skipped), and the raw key field is only compared
+  * when both sides agree on nullness.
   * Tie semantics: with duplicate (K, O) rows, `row_number` picks a
   * sort-implementation-defined winner and min_by/max_by an
   * aggregation-order-defined winner — both are nondeterministic choices
@@ -76,6 +88,7 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
             WindowSpecDefinition(part, order, frame)), _)), _, _, child0, _))
         if keepsRankOne(cond, alias.exprId) &&
           defaultRowFrame(frame) &&
+          part.nonEmpty &&
           order.nonEmpty &&
           order.map(_.direction).distinct.size == 1 &&
           order.forall(o => scalarOrderable(o.child.dataType)) =>
@@ -88,9 +101,28 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
         case other => other
       }
       val value = CreateStruct(child.output)
-      val ordering = if (order.length == 1) order.head.child
-        else CreateStruct(order.map(_.child).toList)
-      val aggFn = order.head.direction match {
+      val direction = order.head.direction
+      // Encode each nullable key as (flag, key) so null keys rank exactly
+      // where the window's nullOrdering puts them (see Scaladoc). For
+      // min_by (ASC, picks smallest) nulls-first means null flag must be the
+      // smaller; for max_by (DESC, picks largest) nulls-first means the
+      // null flag must be the larger.
+      val encodedKeys: Seq[Expression] = order.flatMap { o =>
+        if (!o.child.nullable) Seq(o.child)
+        else {
+          val nullFlag = (direction, o.nullOrdering) match {
+            case (Ascending, NullsFirst)  => 0
+            case (Ascending, NullsLast)   => 1
+            case (Descending, NullsFirst) => 1
+            case (Descending, NullsLast)  => 0
+          }
+          Seq(If(IsNull(o.child), Literal(nullFlag), Literal(1 - nullFlag)),
+            o.child)
+        }
+      }
+      val ordering = if (encodedKeys.length == 1) encodedKeys.head
+        else CreateStruct(encodedKeys.toList)
+      val aggFn = direction match {
         case Ascending  => MinBy(value, ordering)
         case Descending => MaxBy(value, ordering)
       }

@@ -56,6 +56,53 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  test("nullable sort keys rewrite with NULLS FIRST/LAST semantics preserved") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(3), 1), ("a", None, 2), ("a", Some(1), 3),
+      ("b", Some(5), 4), ("b", Some(2), 5),
+      ("c", None, 6), ("c", None, 7) // group whose ordering values are all null
+    ).toDF("k", "v", "id")
+
+    def top1(orders: org.apache.spark.sql.Column*) = {
+      val w = Window.partitionBy(col("k")).orderBy(orders: _*)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+
+    val cases = Seq(
+      ("asc nulls first (default)", Seq(col("v").asc, col("id").asc)),
+      ("asc nulls last", Seq(col("v").asc_nulls_last, col("id").asc)),
+      ("desc nulls last (default)", Seq(col("v").desc, col("id").desc)),
+      ("desc nulls first", Seq(col("v").desc_nulls_first, col("id").desc)))
+
+    for ((label, orders) <- cases) {
+      val baseline = top1(orders: _*).collect()
+        .map(r => (r.getString(0), r.getInt(2))).sorted
+      withRule {
+        val rewritten = top1(orders: _*)
+        val plan = rewritten.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("row_number"), s"$label not rewritten: ${plan.take(400)}")
+        val got = rewritten.collect().map(r => (r.getString(0), r.getInt(2))).sorted
+        assert(got.sameElements(baseline),
+          s"$label: got ${got.toSeq} expected ${baseline.toSeq}")
+      }
+    }
+  }
+
+  test("global (empty PARTITION BY) top-1 keeps the window plan") {
+    withRule {
+      val w = Window.orderBy(col("ts").desc)
+      val global = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      assert(global.queryExecution.optimizedPlan.toString.contains("row_number"))
+      // on empty input the window form emits 0 rows — a global aggregate
+      // would emit one all-null row, which is why the rule must not fire
+      val empty = events.filter(col("user_id") < 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(empty.count() == 0L)
+    }
+  }
+
   test("rule leaves non-matching windows untouched") {
     withRule {
       // rank() (not row_number), rn = 2, mixed sort directions → no rewrite
