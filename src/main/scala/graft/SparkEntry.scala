@@ -36,6 +36,7 @@ object SparkEntry {
     "q13_rollup"         -> Analytics.q13Rollup _,
     "q14_pivot"          -> Analytics.q14Pivot _,
     "q15_percentiles"    -> Analytics.q15Percentiles _,
+    "q15_percentiles_approx" -> Analytics.q15ApproxPercentiles _,
     "q16_session_window" -> Analytics.q16SessionWindow _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
@@ -56,7 +57,8 @@ object SparkEntry {
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
-    "x_dedup_simhash"    -> ((s, d) => TextDedup.simhashPairs(s, d)),
+    "x_dedup_simhash"    -> ((s, d) =>
+      TextDedup.simhashPairs(s, d, portableHash = true)),
     "x_text_tokens"      -> TextAnalysis.tokenCounts _,
     "x_text_quality"     -> TextAnalysis.qualityScores _,
     "x_text_langid"      -> TextAnalysis.languageId _,
@@ -168,6 +170,19 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // the oracle states the rank-error contract as TRUE literals; Spark
+    // computes the real bound checks (see Analytics.q15ApproxPercentiles)
+    "q15_percentiles_approx" ->
+      """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    // exact distinct hash-compared; estimator accuracy stated as a 5%
+    // contract the oracle asserts as TRUE (see Analytics.q20SketchDistinct)
+    "q20_sketch_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_distinct,
+        |  TRUE AS hll_within_5pct,
+        |  TRUE AS hllpp_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" ->
@@ -206,7 +221,6 @@ object SparkEntry {
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |EXCEPT SELECT n_nationkey AS nationkey FROM nation
         |        WHERE n_regionkey = 0""".stripMargin,
-    // q20_sketch_distinct: rows-only (HLL estimates are engine-specific)
     "q18_string_funcs" ->
       """SELECT event_type, upper(event_type) AS upper_t,
         |  substr(event_type, 1, 3) AS prefix3,
@@ -286,6 +300,27 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
     "x_dedup_ngram" -> ngramJaccardOracle,
+    // full simhash reproduction: md5_number_lower == the portable token hash
+    // bit-for-bit; the oracle joins exhaustively, which equals the banded
+    // join exactly (pigeonhole: 4 bands, <=3 differing bits)
+    "x_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |    THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
     // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
     // so the result equals the exhaustive n-gram join.

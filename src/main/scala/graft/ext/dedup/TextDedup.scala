@@ -123,12 +123,21 @@ object TextDedup {
     * One codegen'd pass via the custom [[graft.functions.SimHash64]]
     * expression.
     */
-  def simhash(text: Column): Column =
-    graft.functions.SimHash64.simhash64(tokens(text))
+  def simhash(text: Column, portable: Boolean = false): Column =
+    graft.functions.SimHash64.simhash64(tokens(text), portable)
 
+  /** `portableHash = true` swaps the per-token xxhash64 for the low 64 bits
+    * of MD5 (bit-identical to DuckDB `md5_number_lower`) so the whole
+    * operator is oracle-checkable; the algorithm and plan shape are
+    * unchanged. Band join recall is exact, not approximate: 4 disjoint
+    * 16-bit bands and ≤3 differing bits means at least one band matches
+    * (pigeonhole), so banding finds exactly the pairs the exhaustive
+    * O(n²) join would.
+    */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), simhash(col("text"), portableHash).as("sh"))
     val banded = d.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(bnd =>
         shiftrightunsigned(col("sh"), bnd * 16).bitwiseAND(lit(0xffffL))): _*))

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * These exercise the relational core of the engine — scan, filter, project,
   * hash aggregate, broadcast + shuffle joins, sort/limit, window — and are the
   * BENCH workload. Scale notes (100 TB / 1000-executor mindset):
-  *   - Dimension tables (`region`, `nation`, `supplier`, `customer` at small SF)
-  *     are broadcast explicitly so the fact-table side never shuffles for them.
+  *   - Only bounded dimension tables (`region`, `nation`) are broadcast
+  *     explicitly; tables that grow with the data (`orders`, `customer`,
+  *     `lineitem`) always go through shuffle joins, with AQE free to convert
+  *     to broadcast at runtime when a side happens to be small.
   *   - Aggregations are partial (map-side combine) by construction — all are
   *     `groupBy.agg` over codegen'd built-ins, no UDFs.
   *   - Filters are applied directly on scan columns so Catalyst pushes them
@@ -42,8 +44,12 @@ object Analytics {
   }
 
   /** Revenue by nation (TPC-H Q5 shape): one big fact table joined through a
-    * chain of dimensions. Dims are broadcast — zero shuffles for the joins;
-    * the only shuffle is the final small groupBy.
+    * chain of dimensions. Only the true dimensions (`nation`, `region` —
+    * bounded at 25/5 rows at any SF) are broadcast. `orders` and `customer`
+    * grow with the fact data, so those joins are left as shuffle joins:
+    * at 100 TB a broadcast hint on them would OOM the driver/executors,
+    * while AQE is still free to convert them to broadcast at small SF where
+    * they fit under the threshold.
     */
   def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = t(spark, dir, "lineitem")
@@ -53,9 +59,9 @@ object Analytics {
     val region   = t(spark, dir, "region")
 
     lineitem
-      .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+      .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -165,14 +171,19 @@ object Analytics {
       .select(col("nationkey"), col("n_name"))
   }
 
-  /** Scalar subquery: parts priced above the global average retail price. */
+  /** Scalar subquery: parts priced above the global average retail price.
+    * Written as a genuine SQL scalar subquery so Catalyst plans it as one
+    * lazy query (ScalarSubquery → ReusedSubquery), not two eagerly-sequenced
+    * driver-side jobs — no `.first()` materialization in the query body.
+    */
   def q11ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val part = t(spark, dir, "part")
-    val avgPrice = part.agg(avg(col("p_retailprice"))).first().getDouble(0)
-    part.filter(col("p_retailprice") > avgPrice)
-      .groupBy(col("p_type"))
-      .agg(count(lit(1)).as("n_premium"),
-        round(min(col("p_retailprice")), 2).as("min_price"))
+    t(spark, dir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_type, count(*) AS n_premium,
+        |  round(min(p_retailprice), 2) AS min_price
+        |FROM part_v
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)
+        |GROUP BY p_type""".stripMargin)
   }
 
   /** Tumbling-window aggregation over event time (15-minute buckets) — the
@@ -228,6 +239,30 @@ object Analytics {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** The approx-percentile scale path for [[q15Percentiles]]: exact
+    * `percentile` funnels every value of a group through one reducer's
+    * memory (a hot-key sort at 100 TB); `approx_percentile` is a mergeable
+    * partial-aggregating sketch (Greenwald-Khanna) whose accuracy parameter
+    * bounds the RANK error at n/accuracy — at accuracy 10000 the returned
+    * value sits within ±n/10000 ranks of the true percentile. The gate
+    * verifies exactly that bound: each approx value must lie between the
+    * exact percentiles at q∓0.01 (a 100× looser rank window than the
+    * guarantee), emitted as booleans the DuckDB oracle states as TRUE.
+    */
+  def q15ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, array(0.49, 0.51, 0.89, 0.91, 0.98, 0.995))")
+          .as("bounds"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+          .as("apx"))
+      .select(
+        col("event_type"),
+        col("apx")(0).between(col("bounds")(0), col("bounds")(1)).as("p50_ok"),
+        col("apx")(1).between(col("bounds")(2), col("bounds")(3)).as("p90_ok"),
+        col("apx")(2).between(col("bounds")(4), col("bounds")(5)).as("p99_ok"))
+
   /** Sessionization: `session_window` groups a user's events into sessions
     * separated by ≥ 30-minute gaps — the canonical telemetry/clickstream
     * operator. Works identically on streams (with watermark-based session
@@ -275,8 +310,10 @@ object Analytics {
   /** Sketch-based distinct counting: Apache DataSketches HLL through
     * `hll_sketch_agg` — the mergeable-sketch shape 100 TB distinct-count
     * pipelines need (partial sketches merge associatively across partitions
-    * and days). Exact distinct alongside for the error to be visible.
-    * Rows-only driver check (estimates are engine-specific by design).
+    * and days). The raw estimates are engine-specific, so the gated output
+    * is the exact distinct count plus a boolean per estimator asserting
+    * |estimate − exact| / exact ≤ 0.05 — the DuckDB oracle states the
+    * booleans as TRUE, making the 5% accuracy contract hash-checkable.
     */
   def q20SketchDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -286,6 +323,13 @@ object Analytics {
         expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
           .as("hll_estimate"),
         approx_count_distinct(col("l_partkey")).as("hllpp_estimate"))
+      .select(
+        col("l_returnflag"),
+        col("exact_distinct"),
+        (abs(col("hll_estimate") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("hll_within_5pct"),
+        (abs(col("hllpp_estimate") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("hllpp_within_5pct"))
 
   /** UNION ALL + EXCEPT set-op chain: every nationkey referenced by a
     * customer or supplier, minus region-0 nations.

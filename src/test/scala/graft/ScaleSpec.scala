@@ -47,6 +47,57 @@ class ScaleSpec extends SparkSpec {
       scan.take(600))
   }
 
+  test("q5 never broadcasts a fact table (only nation/region dims)") {
+    // turn off auto-broadcast so the ONLY BroadcastExchanges left are the
+    // explicit hints — then assert those never cover a fact-table scan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Analytics.q5RevenueByNation(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      val broadcastScans = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.collectLeaves().map(_.toString).mkString("\n")
+      }
+      assert(broadcastScans.nonEmpty, "expected dim broadcasts in q5")
+      val facts = Seq("lineitem", "orders", "customer")
+      broadcastScans.foreach { scan =>
+        facts.foreach(f => assert(!scan.contains(f),
+          s"fact table $f under BroadcastExchange:\n$scan"))
+      }
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("q11 plans as one lazy scalar subquery, not a driver-side first()") {
+    val df = graft.queries.Analytics.q11ScalarSubquery(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("scalar-subquery"), plan.take(800))
+    assert(df.count() > 0)
+  }
+
+  test("approx percentile partial-aggregates (no whole-group sort funnel)") {
+    val df = graft.queries.Analytics.q15ApproxPercentiles(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch agg must run map-side partial + final merge
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(plan.contains("partial_approx_percentile") ||
+      plan.contains("partial_percentile_approx"), plan.take(1200))
+    // and the bound checks all hold
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"approx percentile outside rank bound: $r")
+    }
+  }
+
   test("salted aggregate equals the direct aggregate") {
     val direct = li.groupBy("l_returnflag")
       .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"),
