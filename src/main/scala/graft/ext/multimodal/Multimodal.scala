@@ -55,8 +55,9 @@ object Multimodal {
     */
   def repartitionByBytes(media: Dataset[MediaRow],
       targetBytesPerPartition: Long = 128L << 20): Dataset[MediaRow] = {
+    // coalesce: sum over an empty Dataset is null, not 0
     val totalBytes = media.toDF()
-      .select(sum(length(col("payload")).cast("long")))
+      .select(coalesce(sum(length(col("payload")).cast("long")), lit(0L)))
       .collect().head.getLong(0)
     val n = math.max(1, (totalBytes / targetBytesPerPartition).toInt + 1)
     media.repartition(n)

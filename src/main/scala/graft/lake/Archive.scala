@@ -61,7 +61,13 @@ object Archive {
     * one-file-per-micro-batch. The operational answer to streaming
     * small-files buildup (ref's compactor rewrites segments the same way,
     * BitCask.java:182-254; see SCALE.md). Rewrites into a temp dir then
-    * swaps, so readers never see a half-compacted lake.
+    * swaps via rename-aside: the live dir is moved to `.old`, the rewrite
+    * renamed into place, then `.old` deleted — the lake path always points
+    * at a complete dataset, and a crash mid-swap strands data under `.old`
+    * (recoverable) rather than losing the lake. Concurrent APPENDS during
+    * compaction are unsupported (rows written after the initial read would
+    * be dropped by the swap) — pause writers or take an external lock; the
+    * streaming pipeline runs compaction between micro-batch generations.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + ".compacting"
@@ -78,8 +84,15 @@ object Archive {
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dst, true)
-    fs.rename(src, dst)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(src, dst)) {
+      fs.rename(old, dst) // roll back so the lake stays readable
+      throw new java.io.IOException(s"compact: cannot move $src into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Streaming read (S5) — fixed schema (inference off, like the reference,

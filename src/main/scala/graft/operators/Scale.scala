@@ -48,8 +48,7 @@ object Scale {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], nSalts: Int,
       aggs: Seq[TwoPhase]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(rand(42L) * lit(nSalts)), lit(nSalts.toLong)))
+    val salted = df.withColumn("__salt", deterministicSalt(df, nSalts))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggs.head.partial.as(aggs.head.name),
@@ -68,9 +67,18 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       nSalts: Int = 8): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(rand(42L) * lit(nSalts)), lit(nSalts.toLong)).cast("int"))
+      deterministicSalt(big, nSalts).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salt derived by hashing the whole row, NOT `rand()`: a nondeterministic
+    * expression feeding a shuffle key means a stage retry after a partial
+    * shuffle-fetch failure can re-salt rows differently and double-count or
+    * lose them. Hashing row content is retry-stable and spreads a hot key's
+    * rows as long as they differ in any column.
+    */
+  private def deterministicSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(nSalts.toLong))
 }

@@ -192,9 +192,7 @@ object Analytics {
     * comparison.
     */
   def q12TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    events(spark, dir)
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
@@ -209,11 +207,11 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // nanosAsLong is session config (GraftSession/Verify/Bench set it once);
+  // query functions stay free of session-state mutation
+  private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   /** Pivot: daily event counts with one column per event type. The value
     * list is explicit, so the pivot is a single-pass conditional aggregate

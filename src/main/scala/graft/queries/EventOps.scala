@@ -17,13 +17,13 @@ object EventOps {
 
   /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and truncate to micros (same truncation
-    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP). The nanosAsLong flag
+    * is session config (GraftSession/Verify/Bench set it once) — query
+    * functions don't mutate session state.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   /** T1 — JSON parse with PERMISSIVE-drop semantics
     * (ref: Rain-Detector/Main.java:36-44, CentralStation.java:63).

@@ -143,6 +143,17 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter(col("checksum") =!= col("ph")).count() == 0)
   }
 
+  test("byte-budget repartition handles empty input (null sum) and sizes up") {
+    import spark.implicits._
+    val empty = Seq.empty[Multimodal.MediaRow].toDS()
+    assert(Multimodal.repartitionByBytes(empty).count() == 0L)
+    val big = Seq.tabulate(8)(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Array.fill(1024)(i.toByte))).toDS()
+    // 1 KiB budget → 8 KiB of payload needs > 1 partition
+    assert(Multimodal.repartitionByBytes(big, targetBytesPerPartition = 1024)
+      .rdd.getNumPartitions > 1)
+  }
+
   test("corrupt (empty) payloads are flagged, not thrown") {
     import spark.implicits._
     val media = Seq(

@@ -29,6 +29,16 @@ class CompactionSpec extends SparkSpec {
     val plan = spark.read.parquet(dir).filter(col("station_id") === 1)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
+    // swap is rename-aside: no temp/old leftovers once compact returns
+    val parent = new java.io.File(dir).getParentFile
+    assert(!new java.io.File(parent, "lake.compacting").exists())
+    assert(!new java.io.File(parent, "lake.old").exists())
+    // a stale .old from a prior crashed swap is cleared by the next compact
+    val stale = new java.io.File(parent, "lake.old")
+    stale.mkdirs()
+    Archive.compact(spark, dir)
+    assert(!stale.exists())
+    assert(spark.read.parquet(dir).count() == rowsBefore)
   }
 
   test("streaming read of the lake feeds the index sink (SURVEY 3.2 path)") {

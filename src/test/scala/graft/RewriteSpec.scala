@@ -14,11 +14,9 @@ class RewriteSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == TopOnePerKeyRewrite)
   }
 
-  lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  lazy val events =
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   private def windowTop1 = {
     val w = Window.partitionBy(col("user_id"))
