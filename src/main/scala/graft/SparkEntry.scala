@@ -53,6 +53,10 @@ object SparkEntry {
     "p_partition_counts" -> EventOps.partitionCounts _,
     "p_session_gaps"     -> EventOps.sessionGaps _,
     "p_enum_validate"    -> EventOps.enumValidate _,
+    "p_doc_json"         -> EventOps.docJson _,
+    "p_full_scan"        -> EventOps.fullScan _,
+    "p_csv_roundtrip"    -> EventOps.csvRoundTrip _,
+    "p_latest_stream"    -> EventOps.latestPerKeyStream _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -247,17 +251,27 @@ object SparkEntry {
         |  CAST(round(value, 0) AS INTEGER) AS reading
         |FROM events
         |WHERE lower(event_type) IN ('click','view','purchase','signup','error')""".stripMargin,
-    "p_latest_per_key" ->
-      """SELECT station_id,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-        |  s_no, event_type, round(value, 2) AS value
+    "p_latest_per_key" -> latestPerKeyOracle,
+    // the streaming (file-source + mapGroupsWithState + memory sink) path
+    // must produce the identical latest table
+    "p_latest_stream" -> latestPerKeyOracle,
+    // CSV round trip must be value-preserving, so the same oracle applies
+    "p_csv_roundtrip" -> latestPerKeyOracle,
+    "p_full_scan" ->
+      """SELECT station_id, s_no, event_type, round(value, 2) AS value
         |FROM (
-        |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_id AS s_no, event_type, value,
+        |  SELECT user_id AS station_id, event_id AS s_no, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "p_doc_json" ->
+      """SELECT concat(user_id, '_', event_id) AS doc_id,
+        |  to_json(struct_pack(station_id := user_id, s_no := event_id,
+        |    event_type := event_type,
+        |    meta := struct_pack(day := strftime(ts, '%Y-%m-%d'),
+        |      reading := CAST(round(value, 0) AS INTEGER))))::VARCHAR AS doc
+        |FROM events""".stripMargin,
     "p_point_lookup" ->
       """SELECT station_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
@@ -404,6 +418,18 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin
   )
+
+  private val latestPerKeyOracle =
+    """SELECT station_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |  s_no, event_type, round(value, 2) AS value
+      |FROM (
+      |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_id AS s_no, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
 
   /** The rolling-fold fingerprint as DuckDB SQL — the same
     * `(acc*31 + byte) mod 1e9+7` fold as [[graft.functions.PolyHash]]

@@ -36,6 +36,24 @@ object LatestState {
         col("r.status_timestamp").as("status_timestamp"),
         col("r.weather").as("weather"))
 
+  /** Generic streaming latest-per-key: keep the max-by-`order` row per `key`
+    * via mapGroupsWithState — O(keys) bounded state, Update-mode emission,
+    * NoTimeout (the latest table lives forever, like the reference's keyDir).
+    */
+  def latestStreamBy[T, K](ds: Dataset[T])(key: T => K)(
+      order: T => (Long, Long))(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      kenc: org.apache.spark.sql.Encoder[K]): Dataset[T] =
+    ds.groupByKey(key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          import scala.math.Ordering.Implicits._
+          val incoming = rows.reduceOption((a, b) => if (order(b) > order(a)) b else a)
+          val best = (state.getOption.toSeq ++ incoming.toSeq).maxBy(order)
+          state.update(best)
+          best
+      }
+
   /** Streaming: groupByKey(station).mapGroupsWithState keeping the event-time
     * max. Output mode must be Update; pair with a memory/foreachBatch sink to
     * serve point lookups (A3/A4).
@@ -43,19 +61,8 @@ object LatestState {
   def latestStream(archive: DataFrame): Dataset[WeatherStatus] = {
     implicit val enc = Encoders.product[WeatherStatus]
     implicit val longEnc = Encoders.scalaLong
-    val typed = archive.as[WeatherStatus]
-    typed
-      .groupByKey(_.station_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[WeatherStatus], state: GroupState[WeatherStatus]) =>
-          import scala.math.Ordering.Implicits._
-          def key(s: WeatherStatus): (Long, Long) =
-            (s.status_timestamp.getTime, s.s_no)
-          val incoming = rows.reduceOption((a, b) => if (key(b) > key(a)) b else a)
-          val best = (state.getOption.toSeq ++ incoming.toSeq).maxBy(key)
-          state.update(best)
-          best
-      }
+    latestStreamBy(archive.as[WeatherStatus])(_.station_id)(s =>
+      (s.status_timestamp.getTime, s.s_no))
   }
 
   /** A3 — point lookup against a latest table. */

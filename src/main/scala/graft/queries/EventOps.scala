@@ -149,4 +149,96 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("valid",
         col("event_type").isin("click", "view", "purchase", "signup", "error"))
+
+  /** T8/T9 — struct flatten → JSON document with a deterministic doc id
+    * (the index-document shape, ref: ParquetToElasticsearch.java:193;
+    * same `to_json(struct(...))` path as [[graft.core.Normalize.toIndexDocs]]).
+    * Field set limited to types whose JSON rendering is byte-identical
+    * across engines (integers, strings) so the doc string itself is hashed.
+    */
+  def docJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(col("user_id"), lit("_"), col("event_id")).as("doc_id"),
+      to_json(struct(
+        col("user_id").as("station_id"),
+        col("event_id").as("s_no"),
+        col("event_type"),
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value"), 0).cast(IntegerType).as("reading")).as("meta")))
+        .as("doc"))
+
+  /** A4/K6 — full scan of the latest-value table served through the query
+    * API (temp-view + SQL front-end), the reference's GET /stations
+    * (ref: CentralStationServer.java:38-41).
+    */
+  def fullScan(spark: SparkSession, dir: String): DataFrame = {
+    val api = new graft.serve.QueryApi(spark, latestPerKey(spark, dir))
+    api.sql("SELECT station_id, s_no, event_type, value FROM latest")
+  }
+
+  /** K7 — CSV export + read-back round trip (ref: bitcask_client.py:11-29
+    * CSV dump). Values must survive the text round trip exactly: longs and
+    * strings trivially, doubles via shortest-decimal rendering (lossless
+    * for round-tripped IEEE doubles).
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    latestPerKey(spark, dir)
+      .coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(out)
+    spark.read
+      .option("header", "true")
+      .schema("station_id BIGINT, ts STRING, s_no BIGINT, event_type STRING, value DOUBLE")
+      .csv(out)
+  }
+
+  /** Row shape for the typed streaming-latest gate. */
+  case class EventRecord(station_id: Long, s_no: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** A1-streaming gate — the SAME latest-per-key result as [[latestPerKey]],
+    * produced through the streaming path: file-source micro-batch read
+    * (S5), mapGroupsWithState latest state (A1), memory sink (A3/A4 serve),
+    * drained with Trigger.AvailableNow. Deterministic because the input is
+    * one parquet file → one micro-batch → exactly one Update row per key;
+    * the driver hash-compares it against the batch oracle.
+    */
+  def latestPerKeyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val enc = org.apache.spark.sql.Encoders.product[EventRecord]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file streaming source requires a DIRECTORY; stage the single
+    // events file into a temp dir unchanged
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val rec = spark.readStream.schema(schema).parquet(stage.toString)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_type"), col("value")).as[EventRecord]
+    val latest = graft.core.LatestState.latestStreamBy(rec)(_.station_id) { r =>
+      val i = r.ts.toInstant
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.s_no)
+    }
+    val sink = "latest_stream_gate"
+    spark.catalog.dropTempView(sink)
+    val q = latest.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(col("station_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+      col("s_no"), col("event_type"),
+      round(col("value"), 2).as("value"))
+  }
 }
