@@ -21,27 +21,58 @@ import graft.lake.Archive
   */
 object WeatherPipeline {
 
+  /** Kafka record decode — the transport-free half of the source (S4):
+    * Kafka frames carry binary `key`/`value`; the wire protocol is UTF-8
+    * JSON, so the decode is a cast projection. Factored out so the exact
+    * projection a real Kafka frame goes through is executable in tests over
+    * any binary-(key,value) frame (e.g. a MemoryStream) — only the literal
+    * `format("kafka").load()` needs a broker.
+    */
+  def decodeWire(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.selectExpr(
+      "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
   /** Kafka wire source (S4) — (key, value) strings on `weather-data`
-    * (ref: CentralStation.java:58-59). Untested here (no broker in this
-    * environment); the parse/normalize stages are source-agnostic and tested
-    * via the generated + file sources.
+    * (ref: CentralStation.java:58-59). The broker handshake itself is
+    * untestable here (no broker/connector jars in this environment); the
+    * decode + parse/normalize stages are covered via [[decodeWire]] over
+    * binary memory streams and the generated + file sources.
     */
   def kafkaSource(spark: SparkSession, servers: String,
       topic: String = "weather-data"): DataFrame =
-    spark.readStream.format("kafka")
+    decodeWire(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
-      .load()
-      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .load())
+
+  /** The Kafka sink contract: a `value` column of string/binary, optional
+    * same-typed `key`. Validated eagerly so a mis-shaped frame fails at
+    * wiring time with a clear message, not inside the sink after a broker
+    * round-trip.
+    */
+  def requireKafkaSinkShape(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val value = fields.getOrElse("value",
+      throw new IllegalArgumentException(
+        s"kafka sink frame needs a 'value' column; got ${df.schema.simpleString}"))
+    def ok(t: org.apache.spark.sql.types.DataType) =
+      t == StringType || t == BinaryType
+    require(ok(value), s"kafka 'value' must be string/binary, got $value")
+    fields.get("key").foreach(t =>
+      require(ok(t), s"kafka 'key' must be string/binary, got $t"))
+  }
 
   /** Kafka alert sink (K3) — the raining-alerts topic. */
   def kafkaAlertSink(alerts: DataFrame, servers: String, checkpoint: String,
-      topic: String = "raining-alerts"): StreamingQuery =
+      topic: String = "raining-alerts"): StreamingQuery = {
+    requireKafkaSinkShape(alerts)
     alerts.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Wire JSON stream → canonical archive columns. */
   def normalize(wireJson: DataFrame): DataFrame =

@@ -118,3 +118,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 }
+
+/** Exercises the Kafka topology with everything a broker-less environment
+  * allows: the exact binary-(key,value) frame shape a real Kafka source
+  * produces, streamed through decodeWire → parse → normalize, and the sink
+  * contract validation. Only `format("kafka").load()`/`.start()` themselves
+  * remain unexecuted (no broker or connector jars exist here).
+  */
+class KafkaPathSpec extends SparkSpec {
+
+  test("binary kafka-shaped stream: decodeWire → normalize → alert records") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val wire = StationSource.messagesAsJson(spark, nStations = 3, perStation = 20)
+      .collect()
+      .map(r => (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8")))
+
+    val input = MemoryStream[(Array[Byte], Array[Byte])]
+    // a real Kafka frame carries binary key/value + topic/partition/offset
+    val kafkaShaped = input.toDF().toDF("key", "value")
+      .withColumn("topic", lit("weather-data"))
+      .withColumn("partition", lit(0))
+      .withColumn("offset", lit(0L))
+    val archive = WeatherPipeline.normalize(WeatherPipeline.decodeWire(kafkaShaped))
+    val q = archive.writeStream.format("memory").queryName("kafka_path")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(wire.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("kafka_path")
+      val expect = WeatherPipeline.normalize(
+        StationSource.messagesAsJson(spark, nStations = 3, perStation = 20)
+          .select("value"))
+      assert(got.count() > 0 && got.count() == expect.count())
+      // and the alert projection over it satisfies the kafka sink contract
+      WeatherPipeline.requireKafkaSinkShape(
+        graft.core.Alerts.alerts(got, keyCol = "station_id"))
+    } finally q.stop()
+  }
+
+  test("kafka sink shape validation rejects value-less or mis-typed frames") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      WeatherPipeline.requireKafkaSinkShape(Seq((1, "a")).toDF("id", "name"))
+    }
+    intercept[IllegalArgumentException] {
+      WeatherPipeline.requireKafkaSinkShape(Seq((1, 2.0)).toDF("key", "value"))
+    }
+    WeatherPipeline.requireKafkaSinkShape(
+      Seq(("k", "v")).toDF("key", "value")) // valid shape passes
+  }
+}
