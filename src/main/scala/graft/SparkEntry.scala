@@ -67,6 +67,10 @@ object SparkEntry {
     "x_text_quality"     -> TextAnalysis.qualityScores _,
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
+    "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
+    "x_sample_stratified" -> ((s, d) => graft.ext.corpus.Corpus.stratifiedSample(s, d)),
+    "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
+    "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
@@ -380,6 +384,52 @@ object SparkEntry {
          |  ${duckPolyHash("lower(regexp_replace(text, '\\s+', ' ', 'g'))")}
          |    AS normalized_fingerprint
          |FROM documents""".stripMargin,
+    "x_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' '))))
+        |    AS span
+        |  FROM toks WHERE len(t) >= 13)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs
+        |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin,
+    "x_sample_stratified" ->
+      s"""SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source,
+         |    ${duckPolyHash("concat(source, '|', CAST(doc_id AS VARCHAR))")}
+         |      % 1000 AS bucket
+         |  FROM documents) q
+         |WHERE bucket < 200""".stripMargin,
+    "x_shard_pack" ->
+      """SELECT source, CAST(floor(off / 2000.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (SELECT source, doc_id,
+        |          len(str_split(trim(text), ' ')) AS n_tokens
+        |        FROM documents) t) s
+        |GROUP BY source, shard_id""".stripMargin,
+    "x_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, round(score, 4) AS tfidf
+        |FROM (
+        |  SELECT doc_id, term, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored) q
+        |WHERE rn = 1""".stripMargin,
     "x_ann_topk" -> annTopkOracle,
     // LSH-bucketed candidates, exact-cosine verified; the oracle is the
     // exhaustive pair join — equal when every >=0.8 pair shares a bucket

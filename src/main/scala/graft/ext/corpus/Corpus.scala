@@ -1,0 +1,82 @@
+package graft.ext.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.text.TextAnalysis.tokens
+import graft.functions.PolyHash.poly_hash
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * sampling, token-budget sharding, and term weighting. All are narrow or
+  * single-shuffle plans; none touch the driver.
+  */
+object Corpus {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic stratified (per-source) downsampling: keep a document iff
+    * `polyhash(source|doc_id) mod 1000 < keepPerMille`. Hash-based sampling
+    * beats `rand()` sampling at scale: reproducible across runs and stage
+    * retries, stable under repartitioning, and per-key (no coordination —
+    * each executor decides locally). The polynomial fingerprint hash is
+    * engine-portable, so the exact sample is oracle-checkable.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      keepPerMille: Int = 200): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(poly_hash(concat_ws("|", col("source"),
+          col("doc_id").cast("string"))), lit(1000L)).as("bucket"))
+      .filter(col("bucket") < keepPerMille)
+
+  /** Token-budget shard packing: assign documents (per source, in doc_id
+    * order) to shards of ~`budgetTokens` by cumulative token offset —
+    * `shard_id = floor(exclusive_cumsum(tokens) / budget)`. This is the
+    * distributed approximation of greedy sequence packing: exact greedy
+    * (reset remainder per shard) is inherently sequential, while the offset
+    * rule is one window cumsum per source — each shard overshoots by at most
+    * one document. Output is per-shard accounting.
+    */
+  def packShards(spark: SparkSession, dir: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", floor(col("offset") / lit(budgetTokens.toDouble)))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+  }
+
+  /** Per-document top term by TF-IDF. Scoring contract is the ratio form
+    * `tf * N / df` (not `tf * ln(N/df)`): a pure IEEE product/quotient of
+    * exact integers is bit-identical across engines, where a libm `ln` can
+    * differ by an ulp and flip a ranking tie — the ratio form makes the
+    * argmax oracle-stable and is documented as this operator's definition.
+    * Ties broken by lexicographically smallest term. The doc count joins in
+    * via a broadcast of a 1-row aggregate — no driver materialization.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = docs(spark, dir).agg(count(lit(1)).as("n"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("term"), col("score")),
+        struct(negate(col("score")), col("term"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("top_term"),
+        round(col("top.score"), 4).as("tfidf"))
+  }
+}

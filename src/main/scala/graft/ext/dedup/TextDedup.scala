@@ -31,14 +31,26 @@ object TextDedup {
 
   /** Word n-gram shingle sets per doc: distinct n-token shingles
     * (size-n+1 of them for size ≥ n; docs shorter than n are dropped).
+    *
+    * The shingle expression is guarded by `when(size >= n, ...)` even though
+    * the filter already drops short docs: optimizer rules (e.g.
+    * InferFiltersFromGenerate) can copy the expression into the same Filter
+    * conjunction as the length predicate, and codegen's common-subexpression
+    * elimination then evaluates it BEFORE the short-circuiting `AND` — on a
+    * short doc the descending `sequence(0, size-n)` feeds `slice` a start of
+    * 0 and throws. Branch-only subexpressions are never hoisted, so the
+    * conditional keeps the expression total.
     */
-  def shingles(df: DataFrame, n: Int = 3): DataFrame =
-    df.filter(size(tokens(col("text"))) >= n)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(tokens(col("text"))) - n),
-          i => concat_ws(" ", slice(tokens(col("text")), i + 1, lit(n)))))
-          .as("shingles"))
+  def shingles(df: DataFrame, n: Int = 3): DataFrame = {
+    val tk = tokens(col("text"))
+    val sh = when(size(tk) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+      .otherwise(lit(Array.empty[String]))
+    df.filter(size(tk) >= n)
+      .select(col("doc_id"), sh.as("shingles"))
+  }
 
   /** Exact Jaccard over a candidate pair set (d1, d2, shared, n1, n2). */
   private def jaccard: Column =
@@ -115,6 +127,25 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
+
+  /** Exact duplicated-span detection: n-token shingles occurring in ≥ 2
+    * distinct documents — the "exact substring duplication" pass training
+    * corpora run before fuzzy dedup (boilerplate, license blocks, templated
+    * text). Top spans by document frequency. The shingle explode shuffles
+    * (span, doc) pairs once into a count aggregate with map-side partial
+    * combine; at 100 TB group on `xxhash64(span)` first and re-join the top
+    * hashes back to span text (the string group here keeps the gate
+    * oracle-comparable).
+    */
+  def duplicatedSpans(spark: SparkSession, dir: String,
+      n: Int = 13, minDocs: Int = 2, topK: Int = 20): DataFrame =
+    shingles(docs(spark, dir), n)
+      .select(col("doc_id"), explode(col("shingles")).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("span").asc)
+      .limit(topK)
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.corpus.Corpus
+import graft.ext.dedup.TextDedup
+
+class CorpusSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("stratified sample is deterministic and near the target rate") {
+    val a = Corpus.stratifiedSample(spark, dir)
+    val b = Corpus.stratifiedSample(spark, dir)
+    assert(a.collect().map(_.getLong(0)).sorted
+      .sameElements(b.collect().map(_.getLong(0)).sorted))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count().toDouble
+    val rate = a.count() / total
+    assert(rate > 0.08 && rate < 0.35, s"rate $rate far from 0.20")
+    // sampled sources are a subset of the corpus sources (the strata key
+    // is (source, doc_id); coverage of every source is a large-N property,
+    // not guaranteed on a 50-doc fixture)
+    val srcAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val srcSampled = a.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(srcSampled.subsetOf(srcAll) && srcSampled.nonEmpty)
+  }
+
+  test("shard packing: shards fill to budget, overshoot bounded by one doc") {
+    val budget = 500L
+    val shards = Corpus.packShards(spark, dir, budget).collect()
+    assert(shards.nonEmpty)
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(trim(col("text")), " ")).as("n"))
+    val maxDoc = docsDf.agg(max("n")).collect().head.getInt(0)
+    shards.foreach { r =>
+      val tokens = r.getAs[Long]("shard_tokens")
+      // a shard never exceeds budget + one max-sized document
+      assert(tokens <= budget + maxDoc, s"overfull shard: $r")
+    }
+    // token conservation: shards partition the corpus exactly
+    val packed = shards.map(_.getAs[Long]("shard_tokens")).sum
+    val total = docsDf.agg(sum("n")).collect().head.getLong(0)
+    assert(packed == total)
+  }
+
+  test("tfidf top term prefers rare terms over common ones") {
+    import spark.implicits._
+    val tmp = tmpDir("tfidf")
+    Seq(
+      (1L, "common common common rare rare", "s"),
+      (2L, "common words here too", "s"),
+      (3L, "common words everywhere now", "s")
+    ).toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val top = Corpus.tfidfTopTerms(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: "rare" (tf 2, df 1 -> score 6) beats "common" (tf 3, df 3 -> 3)
+    assert(top(1L) == "rare")
+  }
+
+  test("duplicated spans surface shared boilerplate") {
+    import spark.implicits._
+    val tmp = tmpDir("spans")
+    val boiler = (1 to 13).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, s"$boiler alpha beta", "s"),
+      (2L, s"$boiler gamma delta", "s"),
+      (3L, "entirely different words with no shared run of thirteen tokens " +
+        "one two three four five six seven", "s")
+    ).toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val spans = TextDedup.duplicatedSpans(spark, tmp).collect()
+    assert(spans.exists(r => r.getString(0) == boiler &&
+      r.getAs[Long]("n_docs") == 2L))
+  }
+}
