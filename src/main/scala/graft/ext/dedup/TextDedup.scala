@@ -32,24 +32,19 @@ object TextDedup {
   /** Word n-gram shingle sets per doc: distinct n-token shingles
     * (size-n+1 of them for size ≥ n; docs shorter than n are dropped).
     *
-    * The shingle expression is guarded by `when(size >= n, ...)` even though
-    * the filter already drops short docs: optimizer rules (e.g.
-    * InferFiltersFromGenerate) can copy the expression into the same Filter
-    * conjunction as the length predicate, and codegen's common-subexpression
-    * elimination then evaluates it BEFORE the short-circuiting `AND` — on a
-    * short doc the descending `sequence(0, size-n)` feeds `slice` a start of
-    * 0 and throws. Branch-only subexpressions are never hoisted, so the
-    * conditional keeps the expression total.
+    * Built by the codegen'd [[graft.functions.ShingleArray]] expression —
+    * the equivalent `array_distinct(transform(sequence, slice, concat_ws))`
+    * chain runs interpreted (higher-order functions have no codegen) and
+    * optimizer rules copy generator expressions into inferred filters, so
+    * the HOF form was evaluated up to 3× per row outside whole-stage
+    * codegen. ShingleArray is total (short docs → empty array), making
+    * those inferred-filter copies safe as well as cheap.
     */
   def shingles(df: DataFrame, n: Int = 3): DataFrame = {
     val tk = tokens(col("text"))
-    val sh = when(size(tk) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
-      .otherwise(lit(Array.empty[String]))
     df.filter(size(tk) >= n)
-      .select(col("doc_id"), sh.as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.ShingleArray.shingle_array(tk, n).as("shingles"))
   }
 
   /** Exact Jaccard over a candidate pair set (d1, d2, shared, n1, n2). */
@@ -131,21 +126,37 @@ object TextDedup {
   /** Exact duplicated-span detection: n-token shingles occurring in ≥ 2
     * distinct documents — the "exact substring duplication" pass training
     * corpora run before fuzzy dedup (boilerplate, license blocks, templated
-    * text). Top spans by document frequency. The shingle explode shuffles
-    * (span, doc) pairs once into a count aggregate with map-side partial
-    * combine; at 100 TB group on `xxhash64(span)` first and re-join the top
-    * hashes back to span text (the string group here keeps the gate
-    * oracle-comparable).
+    * text). Top spans by document frequency.
+    *
+    * Plan shape for scale: the wide span strings never enter a shuffle.
+    * Shingles are `array_distinct` per doc, so every (doc, span) pair is
+    * unique and `count(*)` equals `count(DISTINCT doc_id)`; the count
+    * groups on `xxhash64(span)` (16-byte shuffle rows, map-side combine)
+    * and only the ≥ minDocs survivor hashes — sized by true duplication,
+    * not corpus size — join back onto a second narrow shingle pass to
+    * recover text. The join carries no broadcast hint on purpose: AQE sees
+    * the survivor set's actual size after the aggregate stage and converts
+    * to broadcast when it fits, while a boilerplate-heavy corpus whose
+    * survivor set is huge degrades to a shuffle join instead of a driver
+    * OOM. A 64-bit collision between two spans would merge their
+    * counts; at ~10^9 distinct spans the collision odds are ~10^-1.7 per
+    * corpus for SOME pair, but a merged pair still needs both members in
+    * the top-k to change the output — acceptable for a report query, same
+    * trade the ngram/minhash joins make.
     */
   def duplicatedSpans(spark: SparkSession, dir: String,
-      n: Int = 13, minDocs: Int = 2, topK: Int = 20): DataFrame =
-    shingles(docs(spark, dir), n)
+      n: Int = 13, minDocs: Int = 2, topK: Int = 20): DataFrame = {
+    def sp = shingles(docs(spark, dir), n)
       .select(col("doc_id"), explode(col("shingles")).as("span"))
-      .groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val hot = sp.groupBy(xxhash64(col("span")).as("h"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    sp.select(col("span"), xxhash64(col("span")).as("h"))
+      .join(hot, "h")
+      .select(col("span"), col("n_docs")).distinct()
       .orderBy(col("n_docs").desc, col("span").asc)
       .limit(topK)
+  }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small
