@@ -68,6 +68,10 @@ object SparkEntry {
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
     "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
+    "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClusters(s, d)),
+    "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
+    "x_text_redact"      -> TextAnalysis.redactionReport _,
+    "x_text_repetition"  -> TextAnalysis.repetitionSignals _,
     "x_sample_stratified" -> ((s, d) => graft.ext.corpus.Corpus.stratifiedSample(s, d)),
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
     "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
@@ -395,6 +399,93 @@ object SparkEntry {
         |SELECT span, count(DISTINCT doc_id) AS n_docs
         |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin,
+    // connected components as a transitive closure (tiny here: the edge
+    // list is the verified near-dup pair set); cluster_id = component min
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        |prs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+        |      any_value(a.n) AS n1, any_value(b.n) AS n2
+        |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM prs
+        |  UNION SELECT d2, d1 FROM prs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach
+        |  JOIN edges e ON e.src = reach.r),
+        |comp AS (
+        |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  c.doc_id = c.cluster_id AS is_canonical
+        |FROM comp c
+        |JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
+    // the oracle joins on raw span strings where Spark joins on xxhash64 —
+    // semantically identical barring a 64-bit collision
+    "x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS spans
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT unnest(spans) AS s FROM sh WHERE doc_id % 10 = 0),
+        |train AS (
+        |  SELECT doc_id, unnest(spans) AS s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, count(*) AS n_shared_spans
+        |FROM train JOIN bench USING (s)
+        |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
+    "x_text_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+        |         || '@mail.example.com ok' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call +44 555 '
+        |         || (1000 + doc_id % 9000) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)
+        |         || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(a,
+        |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?')) AS n_phones,
+        |  len(regexp_extract_all(a,
+        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin,
+    "x_text_repetition" ->
+      """SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct_tokens,
+        |  round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4)
+        |    AS token_dup_ratio,
+        |  CASE WHEN len(t) >= 2 THEN round(1.0 -
+        |    len(list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1), 4)
+        |    ELSE 0.0 END AS dup2_ratio,
+        |  CASE WHEN len(t) >= 3 THEN round(1.0 -
+        |    len(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) * 1.0
+        |      / (len(t) - 2), 4)
+        |    ELSE 0.0 END AS dup3_ratio
+        |FROM (SELECT doc_id, str_split(trim(text), ' ') AS t
+        |      FROM documents) q""".stripMargin,
     "x_sample_stratified" ->
       s"""SELECT doc_id, source, bucket FROM (
          |  SELECT doc_id, source,

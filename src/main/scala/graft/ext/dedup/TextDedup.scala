@@ -158,6 +158,103 @@ object TextDedup {
       .limit(topK)
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minShared` distinct n-token spans with any document of an eval set —
+    * the n-gram-overlap test used to scrub benchmark leakage from
+    * pretraining corpora. `bench`/`train` are any DataFrames with
+    * (doc_id, text).
+    *
+    * Scale shape: the eval side reduces to a distinct set of 8-byte span
+    * hashes whose size is bounded by the benchmark suite (MBs), not the
+    * corpus, so the join against the corpus-sized span stream is a
+    * natural AQE broadcast; counts are per-doc partial aggregates. Spans
+    * are already distinct per doc ([[shingles]]), so `count(*)` is the
+    * distinct shared-span count.
+    */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    def spanHashes(df: DataFrame) = shingles(df, n)
+      .select(col("doc_id"),
+        explode(transform(col("shingles"), s => xxhash64(s))).as("h"))
+    val benchSpans = spanHashes(bench).select(col("h")).distinct()
+    spanHashes(train).join(benchSpans, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
+  }
+
+  /** Gated contamination report: the eval set is the deterministic
+    * `doc_id % 10 == 0` slice of the corpus, the training set the rest.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    val d = docs(spark, dir)
+    contaminatedDocs(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0), n, minShared)
+  }
+
+  /** Connected components over an undirected pair list `(d1, d2)` by
+    * iterative min-label propagation: every vertex starts labelled with
+    * itself; each round every vertex takes the min label among itself and
+    * its neighbours; fixpoint = the component's minimum vertex id.
+    *
+    * Scale shape: each round is one shuffle join of the (small,
+    * ∝ true-duplication) edge list against the label table plus a map-side-
+    * combined min aggregate — no driver-side graph. `localCheckpoint()`
+    * truncates lineage so plans don't grow with iterations, and the
+    * convergence test collects a single count per round (the standard
+    * driver-side loop for iterative graph algorithms — GraphX/GraphFrames
+    * do the same). Rounds ∝ component diameter; near-dup components are
+    * LSH-verified cliques-plus-chains with tiny diameter, and `maxIters`
+    * bounds the pathological chain. For planet-scale graphs with deep
+    * chains, swap the update rule for large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — same join
+    * skeleton, O(log n) rounds, skew-resistant; the simple rule is the
+    * right default for dedup graphs.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    val edges = p.union(p.select(col("dst"), col("src"))).cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+        .union(labels)
+      val next = msgs.groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters with a canonical survivor — the production step
+    * after pair generation: group near-dup pairs into components, keep the
+    * minimum doc_id of each as canonical, drop the rest. Only clustered
+    * docs appear (isolated docs are trivially canonical); `cluster_id` is
+    * the component's min doc_id, so `is_canonical = (doc_id == cluster_id)`.
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    val labels = connectedComponents(
+      minhashLshPairs(spark, dir, threshold, numHashes, bands, n))
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small
     * hamming distance. Pairs are found by joining on rotated 16-bit bands

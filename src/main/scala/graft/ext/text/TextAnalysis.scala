@@ -80,6 +80,79 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** PII redaction patterns, kept to the Java-regex ∩ RE2 common subset
+    * (explicit `[0-9]` classes, no backreferences, no lookaround) so the
+    * exact same pattern strings run under Spark (java.util.regex) and any
+    * RE2-based oracle engine.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?"
+  val Ipv4Pattern = "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b"
+
+  /** PII scrubbing: replace emails, phone numbers, and IPv4 addresses with
+    * typed placeholder tokens, and count each category (counted before
+    * replacement). Narrow per-row regexp passes — scan-speed at 100 TB; the
+    * three sequential `regexp_replace`es cannot interact because emails
+    * contain no spaces and phones are anchored on a leading `+`.
+    */
+  def redactPii(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"),
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(text,
+        EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>").as("redacted"))
+
+  /** Gated redaction report. The synthetic corpus contains no PII, so the
+    * query plants deterministic contact strings on a doc_id schedule (the
+    * oracle plants the identical strings) — the operator under test is the
+    * generic [[redactPii]]; the fixture only gives the regexes matches AND
+    * non-matches to prove on. Output hashes the redacted text (md5) to keep
+    * the gate row narrow.
+    */
+  def redactionReport(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val email = concat(lit(" contact user"), id, lit("@mail.example.com ok"))
+    val phone = concat(lit(" call +44 555 "), lit(1000) + id % 9000)
+    val ip = concat(lit(" from 10."), id % 256, lit(".0."), (id * 7) % 256)
+    val planted = concat(col("text"),
+      when(id % 3 === 0, email).otherwise(lit("")),
+      when(id % 5 === 0, phone).otherwise(lit("")),
+      when(id % 7 === 0, ip).otherwise(lit("")))
+    redactPii(docs(spark, dir).withColumn("aug", planted), col("aug"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  /** Repetition signals (Gopher-style quality filters): duplicate-token and
+    * duplicate-n-gram ratios per document. High ratios flag boilerplate,
+    * keyword stuffing, and degenerate generations. Distinct n-gram counts
+    * come from the codegen'd [[graft.functions.ShingleArray]]; everything is
+    * a narrow per-row projection.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    def dupRatio(n: Int): Column = {
+      val total = nTok - (n - 1)
+      val distinctN = size(graft.functions.ShingleArray.shingle_array(t, n))
+      when(total > lit(0),
+        round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
+        .otherwise(lit(0.0))
+    }
+    docs(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      round(lit(1.0) - size(array_distinct(t)).cast("double")
+        / nTok.cast("double"), 4).as("token_dup_ratio"),
+      dupRatio(2).as("dup2_ratio"),
+      dupRatio(3).as("dup3_ratio"))
+  }
+
   /** Document fingerprinting with the custom codegen'd PolyHash expression —
     * content-addressable id for exact-dup detection and incremental reindex.
     */

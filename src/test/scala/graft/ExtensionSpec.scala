@@ -46,6 +46,69 @@ class TextDedupSpec extends SparkSpec {
     assert(sh.length == 1)
     assert(sh.head.getSeq[String](1) == Seq("a b c", "b c d"))
   }
+
+  test("connected components: chains merge, components get their min label") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} (diameter 3 — needs real
+    // propagation, not one hop) and a pair {10, 11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = TextDedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("redactPii replaces and counts each category, untouched text intact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org or call +44 555 0199 thanks"),
+      (2L, "server at 10.0.255.7 and 192.168.1.1 responded"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1)
+    assert(out(1L).getString(4) == "mail me at <EMAIL> or call <PHONE> thanks")
+    assert(out(2L).getInt(3) == 2)
+    assert(out(2L).getString(4) == "server at <IP> and <IP> responded")
+    assert(out(3L).getString(4) == "nothing sensitive here at all")
+  }
+
+  test("contamination flags only train docs overlapping the bench set") {
+    import spark.implicits._
+    val mk = (id: Long, s: String) => (id, s)
+    val bench = Seq(mk(100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // 1 shared 8-gram
+      mk(2L, "totally unrelated words that never overlap anything else here"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.contaminatedDocs(train, bench, n = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
+  }
+
+  test("repetition ratios are zero for all-distinct and high for repeated") {
+    import spark.implicits._
+    // repetitionSignals reads from dir; test the ratio math via the corpus
+    val rows = TextAnalysis.repetitionSignals(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd) = (r.getInt(1), r.getInt(2))
+      assert(math.abs(r.getDouble(3) - (1.0 - nd.toDouble / n)) < 1e-3)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("dedup clusters mark exactly one canonical doc per cluster") {
+    val rows = TextDedup.dedupClusters(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+      assert(members.map(_.getLong(0)).min == cid)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
