@@ -70,6 +70,7 @@ object SparkEntry {
     "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
     "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClusters(s, d)),
     "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
+    "x_dedup_incremental" -> ((s, d) => TextDedup.incrementalNearDups(s, d)),
     "x_text_redact"      -> TextAnalysis.redactionReport _,
     "x_text_repetition"  -> TextAnalysis.repetitionSignals _,
     "x_sample_stratified" -> ((s, d) => graft.ext.corpus.Corpus.stratifiedSample(s, d)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
+    "x_ann_pq"           -> ((s, d) => Similarity.pqTopK(s, d, rerank = 400)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _
@@ -347,6 +349,26 @@ object SparkEntry {
     // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
     // so the result equals the exhaustive n-gram join.
     "x_dedup_minhash" -> ngramJaccardOracle,
+    // exhaustive odd(delta)-vs-even(index) join — banding recall is
+    // complete at 0.8 (the symmetric yardstick covers every true pair)
+    "x_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d_new, b.doc_id AS d_index, count(*) AS shared,
+        |    any_value(a.n) AS n1, any_value(b.n) AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT d_new, d_index, round(shared / (n1 + n2 - shared), 3) AS jaccard
+        |FROM pairs
+        |WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id,
         |  len(str_split(trim(text), ' ')) AS n_ws_tokens,
@@ -538,6 +560,10 @@ object SparkEntry {
     // nProbe = nLists -> IVF searches every list -> exact (reduced-probe
     // recall covered in SimilaritySpec)
     "x_ann_ivf" -> annTopkOracle,
+    // PQ-ADC pool (rerank=400 at m=16/codes=128) contains the true top-10
+    // with ~20x rank margin on this data (measured at sf0.001..0.1); the
+    // exact re-rank then equals brute force
+    "x_ann_pq" -> annTopkOracle,
     "x_embed_stats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(nrm), 4) AS avg_norm,

@@ -93,18 +93,22 @@ object TextDedup {
     * banding only controls recall/candidate count). At 100 TB the band join
     * is the only shuffle and candidates stay ∝ true near-dups.
     */
+  /** Band keys for a signature table: (band index, hash of the band's
+    * slice) — `bands` rows per doc, the LSH bucket-join key.
+    */
+  private def bandKeys(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * rows + 1, rows).cast("string")), lit(bnd))): _*))
+        .as(Seq("band", "bucket")))
+
   def minhashLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sh = shingles(docs(spark, dir), n).cache()
-    val sig = minhashSignatures(sh, numHashes)
-    // band key = (band index, hash of the band's slice)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(bnd =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), bnd * rows + 1, rows).cast("string")), lit(bnd))): _*))
-        .as(Seq("band", "bucket")))
+    val banded = bandKeys(minhashSignatures(sh, numHashes), bands, rows)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -156,6 +160,54 @@ object TextDedup {
       .select(col("span"), col("n_docs")).distinct()
       .orderBy(col("n_docs").desc, col("span").asc)
       .limit(topK)
+  }
+
+  /** Incremental near-dup detection: pair a new `delta` batch against an
+    * already-indexed `index` corpus WITHOUT re-pairing the index against
+    * itself — the nightly-ingest shape. Same MinHash/LSH machinery as
+    * [[minhashLshPairs]], but the band join is delta-vs-index only.
+    *
+    * Scale shape: in production the index's signatures and band keys are
+    * computed once at ingest and persisted (bucketed by (band, bucket)), so
+    * a nightly run's cost is ∝ delta, not corpus: signature the delta
+    * (narrow codegen pass), band-join its (small) key set against the
+    * bucketed index — AQE broadcasts the delta side — and exact-verify only
+    * the candidates. Here both sides are derived on the fly from the same
+    * table for the gate.
+    */
+  def minhashPairsAgainstIndex(delta: DataFrame, index: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val shD = shingles(delta, n).cache()
+    val shI = shingles(index, n).cache()
+    val bD = bandKeys(minhashSignatures(shD, numHashes), bands, rows)
+    val bI = bandKeys(minhashSignatures(shI, numHashes), bands, rows)
+    val candidates = bD.as("a").join(bI.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_index"))
+      .distinct()
+    candidates
+      .join(shD.select(col("doc_id").as("d_new"), col("shingles").as("sh1")),
+        "d_new")
+      .join(shI.select(col("doc_id").as("d_index"), col("shingles").as("sh2")),
+        "d_index")
+      .select(col("d_new"), col("d_index"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Gated incremental-dedup report: the "index" is the even doc_ids, the
+    * "delta" the odd ones.
+    */
+  def incrementalNearDups(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val d = docs(spark, dir)
+    minhashPairsAgainstIndex(
+      d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 2 === 0), threshold)
   }
 
   /** Benchmark decontamination: flag training documents sharing at least

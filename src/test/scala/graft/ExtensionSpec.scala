@@ -99,6 +99,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup finds exactly the cross-partition near-dup pairs") {
+    import spark.implicits._
+    val all = TextDedup.ngramJaccardPairs(spark, dir).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a % 2 == 1 && b % 2 == 0 }.toSet
+    val inc = TextDedup.incrementalNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == all)
+  }
+
   test("dedup clusters mark exactly one canonical doc per cluster") {
     val rows = TextDedup.dedupClusters(spark, dir).collect()
     assert(rows.nonEmpty)
@@ -150,6 +160,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivfProbe.map(_.getLong(0)).toSet
       .intersect(brute.map(_._1).toSet).size
     assert(recall >= 1, s"recall $recall/10")
+  }
+
+  test("PQ codes are in range and the ADC+rerank result equals brute force") {
+    val cb = Similarity.pqFitCodebooks(spark, dir)
+    val enc = Similarity.pqEncode(spark, dir, cb)
+      .select(org.apache.spark.sql.functions.col("codes")).collect()
+    assert(enc.forall(_.getSeq[Int](0).forall(c => c >= 0 && c < 128)))
+    assert(enc.forall(_.getSeq[Int](0).length == 16))
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val pq = Similarity.pqTopK(spark, dir, rerank = 200).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.sameElements(brute))
+  }
+
+  test("a small ADC pool still recalls most of the exact top-10") {
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(spark, dir, rerank = 20).collect()
+    assert(pq.length == 10)
+    val recall = pq.map(_.getLong(0)).toSet.intersect(brute).size
+    assert(recall >= 5, s"recall $recall/10 with rerank=20")
   }
 
   test("cosine of a vector with itself is 1") {
