@@ -57,6 +57,7 @@ object SparkEntry {
     "p_full_scan"        -> EventOps.fullScan _,
     "p_csv_roundtrip"    -> EventOps.csvRoundTrip _,
     "p_latest_stream"    -> EventOps.latestPerKeyStream _,
+    "p_window_stream"    -> EventOps.tumblingWindowStream _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
     "x_dedup_incremental" -> ((s, d) => TextDedup.incrementalNearDups(s, d)),
     "x_text_redact"      -> TextAnalysis.redactionReport _,
+    "x_text_chunk"       -> TextAnalysis.chunkReport _,
     "x_text_repetition"  -> TextAnalysis.repetitionSignals _,
     "x_sample_stratified" -> ((s, d) => graft.ext.corpus.Corpus.stratifiedSample(s, d)),
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
@@ -161,6 +163,12 @@ object SparkEntry {
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |GROUP BY p_type""".stripMargin,
     "q12_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the streaming-path gate shares the batch q12 oracle
+    "p_window_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes',
         |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -492,6 +500,20 @@ object SparkEntry {
         |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
         |FROM aug""".stripMargin,
+    // chunk c covers tokens [c*24+1, c*24+32] (size 32, overlap 8);
+    // DuckDB list slicing is inclusive and truncates at the end
+    "x_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_id
+        |  FROM toks)
+        |SELECT doc_id, chunk_id,
+        |  least(32, len(t) - chunk_id * 24) AS n_chunk_tokens,
+        |  md5(array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' '))
+        |    AS chunk_hash
+        |FROM ch""".stripMargin,
     "x_text_repetition" ->
       """SELECT doc_id, len(t) AS n_tokens,
         |  len(list_distinct(t)) AS n_distinct_tokens,

@@ -153,6 +153,37 @@ object TextAnalysis {
       dupRatio(3).as("dup3_ratio"))
   }
 
+  /** Fixed-size token chunking with overlap — the context-window /
+    * retrieval prep step: chunk `c` covers tokens `[c*stride, c*stride +
+    * size)` with `stride = size - overlap`, so consecutive chunks share
+    * `overlap` tokens and every token is covered; the last chunk may be
+    * short. A narrow per-row explode (no shuffle — chunk count rides the
+    * generator); at 100 TB this is scan-speed corpus reshaping.
+    */
+  def chunkTokens(df: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size")
+    val stride = size - overlap
+    df.withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((org.apache.spark.sql.functions.size(col("t")) - 1)
+            / lit(stride)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("t")) - col("chunk_id") * stride)
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("chunk_id") * stride + 1, lit(size)))
+          .as("chunk_text"))
+  }
+
+  /** Gated chunking report: md5 of each chunk keeps the gate row narrow
+    * while hash-pinning the exact chunk content.
+    */
+  def chunkReport(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(docs(spark, dir))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+
   /** Document fingerprinting with the custom codegen'd PolyHash expression —
     * content-addressable id for exact-dup detection and incremental reindex.
     */

@@ -241,4 +241,42 @@ object EventOps {
       col("s_no"), col("event_type"),
       round(col("value"), 2).as("value"))
   }
+
+  /** The q12 tumbling-window aggregate produced through the REAL streaming
+    * path: file-source micro-batches → streaming window aggregate →
+    * memory sink, drained with `Trigger.AvailableNow`. Complete output
+    * mode re-emits every window each trigger, so the drained result
+    * equals the batch aggregate deterministically — no watermark to drop
+    * late rows, no append-mode finalization races. Gate-compared to the
+    * same DuckDB oracle as the batch q12.
+    */
+  def tumblingWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stage = java.nio.file.Files.createTempDirectory("graft_wstream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val src = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = src
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val sink = "window_stream_gate"
+    spark.catalog.dropTempView(sink)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_wck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+      col("event_type"), col("n"), col("sum_value"))
+  }
 }

@@ -196,6 +196,28 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("chunking covers every token with the declared overlap") {
+    import spark.implicits._
+    val words = (1 to 75).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, size = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 75 tokens, stride 24 -> chunks at 0,24,48,72: sizes 32,32,27,3
+    assert(d1.map(_._3).toList == List(32L, 32L, 27L, 3L))
+    assert(d1(0)._4.startsWith("w1 w2") && d1(1)._4.startsWith("w25"))
+    // consecutive chunks share the declared 8-token overlap
+    assert(d1(0)._4.split(" ").takeRight(8).toList ==
+      d1(1)._4.split(" ").take(8).toList)
+    // reassembly: stride-prefixes plus the final chunk equal the doc
+    val reassembled: Array[String] =
+      d1.dropRight(1).flatMap(_._4.split(" ").take(24)) ++ d1.last._4.split(" ")
+    assert(reassembled.toList == words.toList)
+    // a short doc yields one short chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 3L && d2.head._4 == "a b c")
+  }
+
   test("polyhash matches a reference fold and stays in codegen") {
     import spark.implicits._
     val df = Seq("abc", "", "hello world").toDF("text")
