@@ -42,6 +42,11 @@ object GraftSession {
         val k = exprs(1).eval(null).asInstanceOf[Number].intValue
         graft.functions.MinHashSig(exprs.head, k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_array",
+      exprs => {
+        val n = exprs(1).eval(null).asInstanceOf[Number].intValue
+        graft.functions.ShingleArray(exprs.head, n)
+      }, "scala_udf")
   }
 
   /** Install graft's optimizer rules (e.g. the row_number→max_by top-1

@@ -83,6 +83,7 @@ object SparkEntry {
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
     "x_ann_pq"           -> ((s, d) => Similarity.pqTopK(s, d, rerank = 400)),
     "x_embed_stats"      -> Similarity.normStats _,
+    "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _
   )
@@ -586,6 +587,29 @@ object SparkEntry {
     // with ~20x rank margin on this data (measured at sf0.001..0.1); the
     // exact re-rank then equals brute force
     "x_ann_pq" -> annTopkOracle,
+    // integer checksums: associative sums, immune to FP reduction order;
+    // floor(x+0.5) is the shared bit-deterministic rounding rule
+    "x_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+        |  FROM (SELECT vec_id, e,
+        |          list_max(list_transform(e, x -> abs(x))) AS m FROM q) t),
+        |c AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(e,
+        |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT)))
+        |    AS BIGINT) AS codes_sum,
+        |  CAST(list_sum(list_transform(codes, c -> CAST(abs(c) AS BIGINT)))
+        |    AS BIGINT) AS codes_l1,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INTEGER)
+        |    AS n_saturated
+        |FROM c""".stripMargin,
     "x_embed_stats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(nrm), 4) AS avg_norm,

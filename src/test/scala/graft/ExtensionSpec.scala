@@ -162,6 +162,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 1, s"recall $recall/10")
   }
 
+  test("int8 quantization bounds codes and reconstructs within scale/254") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+                 (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getSeq[Int](3).toList)).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == List(64, -127, 32, 0))
+    // zero vector: scale falls back to 1, all codes zero
+    assert(out(2L)._1 == 1.0 && out(2L)._2.forall(_ == 0))
+    // per-element reconstruction error <= scale/254 (half a code step)
+    val codes = out(1L)._2
+    val recon = codes.map(c => c * out(1L)._1 / 127.0)
+    val orig = List(0.5, -1.0, 0.25, 0.0)
+    assert(recon.zip(orig).forall { case (r, o) =>
+      math.abs(r - o) <= out(1L)._1 / 254.0 + 1e-12 })
+  }
+
   test("PQ codes are in range and the ADC+rerank result equals brute force") {
     val cb = Similarity.pqFitCodebooks(spark, dir)
     val enc = Similarity.pqEncode(spark, dir, cb)
