@@ -71,11 +71,13 @@ class GraftSessionSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT polyhash('abc') AS p,
         |  simhash64(array('a','b')) AS s,
-        |  minhash_sig(array('a','b'), 4) AS m""".stripMargin).collect().head
+        |  minhash_sig(array('a','b'), 4) AS m,
+        |  shingle_array(array('a','b','c'), 2) AS sh""".stripMargin).collect().head
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
     assert(r.getAs[Long]("p") == ref("abc"))
     assert(r.getAs[scala.collection.Seq[Long]]("m").length == 4)
+    assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq("a b", "b c"))
   }
 }
 
