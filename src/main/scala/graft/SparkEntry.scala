@@ -85,7 +85,8 @@ object SparkEntry {
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
-    "x_multimodal"       -> Multimodal.mediaFeatures _
+    "x_multimodal"       -> Multimodal.mediaFeatures _,
+    "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -587,6 +588,28 @@ object SparkEntry {
     // with ~20x rank margin on this data (measured at sf0.001..0.1); the
     // exact re-rank then equals brute force
     "x_ann_pq" -> annTopkOracle,
+    "x_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n,
+        |  count(*) - count(l_orderkey) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus),
+        |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |FROM lineitem""".stripMargin,
     // integer checksums: associative sums, immune to FP reduction order;
     // floor(x+0.5) is the shared bit-deterministic rounding rule
     "x_embed_quantize" ->

@@ -1,0 +1,39 @@
+package graft.ext.profile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the schema-sanity pass a pipeline runs on arrival:
+  * per-column row count, null count, distinct count, min/max (rendered as
+  * strings so heterogeneous column types share one report schema).
+  *
+  * One aggregate pass over the table; the per-column distinct counts make
+  * Catalyst plan an Expand (one duplicated stream per distinct aggregate),
+  * which is the standard exact shape. At 100 TB swap `countDistinct` for
+  * `approx_count_distinct` (HLL++, one pass, no Expand) — the report is
+  * diagnostic, a 2 % estimate is fine there; the exact form is the gate.
+  * The final `stack` reshape runs on the single aggregate row.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        (count(lit(1)) - count(col(c))).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n, n_null, n_distinct, min_val, max_val)"))
+  }
+
+  /** Gated profile over lineitem's mixed-type columns. */
+  def lineitemProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+}

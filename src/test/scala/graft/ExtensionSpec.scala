@@ -302,3 +302,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.find(_.media_id == 2L).get.ok)
   }
 }
+
+class ProfileSpec extends SparkSpec {
+
+  test("profile reports count, nulls, distincts, min/max per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (3L, Some("a")))
+      .toDF("id", "s")
+    val rows = graft.ext.profile.Profile.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("id") == ((4L, 0L, 3L, "1", "3")))
+    assert(rows("s") == ((4L, 1L, 2L, "a", "c")))
+  }
+}
