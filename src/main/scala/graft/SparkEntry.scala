@@ -78,6 +78,7 @@ object SparkEntry {
     "x_sample_stratified" -> ((s, d) => graft.ext.corpus.Corpus.stratifiedSample(s, d)),
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
     "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
+    "x_corpus_prepare"   -> ((s, d) => graft.ext.corpus.Corpus.prepare(s, d)),
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
@@ -532,6 +533,58 @@ object SparkEntry {
         |    ELSE 0.0 END AS dup3_ratio
         |FROM (SELECT doc_id, str_split(trim(text), ' ') AS t
         |      FROM documents) q""".stripMargin,
+    // the full prep funnel: quality -> canonical-dedup (recursive-CTE
+    // components) -> polyhash sample -> chunk/token accounting per source
+    "x_corpus_prepare" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+         |  FROM toks WHERE len(t) >= 3),
+         |ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+         |prs AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+         |      any_value(a.n) AS n1, any_value(b.n) AS n2
+         |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM prs
+         |  UNION SELECT d2, d1 FROM prs),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach
+         |  JOIN edges e ON e.src = reach.r),
+         |dups AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |  WHERE doc_id <> cluster_id),
+         |f AS (
+         |  SELECT d.source, len(t.t) AS n_tokens,
+         |    1.0 - len(list_distinct(t.t)) * 1.0 / len(t.t) AS dup_ratio,
+         |    d.doc_id IN (SELECT doc_id FROM dups) AS is_dup,
+         |    ${duckPolyHash(
+               "concat(d.source, '|', CAST(d.doc_id AS VARCHAR))")}
+         |      % 1000 AS bucket
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+         |SELECT source, count(*) AS n_in,
+         |  count(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
+         |    THEN 1 END) AS n_quality,
+         |  count(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
+         |    AND NOT is_dup THEN 1 END) AS n_dedup,
+         |  count(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
+         |    AND NOT is_dup AND bucket < 800 THEN 1 END) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
+         |    AND NOT is_dup AND bucket < 800
+         |    THEN ((n_tokens - 1) // 24) + 1 END), 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(sum(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
+         |    AND NOT is_dup AND bucket < 800
+         |    THEN n_tokens END), 0) AS BIGINT) AS n_tokens_kept
+         |FROM f GROUP BY source""".stripMargin,
     "x_sample_stratified" ->
       s"""SELECT doc_id, source, bucket FROM (
          |  SELECT doc_id, source,

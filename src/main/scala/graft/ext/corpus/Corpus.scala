@@ -79,4 +79,45 @@ object Corpus {
       .select(col("doc_id"), col("top.term").as("top_term"),
         round(col("top.score"), 4).as("tfidf"))
   }
+
+  /** End-to-end corpus-prep funnel — the composed pipeline a pretraining
+    * run executes: quality filter (length + repetition) → near-dup removal
+    * (keep each cluster's canonical doc) → deterministic stratified
+    * downsample → chunk/token accounting, reported per source at every
+    * stage.
+    *
+    * Plan shape: ONE scan of the corpus with all stage predicates as
+    * boolean flags, one left join against the (∝ true-duplication)
+    * non-canonical id set, one partial aggregate. Counting every funnel
+    * stage in the same pass costs nothing extra at 100 TB, where three
+    * separate count jobs would each re-scan.
+    */
+  def prepare(spark: SparkSession, dir: String, minTokens: Int = 20,
+      maxDupRatio: Double = 0.7, keepPerMille: Int = 800): DataFrame = {
+    val dupIds = graft.ext.dedup.TextDedup.dedupClusters(spark, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val t = tokens(col("text"))
+    val flagged = docs(spark, dir)
+      .withColumn("n_tokens", size(t))
+      .withColumn("dup_ratio", lit(1.0) -
+        size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .withColumn("pass_q",
+        col("n_tokens") >= minTokens && col("dup_ratio") <= maxDupRatio)
+      .withColumn("pass_d", col("pass_q") && col("is_dup").isNull)
+      .withColumn("pass_s", col("pass_d") &&
+        pmod(poly_hash(concat_ws("|", col("source"),
+          col("doc_id").cast("string"))), lit(1000L)) < keepPerMille)
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_in"),
+      count(when(col("pass_q"), 1)).as("n_quality"),
+      count(when(col("pass_d"), 1)).as("n_dedup"),
+      count(when(col("pass_s"), 1)).as("n_kept"),
+      coalesce(sum(when(col("pass_s"),
+        floor((col("n_tokens") - 1) / lit(24)) + 1)), lit(0L))
+        .cast("long").as("n_chunks"),
+      coalesce(sum(when(col("pass_s"), col("n_tokens"))), lit(0L))
+        .cast("long").as("n_tokens_kept"))
+  }
 }

@@ -7,6 +7,23 @@ import graft.ext.dedup.TextDedup
 class CorpusSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("prepare funnel counts are monotone and consistent with the stages") {
+    val rows = Corpus.prepare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nIn, q, d, k) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nIn >= q && q >= d && d >= k)
+      // chunks and tokens only from kept docs; 24-token stride floor
+      assert(r.getLong(5) >= k)
+      assert(r.getLong(6) >= r.getLong(5))
+    }
+    // dedup stage drops exactly the non-canonical members that pass quality
+    val totalIn = rows.map(_.getLong(1)).sum
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(totalIn == docs)
+  }
+
   test("stratified sample is deterministic and near the target rate") {
     val a = Corpus.stratifiedSample(spark, dir)
     val b = Corpus.stratifiedSample(spark, dir)
