@@ -26,6 +26,25 @@ class PropertySpec extends SparkSpec {
     assert(got == strs.map(ref))
   }
 
+  test("shingle_array == the declarative HOF chain on arbitrary token arrays") {
+    val toks = samples(Gen.listOf(Gen.oneOf(
+      "a", "b", "c", "spark", "x y", "", "δ", "tok1", "tok2")), 100)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = toks.map(t => Tuple1(t)).toDF("t")
+      val hof = df.select(
+        when(size(col("t")) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(col("t")) - n),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+        .collect().map(_.getSeq[String](0).toList)
+      val fast = df.select(
+        graft.functions.ShingleArray.shingle_array(col("t"), n).as("sh"))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(fast.toSeq == hof.toSeq, s"mismatch at n=$n")
+    }
+  }
+
   test("wire json roundtrip: to_json then parseWire is the identity") {
     val msgs = graft.gen.StationSource.messages(spark, 5, 50)
     val json = graft.gen.StationSource.messagesAsJson(spark, 5, 50)

@@ -123,6 +123,23 @@ class ScaleSpec extends SparkSpec {
     val salted = Scale.saltedJoin(li, small, "l_orderkey", nSalts = 5).count()
     assert(salted == plain)
   }
+
+  test("narrow text operators stay in one codegen stage over a pruned scan") {
+    val dir = "/root/testdata/sf0.001"
+    for (df <- Seq(
+        graft.ext.text.TextAnalysis.repetitionSignals(spark, dir),
+        graft.ext.text.TextAnalysis.redactionReport(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+      // '*(n)' prefixes mark WholeStageCodegen spans in the compact plan
+      assert(plan.contains("*(1) Project"), plan.take(600))
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        plan.take(600))
+    }
+    // chunking explodes but still never shuffles
+    val chunked = graft.ext.text.TextAnalysis.chunkReport(spark, dir)
+    assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
 
 class WindowedStatsSpec extends SparkSpec {
