@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query wall-clock probe: `sbt "runMain graft.TimeOne <name>..."`
+  * times each named SparkEntry query at sf0.1 after one warm run —
+  * the per-query companion to the full [[Bench]] sweep when iterating on
+  * one plan.
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      SparkEntry.queries(name)(spark, dir).count()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -177,10 +177,14 @@ object TextDedup {
     */
   def minhashPairsAgainstIndex(delta: DataFrame, index: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, cache: Boolean = true): DataFrame = {
     val rows = numHashes / bands
-    val shD = shingles(delta, n).cache()
-    val shI = shingles(index, n).cache()
+    // `cache` trades one narrow recompute for cache residency; the
+    // streaming per-batch path passes false so long-running queries don't
+    // accumulate batch-lifetime cache entries
+    def maybeCache(df: DataFrame) = if (cache) df.cache() else df
+    val shD = maybeCache(shingles(delta, n))
+    val shI = maybeCache(shingles(index, n))
     val bD = bandKeys(minhashSignatures(shD, numHashes), bands, rows)
     val bI = bandKeys(minhashSignatures(shI, numHashes), bands, rows)
     val candidates = bD.as("a").join(bI.as("b"),
@@ -198,6 +202,29 @@ object TextDedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Streaming incremental dedup: run [[minhashPairsAgainstIndex]] on every
+    * micro-batch of a document stream against a static indexed corpus —
+    * the ingest-time near-dup flagger. `foreachBatch` is the right Spark
+    * shape here: each batch is a bounded DataFrame, so the full batch
+    * machinery (band join, AQE broadcast of the delta side, exact verify)
+    * applies unchanged, and `onPairs` receives the verified pairs to
+    * route (reject queue, tombstone write, metric). At 100 TB the static
+    * side's signatures are precomputed and bucketed; per-batch cost is
+    * ∝ batch size. Returns the started query; callers own its lifecycle.
+    */
+  def streamingNearDups(deltaStream: DataFrame, index: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3)(onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(
+          minhashPairsAgainstIndex(batch, index, threshold, numHashes,
+            bands, n, cache = false), batchId)
+      }
+      .start()
 
   /** Gated incremental-dedup report: the "index" is the even doc_ids, the
     * "delta" the odd ones.

@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // two aggregate passes on purpose: counts/distincts have long buffers
+    // (HashAggregate over the distinct Expand), while min/max over string
+    // columns only run as SortAggregate — kept in their own global
+    // aggregate they need no Sort (empty grouping) and don't drag the
+    // Expand stream through sort-based aggregation
+    val countAggs = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"n_$c"),
         (count(lit(1)) - count(col(c))).as(s"null_$c"),
-        countDistinct(col(c)).as(s"dist_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+    }
+    val rangeAggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(rangeAggs.head, rangeAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c").mkString(", ")
     wide.select(expr(

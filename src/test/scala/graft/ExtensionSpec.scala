@@ -109,6 +109,36 @@ class TextDedupSpec extends SparkSpec {
     assert(inc == all)
   }
 
+  test("streaming near-dup flagger catches dups per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val index = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different indexed content with many unique words here"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = TextDedup.streamingNearDups(stream, index, threshold = 0.5) {
+      (pairs, _) => seen.synchronized {
+        seen ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      // batch 1: one near-dup of doc 100, one novel doc
+      input.addData((1L, "the quick brown fox jumps over the lazy dog again and"),
+        (2L, "nothing like anything stored in the index at all whatsoever"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, 100L)))
+      // batch 2: near-dup of doc 101 arrives later
+      input.addData(
+        (3L, "completely different indexed content with many unique words also"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, 100L), (3L, 101L)))
+    } finally q.stop()
+  }
+
   test("dedup clusters mark exactly one canonical doc per cluster") {
     val rows = TextDedup.dedupClusters(spark, dir).collect()
     assert(rows.nonEmpty)
