@@ -79,6 +79,8 @@ object SparkEntry {
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
     "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
     "x_corpus_prepare"   -> ((s, d) => graft.ext.corpus.Corpus.prepare(s, d)),
+    "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
+    "q22_hopping_window" -> Analytics.q22HoppingWindow _,
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
@@ -170,6 +172,20 @@ object SparkEntry {
         |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // every event lands in exactly 2 hopping windows: time_bucket(slide)
+    // and one slide earlier
+    "q22_hopping_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)) - k * INTERVAL '15 minutes',
+        |    '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
+    // round-trip identity: the oracle reads the source-of-truth parquet
+    "x_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, md5(text) AS text_md5,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents""".stripMargin,
     // the streaming-path gate shares the batch q12 oracle
     "p_window_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes',

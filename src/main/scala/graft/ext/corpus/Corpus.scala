@@ -80,6 +80,25 @@ object Corpus {
         round(col("top.score"), 4).as("tfidf"))
   }
 
+  /** JSONL (newline-delimited JSON) interchange round-trip — the lingua
+    * franca of LLM corpus exchange. Export writes one JSON object per
+    * line (Spark's json sink IS jsonl); import reads with an explicit
+    * schema (never schema inference at scale — one pass, not two). The
+    * gated query proves the round-trip is value-preserving by comparing
+    * the re-imported corpus against the source-of-truth parquet.
+    */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+      .json(out)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("text_md5"), length(col("text")).as("n_chars"))
+  }
+
   /** End-to-end corpus-prep funnel — the composed pipeline a pretraining
     * run executes: quality filter (length + repetition) → near-dup removal
     * (keep each cluster's canonical doc) → deterministic stratified

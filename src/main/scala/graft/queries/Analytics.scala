@@ -199,6 +199,21 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Hopping (sliding) window aggregation: 30-minute windows every 15
+    * minutes — each event lands in exactly size/slide = 2 windows. The
+    * window assignment is a generator projection (2 rows out per row in,
+    * no shuffle until the aggregate); the oracle reproduces the window
+    * set arithmetically (`time_bucket(slide) - k·slide`).
+    */
+  def q22HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Rollup aggregation: subtotals per (returnflag, linestatus) plus grand
     * totals — multi-grouping-set aggregate in one pass.
     */
