@@ -212,9 +212,15 @@ object Similarity {
     val dims = sample(0).length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val sub = dims / m
-    Array.tabulate(m) { s =>
+    // the m subspace fits are independent — run them on the driver's cores
+    // (the sample is bounded, so this stays a sub-second local step)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until m).map { s => Future {
       lloyd(sample.map(v => v.slice(s * sub, (s + 1) * sub)), codes, iters)
-    }
+    }}
+    Await.result(Future.sequence(fits), 10.minutes).toArray
   }
 
   /** Distributed PQ encoding: per subspace, one codegen'd nearest-centroid
@@ -263,14 +269,19 @@ object Similarity {
       element_at(typedLit(dotTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
     val adcNorm2 = (0 until m).map(s =>
       element_at(typedLit(normTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
-    val pool = enc.filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"),
+    // the embedding rides through the ADC top-`rerank` selection
+    // (TakeOrderedAndProject keeps `rerank` rows per partition), so the
+    // exact re-rank needs no join back to the corpus; the query vector is
+    // already on the driver, so it broadcasts as a literal-backed frame
+    // instead of a second scan
+    import spark.implicits._
+    val q = broadcast(Seq(Tuple1(qVec.map(_.toFloat).toSeq))
+      .toDF("query_vec"))
+    enc.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"),
         (adcDot / (lit(qNorm) * sqrt(adcNorm2))).as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(rerank)
-    val q = broadcast(emb(spark, dir).filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("query_vec")))
-    pool.join(emb(spark, dir), "vec_id")
       .crossJoin(q)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
