@@ -58,6 +58,7 @@ object SparkEntry {
     "p_csv_roundtrip"    -> EventOps.csvRoundTrip _,
     "p_latest_stream"    -> EventOps.latestPerKeyStream _,
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
+    "p_salted_stats"     -> EventOps.saltedTypeStats _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -186,6 +187,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source, md5(text) AS text_md5,
         |  CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents""".stripMargin,
+    // the salted two-phase aggregate must equal the plain GROUP BY;
+    // integer cent-sums make the comparison order-proof
+    "p_salted_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // the streaming-path gate shares the batch q12 oracle
     "p_window_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes',

@@ -242,6 +242,33 @@ object EventOps {
       round(col("value"), 2).as("value"))
   }
 
+  /** The event-type counts computed through [[graft.operators.Scale
+    * .saltedAggregate]] — gates the skew machinery itself: the two-phase
+    * (key, salt) → key aggregation must be value-identical to the plain
+    * GROUP BY the oracle runs. Five event types with ~120k rows each at
+    * sf0.1 is exactly the hot-reducer-key shape salting exists for.
+    */
+  def saltedTypeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale
+    import graft.operators.Scale.TwoPhase
+    val df = events(spark, dir)
+      .select(col("event_type"), col("value"))
+    // the sum is over integer cents (floor(v*100+0.5)): associative and
+    // exact, so the per-salt partial order can never shift a rounded
+    // decimal the way FP double summation could
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    Scale.saltedAggregate(df.withColumn("cents", cents),
+      Seq("event_type"), nSalts = 8, Seq(
+        TwoPhase.countAll("n"),
+        TwoPhase.sumOf("sum_cents", col("cents")),
+        TwoPhase.minOf("min_value", col("value")),
+        TwoPhase.maxOf("max_value", col("value"))))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("sum_cents").cast("long").as("sum_cents"),
+        round(col("min_value"), 2).as("min_value"),
+        round(col("max_value"), 2).as("max_value"))
+  }
+
   /** The q12 tumbling-window aggregate produced through the REAL streaming
     * path: file-source micro-batches → streaming window aggregate →
     * memory sink, drained with `Trigger.AvailableNow`. Complete output
