@@ -88,7 +88,7 @@ object Corpus {
     * the re-imported corpus against the source-of-truth parquet.
     */
   def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val out = graft.util.Scratch.dir("graft_jsonl").toString
     docs(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .write.mode("overwrite").json(out)
@@ -134,7 +134,8 @@ object Corpus {
       count(when(col("pass_d"), 1)).as("n_dedup"),
       count(when(col("pass_s"), 1)).as("n_kept"),
       coalesce(sum(when(col("pass_s"),
-        floor((col("n_tokens") - 1) / lit(24)) + 1)), lit(0L))
+        floor((col("n_tokens") - 1) / lit(graft.ext.text.TextAnalysis.ChunkSize
+          - graft.ext.text.TextAnalysis.ChunkOverlap)) + 1)), lit(0L))
         .cast("long").as("n_chunks"),
       coalesce(sum(when(col("pass_s"), col("n_tokens"))), lit(0L))
         .cast("long").as("n_tokens_kept"))

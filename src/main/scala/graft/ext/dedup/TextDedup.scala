@@ -62,9 +62,12 @@ object TextDedup {
     // join on 64-bit shingle hashes, not strings: the shuffle carries 8-byte
     // keys and the join compares longs; a cross-engine-visible collision
     // would need ~2^32 distinct shingles per bucket (not at any plausible SF)
+    // hash AFTER the explode: xxhash64 on the exploded column is codegen'd,
+    // where transform() inside the generator runs interpreted (lambda
+    // functions have no doGenCode) and splits the stage
     val ex = sh.select(col("doc_id"),
-      explode(transform(col("shingles"), s => xxhash64(s))).as("s"),
-      size(col("shingles")).as("n"))
+        explode(col("shingles")).as("span"), size(col("shingles")).as("n"))
+      .select(col("doc_id"), xxhash64(col("span")).as("s"), col("n"))
     val a = ex.as("a"); val b = ex.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -177,11 +180,13 @@ object TextDedup {
     */
   def minhashPairsAgainstIndex(delta: DataFrame, index: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      n: Int = 3, cache: Boolean = true): DataFrame = {
+      n: Int = 3, cache: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    // `cache` trades one narrow recompute for cache residency; the
-    // streaming per-batch path passes false so long-running queries don't
-    // accumulate batch-lifetime cache entries
+    // cache=false by default: the result is returned lazily, so a cache
+    // here has no unpersist point and repeated calls would pin corpus-
+    // sized shingle tables for the session lifetime. Opt in only when the
+    // caller owns the lifecycle; the cost of false is one extra narrow
+    // codegen'd shingle pass per side.
     def maybeCache(df: DataFrame) = if (cache) df.cache() else df
     val shD = maybeCache(shingles(delta, n))
     val shI = maybeCache(shingles(index, n))
@@ -253,8 +258,8 @@ object TextDedup {
   def contaminatedDocs(train: DataFrame, bench: DataFrame,
       n: Int = 8, minShared: Int = 1): DataFrame = {
     def spanHashes(df: DataFrame) = shingles(df, n)
-      .select(col("doc_id"),
-        explode(transform(col("shingles"), s => xxhash64(s))).as("h"))
+      .select(col("doc_id"), explode(col("shingles")).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
     val benchSpans = spanHashes(bench).select(col("h")).distinct()
     spanHashes(train).join(benchSpans, "h")
       .groupBy(col("doc_id"))
@@ -312,6 +317,13 @@ object TextDedup {
       it += 1
     }
     edges.unpersist()
+    // a silent partial result would mark several docs canonical within one
+    // real component — refuse instead; the caller raises maxIters (or
+    // switches to the large-star/small-star rule for deep graphs)
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIters; raise it or use a log-round update rule")
     labels
   }
 

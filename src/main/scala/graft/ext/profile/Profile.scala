@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    // the stack() expression is built from column names — quote the labels
+    // and backtick the refs so names with spaces/quotes neither break the
+    // parse nor inject into the generated expression
+    def label(c: String) = "'" + c.replace("'", "\\'") + "'"
+    def ref(c: String) = "`" + c.replace("`", "``") + "`"
     // two aggregate passes on purpose: counts/distincts have long buffers
     // (HashAggregate over the distinct Expand), while min/max over string
     // columns only run as SortAggregate — kept in their own global
@@ -34,7 +40,9 @@ object Profile {
     val wide = df.agg(countAggs.head, countAggs.tail: _*)
       .crossJoin(df.agg(rangeAggs.head, rangeAggs.tail: _*))
     val stackArgs = cols.map(c =>
-      s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+      s"${label(c)}, ${ref(s"n_$c")}, ${ref(s"null_$c")}, " +
+        s"${ref(s"dist_$c")}, ${ref(s"min_$c")}, ${ref(s"max_$c")}")
+      .mkString(", ")
     wide.select(expr(
       s"stack(${cols.length}, $stackArgs) AS " +
         "(col_name, n, n_null, n_distinct, min_val, max_val)"))

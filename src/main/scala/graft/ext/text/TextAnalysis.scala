@@ -160,7 +160,15 @@ object TextAnalysis {
     * short. A narrow per-row explode (no shuffle — chunk count rides the
     * generator); at 100 TB this is scan-speed corpus reshaping.
     */
-  def chunkTokens(df: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+  /** Default chunk geometry — shared with the corpus-prep funnel's chunk
+    * accounting so the two can never drift apart (the DuckDB oracles spell
+    * out the derived stride 24 = 32 - 8 as literals).
+    */
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+
+  def chunkTokens(df: DataFrame, size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): DataFrame = {
     require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size")
     val stride = size - overlap
     df.withColumn("t", tokens(col("text")))

@@ -48,8 +48,9 @@ case class ShingleArray(child: Expression, n: Int)
     while (i <= sz - n) {
       var j = 0
       while (j < n) {
-        buf(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8
-          else arr.getUTF8String(i + j)
+        // null tokens stay null: concatWs SKIPS null inputs, matching the
+        // concat_ws(" ", slice(...)) chain this expression replaces
+        buf(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
         j += 1
       }
       seen.add(UTF8String.concatWs(ShingleArray.Space, buf: _*))
@@ -77,7 +78,7 @@ case class ShingleArray(child: Expression, n: Int)
          |  for (int $i = 0; $i <= $sz - $n; $i++) {
          |    for (int $j = 0; $j < $n; $j++) {
          |      $buf[$j] = $arr.isNullAt($i + $j)
-         |        ? $utf8.EMPTY_UTF8 : $arr.getUTF8String($i + $j);
+         |        ? null : $arr.getUTF8String($i + $j);
          |    }
          |    $seen.add($utf8.concatWs($space, $buf));
          |  }

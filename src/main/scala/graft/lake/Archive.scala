@@ -62,9 +62,13 @@ object Archive {
     * small-files buildup (ref's compactor rewrites segments the same way,
     * BitCask.java:182-254; see SCALE.md). Rewrites into a temp dir then
     * swaps via rename-aside: the live dir is moved to `.old`, the rewrite
-    * renamed into place, then `.old` deleted — the lake path always points
-    * at a complete dataset, and a crash mid-swap strands data under `.old`
-    * (recoverable) rather than losing the lake. Concurrent APPENDS during
+    * renamed into place, then `.old` deleted — no reader can ever observe a
+    * HALF-compacted mix, though between the two renames the path briefly
+    * resolves to nothing (a concurrently-starting read fails fast with
+    * path-not-found rather than reading torn data), and a crash in that
+    * window leaves the full dataset recoverable under `.old`. A
+    * serve-while-compacting deployment points readers at a manifest/view
+    * and swaps that instead. Concurrent APPENDS during
     * compaction are unsupported (rows written after the initial read would
     * be dropped by the swap) — pause writers or take an external lock; the
     * streaming pipeline runs compaction between micro-batch generations.

@@ -177,13 +177,19 @@ object Analytics {
     * driver-side jobs — no `.first()` materialization in the query body.
     */
   def q11ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "part").createOrReplaceTempView("part_v")
-    spark.sql(
-      """SELECT p_type, count(*) AS n_premium,
-        |  round(min(p_retailprice), 2) AS min_price
-        |FROM part_v
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)
-        |GROUP BY p_type""".stripMargin)
+    // a unique, immediately-dropped view name: the returned DataFrame is
+    // analyzed eagerly (the view's plan is inlined), so the catalog entry
+    // can be removed before returning — no user view is clobbered and no
+    // session state outlives the call
+    val view = s"graft_part_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(spark, dir, "part").createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT p_type, count(*) AS n_premium,
+         |  round(min(p_retailprice), 2) AS min_price
+         |FROM $view
+         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM $view)
+         |GROUP BY p_type""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Tumbling-window aggregation over event time (15-minute buckets) — the

@@ -183,7 +183,7 @@ object EventOps {
     * for round-tripped IEEE doubles).
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = graft.util.Scratch.dir("graft_csv").toString
     latestPerKey(spark, dir)
       .coalesce(1)
       .write.option("header", "true").mode("overwrite").csv(out)
@@ -214,7 +214,7 @@ object EventOps {
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file streaming source requires a DIRECTORY; stage the single
     // events file into a temp dir unchanged
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val stage = graft.util.Scratch.dir("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
@@ -232,7 +232,7 @@ object EventOps {
       .outputMode(OutputMode.Update)
       .format("memory").queryName(sink)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ck").toString)
+        graft.util.Scratch.dir("graft_ck").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -283,7 +283,7 @@ object EventOps {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stage = java.nio.file.Files.createTempDirectory("graft_wstream_src")
+    val stage = graft.util.Scratch.dir("graft_wstream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
@@ -298,7 +298,7 @@ object EventOps {
       .outputMode(OutputMode.Complete)
       .format("memory").queryName(sink)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_wck").toString)
+        graft.util.Scratch.dir("graft_wck").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

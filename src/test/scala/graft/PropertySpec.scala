@@ -28,7 +28,8 @@ class PropertySpec extends SparkSpec {
 
   test("shingle_array == the declarative HOF chain on arbitrary token arrays") {
     val toks = samples(Gen.listOf(Gen.oneOf(
-      "a", "b", "c", "spark", "x y", "", "δ", "tok1", "tok2")), 100)
+      "a", "b", "c", "spark", "x y", "", "δ", "tok1", "tok2",
+      null.asInstanceOf[String])), 100)
     for (n <- Seq(1, 2, 3, 5)) {
       val df = toks.map(t => Tuple1(t)).toDF("t")
       val hof = df.select(
