@@ -59,6 +59,7 @@ object SparkEntry {
     "p_latest_stream"    -> EventOps.latestPerKeyStream _,
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
+    "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -187,6 +188,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source, md5(text) AS text_md5,
         |  CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents""".stripMargin,
+    // the bucketed co-located join must equal the plain join
+    "p_bucketed_join" ->
+      """WITH totals AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_purchases,
+        |  any_value(t.n_events) AS n_events
+        |FROM events e JOIN totals t USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY e.user_id""".stripMargin,
     // the salted two-phase aggregate must equal the plain GROUP BY;
     // integer cent-sums make the comparison order-proof
     "p_salted_stats" ->

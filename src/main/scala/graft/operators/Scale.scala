@@ -17,6 +17,15 @@ object Scale {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int = 32, sortByKey: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: with an in-memory catalog, a table location
+    // left by a PREVIOUS session isn't overwritable (the catalog has no
+    // entry for it) — drop the entry if present and clear the stale path
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val w = df.write.mode("overwrite").bucketBy(nBuckets, key)
     (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
   }

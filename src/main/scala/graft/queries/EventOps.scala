@@ -269,6 +269,28 @@ object EventOps {
         round(col("max_value"), 2).as("max_value"))
   }
 
+  /** A join executed through [[graft.operators.Scale.writeBucketed]]
+    * bucketed tables — gates the co-located-join machinery end to end:
+    * both sides are persisted bucketed by `user_id` (the write-time
+    * shuffle that every later join amortizes; `ScaleSpec` separately
+    * plan-asserts such joins need no Exchange), then joined and
+    * aggregated. Values must equal the oracle's plain join.
+    */
+  def bucketedJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    Scale.writeBucketed(ev, "graft_events_bkt", "user_id", nBuckets = 8)
+    val totals = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Scale.writeBucketed(totals, "graft_totals_bkt", "user_id", nBuckets = 8)
+    spark.table("graft_events_bkt")
+      .join(spark.table("graft_totals_bkt"), "user_id")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        first(col("n_events")).as("n_events"))
+  }
+
   /** The q12 tumbling-window aggregate produced through the REAL streaming
     * path: file-source micro-batches → streaming window aggregate →
     * memory sink, drained with `Trigger.AvailableNow`. Complete output
