@@ -11,7 +11,7 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     // mirror Bench's session exactly (cpus env, function registry,
     // optimizer rules) so a TimeOne number predicts the Bench number
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

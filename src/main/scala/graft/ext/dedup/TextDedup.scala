@@ -90,12 +90,6 @@ object TextDedup {
       graft.functions.MinHashSig.minhash_sig(col("shingles"), numHashes)
         .as("sig"))
 
-  /** MinHash + LSH banding: split the signature into `bands` bands of
-    * `numHashes/bands` rows, bucket-join docs agreeing on any whole band,
-    * then verify candidates with EXACT Jaccard (so output precision is 1.0;
-    * banding only controls recall/candidate count). At 100 TB the band join
-    * is the only shuffle and candidates stay ∝ true near-dups.
-    */
   /** Band keys for a signature table: (band index, hash of the band's
     * slice) — `bands` rows per doc, the LSH bucket-join key.
     */
@@ -106,6 +100,17 @@ object TextDedup {
           slice(col("sig"), bnd * rows + 1, rows).cast("string")), lit(bnd))): _*))
         .as(Seq("band", "bucket")))
 
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, bucket-join docs agreeing on any whole band,
+    * then verify candidates with EXACT Jaccard (so output precision is 1.0;
+    * banding only controls recall/candidate count). At 100 TB the band join
+    * is the only shuffle and candidates stay ∝ true near-dups.
+    *
+    * The shingle table is `cache()`d (it feeds the band keys AND both
+    * sides of the exact verify) and stays resident for the session —
+    * callers invoking this repeatedly in one long-lived session should
+    * compute [[shingles]] themselves and manage its lifecycle.
+    */
   def minhashLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
@@ -165,41 +170,58 @@ object TextDedup {
       .limit(topK)
   }
 
-  /** Incremental near-dup detection: pair a new `delta` batch against an
-    * already-indexed `index` corpus WITHOUT re-pairing the index against
-    * itself — the nightly-ingest shape. Same MinHash/LSH machinery as
-    * [[minhashLshPairs]], but the band join is delta-vs-index only.
-    *
-    * Scale shape: in production the index's signatures and band keys are
-    * computed once at ingest and persisted (bucketed by (band, bucket)), so
-    * a nightly run's cost is ∝ delta, not corpus: signature the delta
-    * (narrow codegen pass), band-join its (small) key set against the
-    * bucketed index — AQE broadcasts the delta side — and exact-verify only
-    * the candidates. Here both sides are derived on the fly from the same
-    * table for the gate.
+  // ——— Incremental near-dup detection: pair a new delta batch against an
+  // already-indexed corpus WITHOUT re-pairing the index against itself (the
+  // nightly-ingest / streaming-ingest shape). Same MinHash/LSH machinery as
+  // minhashLshPairs, but the band join is delta-vs-index only: signature
+  // the delta (narrow codegen pass), band-join its small key set against
+  // the prepared index — AQE broadcasts the delta side — and exact-verify
+  // only the candidates. Cost ∝ delta, not corpus.
+
+  /** An index corpus prepared for repeated delta lookups: its shingle and
+    * band-key tables, computed once. `persist()` both (and `release()`
+    * when done) for multi-use lifecycles — a streaming query does this
+    * automatically for its own lifetime.
     */
-  def minhashPairsAgainstIndex(delta: DataFrame, index: DataFrame,
+  case class PreparedIndex(shingles: DataFrame, bandKeys: DataFrame) {
+    def persist(): PreparedIndex = {
+      shingles.persist(); bandKeys.persist(); this
+    }
+    def release(): Unit = { shingles.unpersist(); bandKeys.unpersist() }
+  }
+
+  /** Build the [[PreparedIndex]] for a static corpus (the write-once step
+    * a production ingest runs when a doc enters the index; persisted
+    * bucketed by (band, bucket) at 100 TB).
+    */
+  def prepareIndex(index: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): PreparedIndex = {
+    val sh = shingles(index, n)
+    PreparedIndex(sh,
+      bandKeys(minhashSignatures(sh, numHashes), bands, rows = numHashes / bands))
+  }
+
+  /** Delta-vs-prepared-index near-dup pairs: band-join the delta's keys
+    * against the index's, exact-verify candidates. A doc_id present on
+    * BOTH sides (an at-least-once re-delivery) is excluded — it would
+    * otherwise pair with itself at jaccard 1.0 and poison a reject queue.
+    */
+  def pairsAgainstIndex(delta: DataFrame, prepared: PreparedIndex,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      n: Int = 3, cache: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
-    // cache=false by default: the result is returned lazily, so a cache
-    // here has no unpersist point and repeated calls would pin corpus-
-    // sized shingle tables for the session lifetime. Opt in only when the
-    // caller owns the lifecycle; the cost of false is one extra narrow
-    // codegen'd shingle pass per side.
-    def maybeCache(df: DataFrame) = if (cache) df.cache() else df
-    val shD = maybeCache(shingles(delta, n))
-    val shI = maybeCache(shingles(index, n))
-    val bD = bandKeys(minhashSignatures(shD, numHashes), bands, rows)
-    val bI = bandKeys(minhashSignatures(shI, numHashes), bands, rows)
-    val candidates = bD.as("a").join(bI.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      n: Int = 3): DataFrame = {
+    val shD = shingles(delta, n)
+    val bD = bandKeys(minhashSignatures(shD, numHashes), bands,
+      rows = numHashes / bands)
+    val candidates = bD.as("a").join(prepared.bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_index"))
       .distinct()
     candidates
       .join(shD.select(col("doc_id").as("d_new"), col("shingles").as("sh1")),
         "d_new")
-      .join(shI.select(col("doc_id").as("d_index"), col("shingles").as("sh2")),
+      .join(prepared.shingles
+        .select(col("doc_id").as("d_index"), col("shingles").as("sh2")),
         "d_index")
       .select(col("d_new"), col("d_index"),
         round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
@@ -208,28 +230,47 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Streaming incremental dedup: run [[minhashPairsAgainstIndex]] on every
-    * micro-batch of a document stream against a static indexed corpus —
-    * the ingest-time near-dup flagger. `foreachBatch` is the right Spark
-    * shape here: each batch is a bounded DataFrame, so the full batch
-    * machinery (band join, AQE broadcast of the delta side, exact verify)
-    * applies unchanged, and `onPairs` receives the verified pairs to
-    * route (reject queue, tombstone write, metric). At 100 TB the static
-    * side's signatures are precomputed and bucketed; per-batch cost is
-    * ∝ batch size. Returns the started query; callers own its lifecycle.
+  /** One-shot delta-vs-index pairing (builds the index prep inline; for
+    * repeated or streaming use, [[prepareIndex]] once instead).
+    */
+  def minhashPairsAgainstIndex(delta: DataFrame, index: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): DataFrame =
+    pairsAgainstIndex(delta, prepareIndex(index, numHashes, bands, n),
+      threshold, numHashes, bands, n)
+
+  /** Streaming incremental dedup: flag each micro-batch of a document
+    * stream against a static indexed corpus — the ingest-time near-dup
+    * gate. The index's shingles and band keys are computed ONCE and kept
+    * persisted for the stream's lifetime (per-batch cost is ∝ batch, not
+    * corpus — recomputing the index side every trigger would invert
+    * that); they are released when the query terminates. `foreachBatch`
+    * gives each batch the full batch machinery (band join, AQE broadcast
+    * of the small delta side, exact verify); `onPairs` routes the
+    * verified pairs (reject queue, tombstone write, metric). Returns the
+    * started query; callers own its lifecycle.
     */
   def streamingNearDups(deltaStream: DataFrame, index: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3)(onPairs: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    deltaStream.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prepared = prepareIndex(index, numHashes, bands, n).persist()
+    val q = deltaStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPairs(
-          minhashPairsAgainstIndex(batch, index, threshold, numHashes,
-            bands, n, cache = false), batchId)
+          pairsAgainstIndex(batch, prepared, threshold, numHashes, bands, n),
+          batchId)
       }
       .start()
+    // release the pinned index tables when the stream ends, however it ends
+    new Thread(() => {
+      try q.awaitTermination()
+      catch { case _: Throwable => () }
+      finally prepared.release()
+    }, s"graft-neardup-release-${q.id}").start()
+    q
+  }
 
   /** Gated incremental-dedup report: the "index" is the even doc_ids, the
     * "delta" the odd ones.

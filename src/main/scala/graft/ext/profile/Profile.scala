@@ -21,7 +21,8 @@ object Profile {
     // the stack() expression is built from column names — quote the labels
     // and backtick the refs so names with spaces/quotes neither break the
     // parse nor inject into the generated expression
-    def label(c: String) = "'" + c.replace("'", "\\'") + "'"
+    def label(c: String) =
+      "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def ref(c: String) = "`" + c.replace("`", "``") + "`"
     // two aggregate passes on purpose: counts/distincts have long buffers
     // (HashAggregate over the distinct Expand), while min/max over string

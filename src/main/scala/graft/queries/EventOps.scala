@@ -204,21 +204,44 @@ object EventOps {
     * one parquet file → one micro-batch → exactly one Update row per key;
     * the driver hash-compares it against the batch oracle.
     */
-  def latestPerKeyStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    implicit val enc = org.apache.spark.sql.Encoders.product[EventRecord]
-    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the file streaming source requires a DIRECTORY; stage the single
-    // events file into a temp dir unchanged
+  /** Wire schema + staged file source + memory-sink drain shared by the
+    * streaming gates (one copy, so the gates can't silently diverge).
+    * The file streaming source requires a DIRECTORY; the single events
+    * file is staged into a scratch dir unchanged.
+    */
+  private val EventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val stage = graft.util.Scratch.dir("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val rec = spark.readStream.schema(schema).parquet(stage.toString)
+    spark.readStream.schema(EventsSchema).parquet(stage.toString)
+  }
+
+  private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
+      mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.catalog.dropTempView(sink)
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  def latestPerKeyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val enc = org.apache.spark.sql.Encoders.product[EventRecord]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    val rec = eventsStream(spark, dir)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
         expr("timestamp_micros(ts DIV 1000)").as("ts"),
         col("event_type"), col("value")).as[EventRecord]
@@ -226,20 +249,11 @@ object EventOps {
       val i = r.ts.toInstant
       (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.s_no)
     }
-    val sink = "latest_stream_gate"
-    spark.catalog.dropTempView(sink)
-    val q = latest.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        graft.util.Scratch.dir("graft_ck").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).select(col("station_id"),
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-      col("s_no"), col("event_type"),
-      round(col("value"), 2).as("value"))
+    drainToMemory(spark, latest.toDF(), "latest_stream_gate", OutputMode.Update())
+      .select(col("station_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("s_no"), col("event_type"),
+        round(col("value"), 2).as("value"))
   }
 
   /** The event-type counts computed through [[graft.operators.Scale
@@ -300,32 +314,14 @@ object EventOps {
     * same DuckDB oracle as the batch q12.
     */
   def tumblingWindowStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stage = graft.util.Scratch.dir("graft_wstream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    import org.apache.spark.sql.streaming.OutputMode
+    val agg = eventsStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val agg = src
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    val sink = "window_stream_gate"
-    spark.catalog.dropTempView(sink)
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        graft.util.Scratch.dir("graft_wck").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).select(
-      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-      col("event_type"), col("n"), col("sum_value"))
+    drainToMemory(spark, agg, "window_stream_gate", OutputMode.Complete())
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
   }
 }
