@@ -47,6 +47,11 @@ object GraftSession {
         val n = exprs(1).eval(null).asInstanceOf[Number].intValue
         graft.functions.ShingleArray(exprs.head, n)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch",
+      exprs => {
+        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+        graft.functions.KmvSketch(exprs.head, k)
+      }, "scala_udf")
   }
 
   /** Install graft's optimizer rules (e.g. the row_number→max_by top-1

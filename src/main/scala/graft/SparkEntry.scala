@@ -83,6 +83,7 @@ object SparkEntry {
     "x_corpus_prepare"   -> ((s, d) => graft.ext.corpus.Corpus.prepare(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
     "q22_hopping_window" -> Analytics.q22HoppingWindow _,
+    "q23_kmv_distinct"   -> ((s, d) => Analytics.q23KmvDistinct(s, d)),
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
@@ -174,6 +175,26 @@ object SparkEntry {
         |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the oracle rebuilds the full KMV sketch (k-th smallest portable MD5
+    // hash per group) — the sketch STATE is compared, not just estimates
+    "q23_kmv_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type,
+        |    md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS nd, list_sort(list(hv))[256] AS kth
+        |  FROM d GROUP BY event_type),
+        |x AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT s.event_type, x.exact_distinct,
+        |  CAST(s.kth AS DECIMAL(21,0)) AS kth_hash,
+        |  CASE WHEN s.kth IS NULL THEN s.nd = x.exact_distinct
+        |    ELSE abs(255.0 * 18446744073709551616.0 / CAST(s.kth AS DOUBLE)
+        |      - x.exact_distinct) / x.exact_distinct <= 0.1
+        |  END AS within_10pct
+        |FROM s JOIN x USING (event_type)""".stripMargin,
     // every event lands in exactly 2 hopping windows: time_bucket(slide)
     // and one slide earlier
     "q22_hopping_window" ->

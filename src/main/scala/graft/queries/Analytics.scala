@@ -205,6 +205,38 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** KMV distinct-count sketch per group via the custom
+    * [[graft.functions.KmvSketch]] `TypedImperativeAggregate` — O(k) state
+    * per group, map-side partials, associative merges. Both sketch paths
+    * are gated: at sf0.01 the groups have < k distinct users (`kth` null,
+    * the sketch is exact), at sf0.1 they exceed k and the k-th-minimum
+    * estimate engages. The portable MD5 hashing makes the ENTIRE sketch
+    * state (the k-th minimum hash) oracle-comparable, not just the
+    * estimate; `within_10pct` is derived identically on both sides, so
+    * it matches even where the estimator misses.
+    */
+  def q23KmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(21, 0)
+    val two64dec = new java.math.BigDecimal("18446744073709551616")
+    val agg = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"),
+        graft.functions.KmvSketch
+          .kmv_sketch(col("user_id").cast("string"), k).as("s"))
+    // render the k-th minimum's raw bits as its unsigned decimal value
+    val kthDec = when(col("s.kth").isNull, lit(null).cast(dec))
+      .otherwise(when(col("s.kth") < 0,
+        col("s.kth").cast(dec) + lit(two64dec)).otherwise(col("s.kth").cast(dec)))
+    val est = lit((k - 1).toDouble * math.pow(2, 64)) / col("kth_hash").cast("double")
+    agg.select(col("event_type"), col("exact_distinct"), kthDec.as("kth_hash"),
+        col("s.nd").as("nd"))
+      .withColumn("within_10pct",
+        when(col("kth_hash").isNull, col("nd") === col("exact_distinct"))
+          .otherwise(abs(est - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double") <= 0.1))
+      .drop("nd")
+  }
+
   /** Hopping (sliding) window aggregation: 30-minute windows every 15
     * minutes — each event lands in exactly size/slide = 2 windows. The
     * window assignment is a generator projection (2 rows out per row in,

@@ -347,3 +347,48 @@ class ProfileSpec extends SparkSpec {
     assert(rows("s") == ((4L, 1L, 2L, "a", "c")))
   }
 }
+
+class KmvSketchSpec extends SparkSpec {
+  import graft.functions.KmvSketch.kmv_sketch
+
+  test("below k the sketch is exact (kth null, nd = distinct count)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => s"u${i % 20}").toDF("v")
+    val r = df.agg(kmv_sketch(col("v"), 256).as("s"))
+      .select(col("s.nd"), col("s.kth")).collect().head
+    assert(r.getInt(0) == 20 && r.isNullAt(1))
+  }
+
+  test("kth minimum matches a reference computation and survives repartition") {
+    import spark.implicits._
+    val vals = (1 to 5000).map(i => s"item$i")
+    val k = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = vals.map(v =>
+        graft.functions.SimHash64.md5Low64(md, v.getBytes("UTF-8")))
+      .distinct.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+      .apply(k - 1)
+    for (parts <- Seq(1, 7)) {
+      val r = vals.toDF("v").repartition(parts)
+        .agg(kmv_sketch(col("v"), k).as("s"))
+        .select(col("s.nd"), col("s.kth")).collect().head
+      assert(r.getInt(0) == k)
+      assert(r.getLong(1) == expected, s"parts=$parts")
+    }
+  }
+
+  test("duplicates do not perturb the sketch; estimate is in a sane band") {
+    import spark.implicits._
+    val once = (1 to 2000).map(i => s"d$i").toDF("v")
+    val dups = ((1 to 2000) ++ (1 to 2000)).map(i => s"d$i").toDF("v")
+    val k = 128
+    val a = once.agg(kmv_sketch(col("v"), k)).collect().head.getStruct(0)
+    val b = dups.agg(kmv_sketch(col("v"), k)).collect().head.getStruct(0)
+    assert(a == b)
+    val kth = a.getLong(1)
+    val unsignedKth = new java.math.BigDecimal(
+      java.lang.Long.toUnsignedString(kth)).doubleValue()
+    val est = (k - 1).toDouble * math.pow(2, 64) / unsignedKth
+    assert(est > 1000 && est < 4000, s"estimate $est far from 2000")
+  }
+}
