@@ -13,10 +13,13 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.register(spark)
+    GraftSession.installOptimizations(spark)
     SparkEntry.queries.get(name) match {
       case Some(q) => q(spark, dir).explain("formatted")
       case None =>
