@@ -36,9 +36,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // round to ms so the whole 68-query line stays short enough for the
+    // driver's stdout tail window (full double digits truncated it in r02)
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = ms(if (results.nonEmpty) results.map(_._2).sum else 0.0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -57,7 +57,12 @@ object SparkEntry {
     "p_full_scan"        -> EventOps.fullScan _,
     "p_csv_roundtrip"    -> EventOps.csvRoundTrip _,
     "p_latest_stream"    -> EventOps.latestPerKeyStream _,
+    "p_latest_arrival"   -> EventOps.latestArrivalStream _,
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
+    "p_window_stream_append" -> EventOps.tumblingWindowStreamAppend _,
+    "p_wstats_append"    -> EventOps.windowedStatsAppend _,
+    "p_edge_alerts"      -> EventOps.edgeAlertStream _,
+    "p_wire_decode"      -> EventOps.wireDecode _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
     // extension surface: training-data pipeline operators
@@ -72,6 +77,8 @@ object SparkEntry {
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
     "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
     "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClusters(s, d)),
+    "x_dedup_clusters_lss" -> ((s, d) => TextDedup.dedupClusters(s, d,
+      strategy = TextDedup.CcStrategy.LargeStarSmallStar)),
     "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
     "x_dedup_incremental" -> ((s, d) => TextDedup.incrementalNearDups(s, d)),
     "x_text_redact"      -> TextAnalysis.redactionReport _,
@@ -88,6 +95,8 @@ object SparkEntry {
     "x_ann_lsh"          -> ((s, d) => Similarity.lshTopK(s, d, probes = 256)),
     "x_ann_ivf"          -> ((s, d) => Similarity.ivfTopK(s, d, nLists = 16, nProbe = 16)),
     "x_ann_pq"           -> ((s, d) => Similarity.pqTopK(s, d, rerank = 400)),
+    "x_ann_ivfpq"        -> ((s, d) =>
+      Similarity.ivfPqTopK(s, d, nLists = 16, nProbe = 16, rerank = 400)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
@@ -233,6 +242,62 @@ object SparkEntry {
         |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // watermark + APPEND mode must finalize every real window exactly once
+    // with the same values the batch aggregate computes
+    "p_window_stream_append" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // WindowedStats.tumbling end to end (per-station watermarked windows,
+    // append mode): integer humidity/wind sums are exact in doubles, so
+    // the rounded average is engine-stable
+    "p_wstats_append" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  user_id AS station_id, count(*) AS n,
+        |  round(avg(CAST(round(value, 0) AS INTEGER)), 4) AS avg_humidity,
+        |  max(CAST(event_id % 30 AS INTEGER)) AS max_wind
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // rising-edge alerts (flatMapGroupsWithState): fire only on a
+    // below→above threshold crossing in s_no order
+    "p_edge_alerts" ->
+      """SELECT station_id, s_no, humidity FROM (
+        |  SELECT user_id AS station_id, event_id AS s_no,
+        |    CAST(round(value, 0) AS INTEGER) AS humidity,
+        |    lag(CAST(round(value, 0) AS INTEGER)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events) t
+        |WHERE humidity > 70 AND (prev IS NULL OR prev <= 70)""".stripMargin,
+    // arrival-order latest (BitCask semantics): the staged log arrives in
+    // s_no order, so the winner per key is the max-s_no row — NOT the
+    // event-time winner p_latest_stream gates
+    "p_latest_arrival" ->
+      """SELECT station_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  s_no, event_type, round(value, 2) AS value
+        |FROM (
+        |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS s_no, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    // the Kafka decode path: frames are a deterministic rendering of events
+    // (stationId=user_id, sequenceNumber=event_id, battery by event_id % 3,
+    // millis timestamp, humidity=round(value)); rows made malformed
+    // (event_id % 7 = 0) or enum-invalid (event_id % 11 = 0) must be dropped
+    "p_wire_decode" ->
+      """SELECT user_id AS station_id, event_id AS s_no,
+        |  CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'low'
+        |    WHEN 1 THEN 'medium' ELSE 'high' END AS battery_status,
+        |  strftime(make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000),
+        |    '%Y-%m-%d %H:%M:%S.%g') AS ts,
+        |  CAST(round(value, 0) AS INTEGER) AS humidity,
+        |  CAST(event_id % 50 AS INTEGER) AS temperature,
+        |  CAST(event_id % 30 AS INTEGER) AS wind_speed
+        |FROM events
+        |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
@@ -491,37 +556,10 @@ object SparkEntry {
         |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin,
     // connected components as a transitive closure (tiny here: the edge
     // list is the verified near-dup pair set); cluster_id = component min
-    "x_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (
-        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-        |prs AS (
-        |  SELECT d1, d2 FROM (
-        |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
-        |      any_value(a.n) AS n1, any_value(b.n) AS n2
-        |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2) p
-        |  WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM prs
-        |  UNION SELECT d2, d1 FROM prs),
-        |reach AS (
-        |  SELECT src AS doc_id, src AS r FROM edges
-        |  UNION
-        |  SELECT reach.doc_id, e.dst FROM reach
-        |  JOIN edges e ON e.src = reach.r),
-        |comp AS (
-        |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
-        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
-        |  c.doc_id = c.cluster_id AS is_canonical
-        |FROM comp c
-        |JOIN (SELECT cluster_id, count(*) AS cluster_size
-        |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
+    "x_dedup_clusters" -> dedupClustersOracle,
+    // same component semantics through the O(log n) large-star/small-star
+    // edge-rewrite rule — the oracle is identical to x_dedup_clusters
+    "x_dedup_clusters_lss" -> dedupClustersOracle,
     // the oracle joins on raw span strings where Spark joins on xxhash64 —
     // semantically identical barring a 64-bit collision
     "x_decontaminate" ->
@@ -698,6 +736,9 @@ object SparkEntry {
     // with ~20x rank margin on this data (measured at sf0.001..0.1); the
     // exact re-rank then equals brute force
     "x_ann_pq" -> annTopkOracle,
+    // IVF-PQ at nProbe = nLists scans every list; the ADC pool + exact
+    // re-rank then equals brute force (same pool argument as x_ann_pq)
+    "x_ann_ivfpq" -> annTopkOracle,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,
@@ -764,6 +805,38 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin
   )
+
+  private val dedupClustersOracle =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |prs AS (
+      |  SELECT d1, d2 FROM (
+      |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+      |      any_value(a.n) AS n1, any_value(b.n) AS n2
+      |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM prs
+      |  UNION SELECT d2, d1 FROM prs),
+      |reach AS (
+      |  SELECT src AS doc_id, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.doc_id, e.dst FROM reach
+      |  JOIN edges e ON e.src = reach.r),
+      |comp AS (
+      |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+      |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+      |  c.doc_id = c.cluster_id AS is_canonical
+      |FROM comp c
+      |JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
 
   private val latestPerKeyOracle =
     """SELECT station_id,

@@ -69,23 +69,28 @@ object LatestState {
   def point(latestTable: DataFrame, stationId: Long): DataFrame =
     latestTable.filter(col("station_id") === stationId)
 
-  /** Streaming ARRIVAL-order mode — faithful BitCask semantics: the last row
-    * to arrive wins, even if its event time is older
-    * (ref: BitCask.java:136 overwrites unconditionally). Within one
+  /** Generic streaming ARRIVAL-order latest-per-key — faithful BitCask
+    * semantics: the last row to arrive wins, even if its event time is
+    * older (ref: BitCask.java:136 overwrites unconditionally). Within one
     * micro-batch, arrival order per key is the iterator order.
     */
-  def latestStreamArrivalOrder(archive: DataFrame): Dataset[WeatherStatus] = {
-    implicit val enc = Encoders.product[WeatherStatus]
-    implicit val longEnc = Encoders.scalaLong
-    archive.as[WeatherStatus]
-      .groupByKey(_.station_id)
+  def latestStreamArrivalBy[T, K](ds: Dataset[T])(key: T => K)(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      kenc: org.apache.spark.sql.Encoder[K]): Dataset[T] =
+    ds.groupByKey(key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[WeatherStatus], state: GroupState[WeatherStatus]) =>
-          var last: WeatherStatus = state.getOption.orNull
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          var last: T = state.getOption.getOrElse(null.asInstanceOf[T])
           rows.foreach(r => last = r)
           state.update(last)
           last
       }
+
+  /** Arrival-order mode over the weather archive shape. */
+  def latestStreamArrivalOrder(archive: DataFrame): Dataset[WeatherStatus] = {
+    implicit val enc = Encoders.product[WeatherStatus]
+    implicit val longEnc = Encoders.scalaLong
+    latestStreamArrivalBy(archive.as[WeatherStatus])(_.station_id)
   }
 
   /** A2-analog — persist the latest table as a "current state" parquet dir,

@@ -263,12 +263,30 @@ object TextDedup {
           batchId)
       }
       .start()
-    // release the pinned index tables when the stream ends, however it ends
-    new Thread(() => {
-      try q.awaitTermination()
-      catch { case _: Throwable => () }
-      finally prepared.release()
-    }, s"graft-neardup-release-${q.id}").start()
+    // release the pinned index tables when the stream ends, however it ends:
+    // a StreamingQueryListener on termination is the supported hook (no
+    // detached thread, no swallowed exceptions). The isActive re-check
+    // closes the tiny window where the query terminates before the listener
+    // registers (events posted before addListener are not replayed).
+    val spark = index.sparkSession
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseOnce(): Unit =
+      if (released.compareAndSet(false, true)) prepared.release()
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          releaseOnce()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) { releaseOnce(); spark.streams.removeListener(listener) }
     q
   }
 
@@ -319,26 +337,53 @@ object TextDedup {
       d.filter(col("doc_id") % 10 === 0), n, minShared)
   }
 
-  /** Connected components over an undirected pair list `(d1, d2)` by
-    * iterative min-label propagation: every vertex starts labelled with
-    * itself; each round every vertex takes the min label among itself and
-    * its neighbours; fixpoint = the component's minimum vertex id.
+  /** Update-rule strategies for [[connectedComponents]]. */
+  sealed trait CcStrategy
+  object CcStrategy {
+    /** Min-label propagation — rounds ∝ component diameter. The right
+      * default for dedup graphs (LSH-verified cliques-plus-chains with tiny
+      * diameter).
+      */
+    case object MinLabel extends CcStrategy
+    /** Alternating large-star/small-star (Kiveris et al., "Connected
+      * Components in MapReduce and Beyond") — O(log n) practical rounds
+      * regardless of diameter, skew-resistant; the planet-scale/deep-chain
+      * answer.
+      */
+    case object LargeStarSmallStar extends CcStrategy
+  }
+
+  /** Connected components over an undirected pair list `(d1, d2)`.
+    * Output: one `(doc_id, label)` row per vertex incident to an edge,
+    * `label` = the component's minimum vertex id.
     *
-    * Scale shape: each round is one shuffle join of the (small,
-    * ∝ true-duplication) edge list against the label table plus a map-side-
-    * combined min aggregate — no driver-side graph. `localCheckpoint()`
-    * truncates lineage so plans don't grow with iterations, and the
-    * convergence test collects a single count per round (the standard
-    * driver-side loop for iterative graph algorithms — GraphX/GraphFrames
-    * do the same). Rounds ∝ component diameter; near-dup components are
-    * LSH-verified cliques-plus-chains with tiny diameter, and `maxIters`
-    * bounds the pathological chain. For planet-scale graphs with deep
-    * chains, swap the update rule for large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond") — same join
-    * skeleton, O(log n) rounds, skew-resistant; the simple rule is the
-    * right default for dedup graphs.
+    * [[CcStrategy.MinLabel]]: every vertex starts labelled with itself;
+    * each round every vertex takes the min label among itself and its
+    * neighbours; fixpoint = the component min. Each round is one shuffle
+    * join of the (small, ∝ true-duplication) edge list against the label
+    * table plus a map-side-combined min aggregate — no driver-side graph.
+    * `localCheckpoint()` truncates lineage so plans don't grow with
+    * iterations, and the convergence test collects a single count per round
+    * (the standard driver-side loop for iterative graph algorithms —
+    * GraphX/GraphFrames do the same). Rounds ∝ component diameter;
+    * `maxIters` bounds the pathological chain.
+    *
+    * [[CcStrategy.LargeStarSmallStar]]: rewrites the EDGE set instead of a
+    * label table — large-star hangs every larger neighbour onto the
+    * neighbourhood min, small-star re-points smaller neighbours the same
+    * way; the fixpoint is a star per component centred at its min. Rounds
+    * are O(log n) in practice independent of diameter (the deep-chain
+    * escape hatch the MinLabel scaladoc promises), and per-round cost is
+    * the same join-plus-min-aggregate skeleton.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      strategy: CcStrategy = CcStrategy.MinLabel): DataFrame =
+    strategy match {
+      case CcStrategy.MinLabel => ccMinLabel(pairs, maxIters)
+      case CcStrategy.LargeStarSmallStar => ccLargeSmallStar(pairs, maxIters)
+    }
+
+  private def ccMinLabel(pairs: DataFrame, maxIters: Int): DataFrame = {
     val p = pairs.select(col("d1").as("src"), col("d2").as("dst"))
     val edges = p.union(p.select(col("dst"), col("src"))).cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -368,6 +413,62 @@ object TextDedup {
     labels
   }
 
+  /** Alternating large-star/small-star over a CANONICAL edge set (lo < hi,
+    * distinct, no self-loops). Per round, each operation is one
+    * min-per-vertex aggregate joined back onto the edges — map-side
+    * combined, skew-resistant (a hot vertex's edges spread over its scan
+    * partitions; the aggregate moves one row per vertex per partition).
+    * Convergence when the canonical edge set reaches a fixpoint: a star per
+    * component centred at its minimum vertex, read off directly as labels.
+    */
+  private def ccLargeSmallStar(pairs: DataFrame, maxIters: Int): DataFrame = {
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+
+    // large-star: for each vertex u with symmetric neighbourhood Γ(u),
+    // m = min(Γ(u) ∪ {u}); hang every neighbour v > u onto m
+    def largeStar(can: DataFrame): DataFrame = {
+      val sym = can.union(can.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      canonical(sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: orient each edge larger→smaller; for each u over its
+    // smaller neighbours N(u), m = min(N(u)); re-point every v ∈ N(u) ∪ {u}
+    // onto m
+    def smallStar(can: DataFrame): DataFrame = {
+      val oriented = can.select(col("v").as("u"), col("u").as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canonical(
+        oriented.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v"))))
+    }
+
+    var edges = canonical(
+      pairs.select(col("d1").as("u"), col("d2").as("v"))).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      changed = next.exceptAll(edges).union(edges.exceptAll(next)).count()
+      edges = next
+      it += 1
+    }
+    require(changed == 0,
+      s"large-star/small-star did not converge in $maxIters rounds " +
+        s"($changed edge deltas) — raise maxIters")
+    // fixpoint = stars: every canonical edge is (center=min, member), so
+    // members label directly and each center labels itself
+    edges.select(col("v").as("doc_id"), col("u").as("label"))
+      .union(edges.select(col("u").as("doc_id"), col("u").as("label")))
+      .distinct()
+  }
+
   /** Duplicate clusters with a canonical survivor — the production step
     * after pair generation: group near-dup pairs into components, keep the
     * minimum doc_id of each as canonical, drop the rest. Only clustered
@@ -376,9 +477,10 @@ object TextDedup {
     */
   def dedupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
     val labels = connectedComponents(
-      minhashLshPairs(spark, dir, threshold, numHashes, bands, n))
+      minhashLshPairs(spark, dir, threshold, numHashes, bands, n),
+      strategy = strategy)
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -48,21 +48,30 @@ object Similarity {
   /** ANN top-k: probe the `probes` buckets nearest (by signature hamming
     * distance) to the query's bucket. With probes = 2^nBits this degrades to
     * exact brute force; fewer probes trade recall for a pruned scan.
+    *
+    * The probe set depends only on the query's signature and nBits, so all
+    * 2^nBits bucket ids are enumerated and ranked DRIVER-side (256 ints at
+    * the default) after one pruned fetch of the query row — the corpus is
+    * then touched by exactly one scan, filtered with a literal `isin` set
+    * that partition-prunes when the bucketed table is persisted
+    * `partitionBy("bucket")`. (The previous shape discovered probe buckets
+    * by scanning every corpus row before pruning — one full scan per query.)
     */
   def lshTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
       k: Int = 10, nBits: Int = 8, probes: Int = 32): DataFrame = {
+    import spark.implicits._
     val b = lshBuckets(spark, dir, nBits)
     val qRow = b.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("query_vec"), col("bucket").as("qb"))
-    val q = broadcast(qRow)
-    val nBuckets = 1 << nBits
-    val probeSet = b.crossJoin(q)
-      .withColumn("hamming", bit_count(col("bucket").bitwiseXOR(col("qb"))))
-    // rank buckets by hamming, keep the `probes` closest bucket ids
-    val keep = probeSet.select(col("bucket"), col("hamming")).distinct()
-      .orderBy(col("hamming").asc, col("bucket").asc).limit(probes)
-    probeSet.join(broadcast(keep.select(col("bucket"))), "bucket")
+      .select(col("embedding"), col("bucket")).collect().head
+    val qVec = qRow.getSeq[Float](0)
+    val qb = qRow.getInt(1)
+    val keep = (0 until (1 << nBits))
+      .sortBy(bid => (Integer.bitCount(bid ^ qb), bid))
+      .take(probes)
+    val q = broadcast(Seq(Tuple1(qVec)).toDF("query_vec"))
+    b.filter(col("bucket").isin(keep: _*))
       .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -70,16 +79,34 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
-    * agreement (same `nBits`-bit hyperplane signature), verified by exact
-    * cosine ≥ threshold. The bucket join keeps candidates ∝ true near-dups;
-    * at 100 TB add multi-probe (hamming-1 buckets) for recall, or lower
-    * nBits. The exhaustive O(n²) form is the yardstick only.
+    * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
+    * recall: one side of the join explodes each vector's bucket into the
+    * bucket itself plus its `nBits` hamming-1 neighbours, so any pair whose
+    * signatures differ in ≤ `probeHamming` (0 or 1) bits becomes a
+    * candidate. Probe values per vector are distinct, so a pair matches at
+    * most once — no dedup pass. Candidates stay ∝ true near-dups (the probe
+    * factor is nBits+1 on ONE side's keys, not a cross product); precision
+    * is 1.0 because every candidate is exact-verified. The exhaustive O(n²)
+    * form is the yardstick only.
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, nBits: Int = 8): DataFrame = {
-    val b = lshBuckets(spark, dir, nBits)
+      threshold: Double = 0.8, nBits: Int = 8, probeHamming: Int = 1): DataFrame =
+    cosineNearDupPairsOf(emb(spark, dir), threshold, nBits, probeHamming)
+
+  /** [[cosineNearDupPairs]] over any frame with (vec_id, embedding). */
+  def cosineNearDupPairsOf(df: DataFrame, threshold: Double = 0.8,
+      nBits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      s"probeHamming must be 0 or 1, got $probeHamming")
+    val b = df.withColumn("bucket",
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits))
+    val probes =
+      if (probeHamming == 1)
+        array((col("bucket") +: (0 until nBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)
+      else array(col("bucket"))
     val a1 = b.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-      col("bucket"))
+      explode(probes).as("bucket"))
     val a2 = b.select(col("vec_id").as("v2"), col("embedding").as("e2"),
       col("bucket"))
     a1.join(a2, Seq("bucket"))
@@ -228,13 +255,42 @@ object Similarity {
     * (kilobytes). Output column `codes` = array of `m` code indices.
     */
   def pqEncode(spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pqEncodeDf(emb(spark, dir), codebooks)
+
+  /** [[pqEncode]] over any frame with an `embedding` column (composes with
+    * [[ivfAssign]] for IVF-PQ).
+    */
+  def pqEncodeDf(df: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    emb(spark, dir).withColumn("codes",
+    df.withColumn("codes",
       array((0 until m).map(s =>
         graft.functions.NearestCentroid.nearest_centroid(
           slice(col("embedding"), s * sub + 1, sub), codebooks(s))): _*))
+  }
+
+  /** The ADC approximate-cosine column over a `codes` column: per-subspace
+    * lookup tables (dot product and squared norm of every codebook entry —
+    * m × codes doubles, computed driver-side) reconstruct cosine per row
+    * from `m` literal-array lookups, never touching raw floats. Shared by
+    * [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def adcCosine(cb: Array[Array[Array[Double]]],
+      qVec: Array[Double]): org.apache.spark.sql.Column = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val dotTab = Array.tabulate(m) { s =>
+      cb(s).map(c => c.indices.map(d => c(d) * qVec(s * sub + d)).sum)
+    }
+    val normTab = Array.tabulate(m) { s => cb(s).map(c => c.map(x => x * x).sum) }
+    val adcDot = (0 until m).map(s =>
+      element_at(typedLit(dotTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
+    val adcNorm2 = (0 until m).map(s =>
+      element_at(typedLit(normTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
+    adcDot / (lit(qNorm) * sqrt(adcNorm2))
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC) + exact re-rank:
@@ -254,21 +310,10 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
       k: Int = 10, m: Int = 16, codes: Int = 128, rerank: Int = 400): DataFrame = {
     val cb = pqFitCodebooks(spark, dir, m, codes)
-    val sub = cb(0)(0).length
     val enc = pqEncode(spark, dir, cb)
     val qVec = emb(spark, dir).filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect().head
       .getSeq[Float](0).map(_.toDouble).toArray
-    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
-    // per-subspace lookup tables: dot(query_sub, code) and ||code||²
-    val dotTab = Array.tabulate(m) { s =>
-      cb(s).map(c => c.indices.map(d => c(d) * qVec(s * sub + d)).sum)
-    }
-    val normTab = Array.tabulate(m) { s => cb(s).map(c => c.map(x => x * x).sum) }
-    val adcDot = (0 until m).map(s =>
-      element_at(typedLit(dotTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
-    val adcNorm2 = (0 until m).map(s =>
-      element_at(typedLit(normTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
     // the embedding rides through the ADC top-`rerank` selection
     // (TakeOrderedAndProject keeps `rerank` rows per partition), so the
     // exact re-rank needs no join back to the corpus; the query vector is
@@ -278,8 +323,46 @@ object Similarity {
     val q = broadcast(Seq(Tuple1(qVec.map(_.toFloat).toSeq))
       .toDF("query_vec"))
     enc.filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), col("embedding"),
-        (adcDot / (lit(qNorm) * sqrt(adcNorm2))).as("adc"))
+      .select(col("vec_id"), col("embedding"), adcCosine(cb, qVec).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ: the composition the [[pqTopK]] scaladoc promises — IVF list
+    * assignment prunes WHICH rows are scanned (`nProbe` of `nLists` lists;
+    * partition-pruned when persisted `partitionBy("ivf_list")`), the ADC
+    * pass scores the survivors from the codes column only, and the top
+    * `rerank` candidates are re-scored exactly. At 100 TB this is the
+    * standard billion-scale ANN shape: I/O ∝ (nProbe/nLists) × codes-column
+    * bytes. At the gate config (nProbe = nLists, rerank ≥ the safe pool)
+    * it degrades to exact brute force; reduced-probe recall is covered in
+    * SimilaritySpec.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+      k: Int = 10, nLists: Int = 16, nProbe: Int = 4, m: Int = 16,
+      codes: Int = 128, rerank: Int = 400): DataFrame = {
+    val centroids = ivfFitCentroids(spark, dir, nLists)
+    val cb = pqFitCodebooks(spark, dir, m, codes)
+    val enc = pqEncodeDf(ivfAssign(spark, dir, centroids), cb)
+    val qVec = emb(spark, dir).filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect().head
+      .getSeq[Float](0).map(_.toDouble).toArray
+    // rank lists by centroid distance to the query, driver-side (k floats)
+    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
+      val dist = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, dist)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    import spark.implicits._
+    val q = broadcast(Seq(Tuple1(qVec.map(_.toFloat).toSeq))
+      .toDF("query_vec"))
+    enc.filter(col("ivf_list").isin(probeLists.toSeq: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"), adcCosine(cb, qVec).as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(rerank)
       .crossJoin(q)

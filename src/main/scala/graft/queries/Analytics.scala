@@ -297,8 +297,10 @@ object Analytics {
     * bounds the RANK error at n/accuracy — at accuracy 10000 the returned
     * value sits within ±n/10000 ranks of the true percentile. The gate
     * verifies exactly that bound: each approx value must lie between the
-    * exact percentiles at q∓0.01 (a 100× looser rank window than the
-    * guarantee), emitted as booleans the DuckDB oracle states as TRUE.
+    * exact percentiles at (q−0.01, q+0.01) for p50/p90 and at (0.98, 0.995)
+    * for p99 — the p99 upper window is half-width, so the enforced contract
+    * is tighter there, still ≥50× looser than the rank guarantee. Emitted as
+    * booleans the DuckDB oracle states as TRUE.
     */
   def q15ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

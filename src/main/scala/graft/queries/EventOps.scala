@@ -173,8 +173,14 @@ object EventOps {
     * (ref: CentralStationServer.java:38-41).
     */
   def fullScan(spark: SparkSession, dir: String): DataFrame = {
-    val api = new graft.serve.QueryApi(spark, latestPerKey(spark, dir))
-    api.sql("SELECT station_id, s_no, event_type, value FROM latest")
+    // unique, dropped-in-finally view name: a gated query function must not
+    // clobber a user view named "latest" (QueryApi keeps that default name
+    // only for the long-lived serving deployment); spark.sql analyzes
+    // eagerly, so the returned frame survives the drop
+    val view = "latest_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val api = new graft.serve.QueryApi(spark, latestPerKey(spark, dir), view)
+    try api.sql(s"SELECT station_id, s_no, event_type, value FROM $view")
+    finally spark.catalog.dropTempView(view)
   }
 
   /** K7 — CSV export + read-back round trip (ref: bitcask_client.py:11-29
@@ -225,16 +231,20 @@ object EventOps {
   private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.catalog.dropTempView(sink)
+    // unique per call + dropped after resolution: gated query functions stay
+    // free of session-catalog mutation (the memory sink's rows are captured
+    // by the resolved plan, so the view itself is disposable)
+    val name = sink + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .outputMode(mode)
-      .format("memory").queryName(sink)
+      .format("memory").queryName(name)
       .option("checkpointLocation",
         graft.util.Scratch.dir("graft_ck").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    try spark.table(name)
+    finally spark.catalog.dropTempView(name)
   }
 
   def latestPerKeyStream(spark: SparkSession, dir: String): DataFrame = {
@@ -249,11 +259,19 @@ object EventOps {
       val i = r.ts.toInstant
       (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.s_no)
     }
+    // defensive: an Update-mode memory sink appends one row per key PER
+    // BATCH; if a session setting ever splits the staged file into several
+    // micro-batches, reduce to the event-time winner instead of silently
+    // hash-mismatching (single-batch stage ⇒ value-level no-op)
     drainToMemory(spark, latest.toDF(), "latest_stream_gate", OutputMode.Update())
+      .groupBy(col("station_id"))
+      .agg(max_by(
+        struct(col("ts"), col("s_no"), col("event_type"), col("value")),
+        struct(col("ts"), col("s_no"))).as("r"))
       .select(col("station_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-        col("s_no"), col("event_type"),
-        round(col("value"), 2).as("value"))
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("r.s_no").as("s_no"), col("r.event_type").as("event_type"),
+        round(col("r.value"), 2).as("value"))
   }
 
   /** The event-type counts computed through [[graft.operators.Scale
@@ -323,5 +341,203 @@ object EventOps {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** The same q12 window aggregate through the SCALE-CORRECT streaming
+    * shape: watermark + APPEND output mode — each window is emitted exactly
+    * once, finalized, and its state is evicted when the watermark passes its
+    * end. (Complete mode, gated by [[tumblingWindowStream]], re-emits every
+    * window each trigger: state ∝ all windows ever — a scale-killer as the
+    * only exercised mode; this gate closes that gap.)
+    *
+    * Deterministic drain without relying on no-data micro-batches: the real
+    * events file stages first (one micro-batch — the initial watermark is
+    * the epoch floor, so nothing is late-dropped), then two far-future
+    * `__flush__` sentinel files in separate later batches
+    * (`maxFilesPerTrigger=1` + explicit mtimes order them). Sentinel 1's
+    * batch advances the watermark past every real window end; sentinel 2's
+    * batch then emits ALL real windows, finalized. The sentinels' own
+    * windows never finalize (their ends exceed the final watermark) and
+    * their rows are filtered from the drained result either way.
+    */
+  /** Staged file-stream source for append-mode gates: the real events file
+    * (one micro-batch) followed by two far-future `__flush__` sentinel
+    * files in separate later batches (`maxFilesPerTrigger=1` + explicit
+    * mtimes order them). Sentinel 1's batch advances the watermark past
+    * every real window end; sentinel 2's batch then emits all real
+    * windows, finalized — no reliance on no-data micro-batches. Callers
+    * filter `event_type != '__flush__'` from their drained result.
+    */
+  private def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.Scratch.dir("graft_stream_append_src")
+    val base = System.currentTimeMillis()
+    def setMtime(p: java.nio.file.Path, offsetSec: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + offsetSec * 1000L))
+    val eventsFile = stage.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
+    setMtime(eventsFile, 0)
+    // 2100-01-01 / 2100-01-02 as nanos — far past any real event time
+    Seq(("flush1.parquet", 4102444800000000000L, 60),
+        ("flush2.parquet", 4102531200000000000L, 120)).foreach {
+      case (name, tsNanos, offset) =>
+        val tmp = graft.util.Scratch.dir(s"graft_sentinel_$name")
+        import spark.implicits._
+        Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file written under $tmp"))
+        val dest = stage.resolve(name)
+        java.nio.file.Files.move(part.toPath, dest)
+        setMtime(dest, offset)
+    }
+    spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+  }
+
+  def tumblingWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val agg = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    drainToMemory(spark, agg, "window_stream_append_gate", OutputMode.Append())
+      .filter(col("event_type") =!= "__flush__")
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** [[graft.streaming.WindowedStats.tumbling]] itself — per-station
+    * watermarked tumbling windows in append mode — gated end to end over
+    * the weather-shaped projection of events (station_id = user_id,
+    * humidity = round(value), wind_speed = event_id % 30). Same sentinel
+    * drain as [[tumblingWindowStreamAppend]]; the DuckDB oracle recomputes
+    * the per-station windows from events directly.
+    */
+  def windowedStatsAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val archive = eventsStreamWithFlush(spark, dir)
+      .select(col("user_id").as("station_id"),
+        expr("timestamp_micros(ts DIV 1000)").as("status_timestamp"),
+        struct(
+          round(col("value"), 0).cast(IntegerType).as("humidity"),
+          (col("event_id") % 30).cast(IntegerType).as("wind_speed"))
+          .as("weather"))
+    val agg = graft.streaming.WindowedStats.tumbling(
+      archive, "15 minutes", "30 minutes")
+    // WindowedStats.tumbling groups on (window, station_id); sentinel rows
+    // carry station_id = -1 and are excluded after the drain
+    drainToMemory(spark, agg, "wstats_append_gate", OutputMode.Append())
+      .filter(col("station_id") =!= -1L)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("station_id"), col("n"),
+        round(col("avg_humidity"), 4).as("avg_humidity"),
+        col("max_wind"))
+  }
+
+  /** [[graft.streaming.WindowedStats.risingEdgeAlerts]] — the stateful
+    * flatMapGroupsWithState edge-trigger — gated end to end: alerts fire
+    * only when a station CROSSES the threshold (rising edge), not on every
+    * high reading. Deterministic because the operator itself sorts each
+    * group's rows by s_no within the single staged micro-batch; the DuckDB
+    * oracle is the equivalent lag-window predicate.
+    */
+  def edgeAlertStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val archive = eventsStream(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        struct(round(col("value"), 0).cast(IntegerType).as("humidity"))
+          .as("weather"))
+    val alerts =
+      graft.streaming.WindowedStats.risingEdgeAlerts(archive, threshold = 70)
+    drainToMemory(spark, alerts.toDF(), "edge_alert_gate", OutputMode.Append())
+  }
+
+  /** A1 in the reference's FAITHFUL arrival-order semantics: the last row
+    * to ARRIVE wins, even if its event time is older (BitCask.java:136
+    * overwrites unconditionally; the event-time-corrected mode is gated by
+    * [[latestPerKeyStream]]). Arrival order is made deterministic by
+    * staging the events log SORTED by s_no into one file — one scan split,
+    * one micro-batch, so per-key iterator order is s_no order and the
+    * winner is the max-s_no row, which the DuckDB oracle states directly.
+    */
+  def latestArrivalStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val enc = org.apache.spark.sql.Encoders.product[EventRecord]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    val stage = graft.util.Scratch.dir("graft_stream_arrival_src")
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(1).sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(stage.toString)
+    val rec = spark.readStream.schema(EventsSchema).parquet(stage.toString)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_type"), col("value")).as[EventRecord]
+    val latest = graft.core.LatestState.latestStreamArrivalBy(rec)(_.station_id)
+    // defensive multi-batch reduce (same rationale as latestPerKeyStream):
+    // arrival order is s_no order here, so the final state is the max-s_no
+    // row per key in ANY batch split
+    drainToMemory(spark, latest.toDF(), "latest_arrival_gate", OutputMode.Update())
+      .groupBy(col("station_id"))
+      .agg(max_by(
+        struct(col("ts"), col("s_no"), col("event_type"), col("value")),
+        col("s_no")).as("r"))
+      .select(col("station_id"),
+        date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("r.s_no").as("s_no"), col("r.event_type").as("event_type"),
+        round(col("r.value"), 2).as("value"))
+  }
+
+  /** S4/K1 decode-path gate — the closest executable approximation to the
+    * Kafka ingest spine in an environment with no broker or connector jars
+    * (COVERAGE S4): events are rendered as Kafka-SHAPED frames — binary
+    * key/value plus topic/partition/offset, the exact columns
+    * `format("kafka").load()` yields — staged as parquet, then run through
+    * the real [[graft.streaming.WeatherPipeline.decodeWire]] →
+    * [[graft.core.Normalize.parseWire]] → [[graft.core.Normalize.toArchive]]
+    * chain. Malformed JSON (event_id % 7 == 0) exercises the
+    * PERMISSIVE-drop path and invalid battery enums (event_id % 11 == 0)
+    * the closed-enum drop; the DuckDB oracle reproduces the surviving rows
+    * from the events table.
+    */
+  def wireDecode(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.Scratch.dir("graft_wire_frames").toString
+    val battery = element_at(
+      array(lit("LOW"), lit("MEDIUM"), lit("HIGH")),
+      (col("event_id") % 3 + 1).cast(IntegerType))
+    val wireJson = when(col("event_id") % 7 === 0, lit("not json {"))
+      .otherwise(to_json(struct(
+        col("user_id").as("stationId"),
+        col("event_id").as("sequenceNumber"),
+        when(col("event_id") % 11 === 0, lit("BROKEN")).otherwise(battery)
+          .as("batteryStatus"),
+        unix_millis(col("ts")).as("statusTimestamp"),
+        struct(
+          round(col("value"), 0).cast(IntegerType).as("humidity"),
+          (col("event_id") % 50).cast(IntegerType).as("temperature"),
+          (col("event_id") % 30).cast(IntegerType).as("wind_speed"))
+          .as("weather"))))
+    events(spark, dir).select(
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        wireJson.cast(BinaryType).as("value"),
+        lit("weather-data").as("topic"),
+        (col("user_id") % 4).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"))
+      .write.mode("overwrite").parquet(stage)
+    val frames = spark.read.parquet(stage)
+    graft.core.Normalize.toArchive(graft.core.Normalize.parseWire(
+        graft.streaming.WeatherPipeline.decodeWire(frames)))
+      .select(col("station_id"), col("s_no"), col("battery_status"),
+        date_format(col("status_timestamp"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts"),
+        col("weather.humidity").as("humidity"),
+        col("weather.temperature").as("temperature"),
+        col("weather.wind_speed").as("wind_speed"))
   }
 }

@@ -11,9 +11,10 @@ import graft.core.LatestState
   * Javalin; our equivalent is a programmatic API over a registered temp view
   * (an HTTP shim would sit on top without touching query semantics).
   */
-class QueryApi(spark: SparkSession, latestTable: DataFrame) {
+class QueryApi(spark: SparkSession, latestTable: DataFrame,
+    viewName: String = "latest") {
 
-  latestTable.createOrReplaceTempView("latest")
+  latestTable.createOrReplaceTempView(viewName)
 
   /** GET /station?id=K (ref: CentralStationServer.java:43-58).
     * Returns None for an unknown station — the 404 path.

@@ -139,6 +139,33 @@ class TextDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("large-star/small-star converges on a deep chain the simple rule refuses") {
+    import spark.implicits._
+    // a 64-node chain: diameter 63 — min-label propagation at maxIters=5
+    // must refuse loudly rather than return a partial labelling, while the
+    // log-round edge-rewrite rule converges comfortably
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalArgumentException] {
+      TextDedup.connectedComponents(chain, maxIters = 5)
+    }
+    val labels = TextDedup.connectedComponents(chain, maxIters = 15,
+      strategy = TextDedup.CcStrategy.LargeStarSmallStar).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 63L).toSet)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("large-star/small-star labels equal min-label propagation") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val simple = TextDedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val lss = TextDedup.connectedComponents(pairs,
+      strategy = TextDedup.CcStrategy.LargeStarSmallStar).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(lss == simple)
+  }
+
   test("dedup clusters mark exactly one canonical doc per cluster") {
     val rows = TextDedup.dedupClusters(spark, dir).collect()
     assert(rows.nonEmpty)
@@ -232,6 +259,72 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.length == 10)
     val recall = pq.map(_.getLong(0)).toSet.intersect(brute).size
     assert(recall >= 5, s"recall $recall/10 with rerank=20")
+  }
+
+  test("lshTopK touches the corpus with exactly one scan (plus the query fetch)") {
+    // the probe set is enumerated driver-side, so the returned frame's plan
+    // must contain a single parquet scan — the old shape paid one full
+    // corpus scan just to DISCOVER probe buckets before pruning
+    val df = Similarity.lshTopK(spark, dir, probes = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 FileScan, got $scans:\n${plan.take(1200)}")
+    assert(df.collect().length == 10)
+  }
+
+  test("IVF-PQ with full probes equals brute force; pruned probes return k") {
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfPqTopK(spark, dir, nLists = 16, nProbe = 16,
+      rerank = 200).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    val pruned = Similarity.ivfPqTopK(spark, dir, nLists = 16, nProbe = 4,
+      rerank = 100).collect()
+    assert(pruned.length == 10)
+    val recall = pruned.map(_.getLong(0)).toSet
+      .intersect(brute.map(_._1).toSet).size
+    assert(recall >= 1, s"recall $recall/10")
+  }
+
+  test("multi-probe near-dup recovers hamming-1 bucket splits single-probe misses") {
+    import spark.implicits._
+    // planted twins: base vectors plus tiny perturbations — near-identical
+    // cosine, but a twin straddling one hyperplane lands in a hamming-1
+    // bucket and is invisible to the single-probe join
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+      val twin = base.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, twin.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val nBits = 8
+    val buckets = df.select(col("vec_id"),
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits)
+        .as("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twinPairs = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+    val ham = twinPairs.map { case (a, b) =>
+      (a, b) -> Integer.bitCount(buckets(a) ^ buckets(b))
+    }.toMap
+    val split = twinPairs.filter(p => ham(p) == 1)
+    assert(split.nonEmpty,
+      s"seed should plant hamming-1 splits; distances ${ham.values.toSeq.sorted}")
+    def pairs(probe: Int) =
+      Similarity.cosineNearDupPairsOf(df, threshold = 0.9, nBits = nBits,
+        probeHamming = probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(0)
+    val multi = pairs(1)
+    // multi-probe is a strict superset here and finds EVERY hamming<=1 twin
+    assert(single.subsetOf(multi))
+    split.foreach { p =>
+      assert(!single.contains(p), s"hamming-1 pair $p visible to single-probe?")
+      assert(multi.contains(p), s"hamming-1 pair $p missed by multi-probe")
+    }
+    // same-bucket twins are found by both
+    twinPairs.filter(p => ham(p) == 0)
+      .foreach(p => assert(single.contains(p) && multi.contains(p)))
   }
 
   test("cosine of a vector with itself is 1") {

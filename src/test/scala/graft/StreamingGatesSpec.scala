@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EventOps
+
+/** The round-3 gate additions exercised at sf0.001 (their sf0.01 twins are
+  * driver-gated against DuckDB): watermark+append streaming window,
+  * arrival-order latest, and the Kafka wire-frame decode path.
+  */
+class StreamingGatesSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("append-mode watermarked window equals the batch q12 aggregate") {
+    val streamed = EventOps.tumblingWindowStreamAppend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.queries.Analytics.q12TumblingWindow(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    // append mode emits each finalized window exactly once — no duplicates
+    val emitted = EventOps.tumblingWindowStreamAppend(spark, dir)
+      .groupBy(col("bucket"), col("event_type")).count()
+      .filter(col("count") > 1).count()
+    assert(emitted == 0)
+  }
+
+  test("arrival-order latest keeps the max-s_no row, not the event-time winner") {
+    val got = EventOps.latestArrivalStream(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id")).agg(max(col("event_id")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("wire decode drops malformed JSON and invalid enums, keeps the rest") {
+    val out = EventOps.wireDecode(spark, dir)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val expected = events
+      .filter(col("event_id") % 7 =!= 0 && col("event_id") % 11 =!= 0).count()
+    assert(out.count() == expected)
+    assert(out.filter(!col("battery_status").isin("low", "medium", "high"))
+      .count() == 0)
+    // battery mapping is the deterministic event_id % 3 rendering
+    val bad = out.filter(
+      (col("s_no") % 3 === 0 && col("battery_status") =!= "low") ||
+      (col("s_no") % 3 === 1 && col("battery_status") =!= "medium") ||
+      (col("s_no") % 3 === 2 && col("battery_status") =!= "high")).count()
+    assert(bad == 0)
+  }
+}
