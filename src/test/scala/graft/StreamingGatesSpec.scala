@@ -25,6 +25,40 @@ class StreamingGatesSpec extends SparkSpec {
     assert(emitted == 0)
   }
 
+  test("WindowedStats tumbling append path equals the batch per-station windows") {
+    val streamed = EventOps.windowedStatsAppend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"),
+        col("user_id").as("station_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(round(col("value"), 0).cast("int")), 4).as("avg_humidity"),
+        max((col("event_id") % 30).cast("int")).as("max_wind"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"),
+        col("station_id"), col("n"), col("avg_humidity"), col("max_wind"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    assert(streamed == batch)
+  }
+
+  test("rising-edge alerts fire only on below-to-above crossings in s_no order") {
+    val got = EventOps.edgeAlertStream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 0).cast("int").as("h"))
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .filter(col("h") > 70 && (col("prev").isNull || col("prev") <= 70))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("arrival-order latest keeps the max-s_no row, not the event-time winner") {
     val got = EventOps.latestArrivalStream(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
