@@ -78,6 +78,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the LSH-bucketed corpus PARTITIONED BY bucket id — the
+    * write-once index step that turns every subsequent probe into a
+    * partition-pruned scan. At 100 TB a probe with `probes` buckets reads
+    * `probes/2^nBits` of the data: the directory listing prunes before any
+    * file I/O happens ([[lshTopKIndexed]] plan-asserts the
+    * PartitionFilters).
+    */
+  def writeLshIndex(spark: SparkSession, dir: String, indexPath: String,
+      nBits: Int = 8): Unit =
+    lshBuckets(spark, dir, nBits).write.mode("overwrite")
+      .partitionBy("bucket").parquet(indexPath)
+
+  /** ANN top-k over a persisted [[writeLshIndex]] index, querying by
+    * VECTOR (the query need not be in the corpus). The query's bucket is
+    * computed on a one-row frame (no corpus scan), the probe set is
+    * enumerated driver-side, and the literal `isin` lands in the scan's
+    * PartitionFilters — only the probed bucket directories are listed and
+    * read. `excludeVecId` drops a known corpus id from the result (for
+    * self-query comparisons against brute force).
+    */
+  def lshTopKIndexed(spark: SparkSession, indexPath: String,
+      qVec: Array[Float], k: Int = 10, nBits: Int = 8, probes: Int = 32,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
+    val qb = qDf.select(
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("query_vec"), nBits)
+        .as("qb")).collect().head.getInt(0)
+    val keep = (0 until (1 << nBits))
+      .sortBy(bid => (Integer.bitCount(bid ^ qb), bid))
+      .take(probes)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(keep: _*))
+    val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    probed
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Gated indexed-ANN report: builds the index in a scratch dir, probes
+    * all buckets (exactness config) with vec 0's embedding — must equal
+    * brute force; the partition-pruned reduced-probe path is plan-asserted
+    * in SimilaritySpec.
+    */
+  def lshIndexedReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_lsh_index").toString
+    writeLshIndex(spark, dir, indexPath)
+    val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    lshTopKIndexed(spark, indexPath, qVec, probes = 256,
+      excludeVecId = Some(0L))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
     * recall: one side of the join explodes each vector's bucket into the

@@ -272,6 +272,44 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect().length == 10)
   }
 
+  test("persisted LSH index prunes partitions: probes land in PartitionFilters") {
+    val indexPath = tmpDir("lsh_index")
+    Similarity.writeLshIndex(spark, dir, indexPath)
+    val qVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    // full probes == brute force (query row excluded like bruteForceTopK)
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.lshTopKIndexed(spark, indexPath, qVec,
+      probes = 256, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    // reduced probes: the literal bucket set must reach the scan as a
+    // partition filter (directory pruning, not per-row filtering)
+    val probed = Similarity.lshTopKIndexed(spark, indexPath, qVec, probes = 8)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(1200))
+    val phys = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec over the index")
+    val totalBuckets = spark.read.parquet(indexPath)
+      .select(col("bucket")).distinct().count()
+    val pruned = scan.get.selectedPartitions.partitionCount
+    // at most the 8 probed directories survive (fewer when a probed bucket
+    // is empty), and far fewer than the index's full directory set
+    assert(pruned <= 8 && pruned < totalBuckets,
+      s"pruned=$pruned probes=8 total=$totalBuckets")
+    assert(probed.collect().length == 10)
+  }
+
   test("IVF-PQ with full probes equals brute force; pruned probes return k") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
