@@ -88,6 +88,8 @@ object SparkEntry {
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
     "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
     "x_corpus_prepare"   -> ((s, d) => graft.ext.corpus.Corpus.prepare(s, d)),
+    "x_split_leakage_safe" -> ((s, d) =>
+      graft.ext.corpus.Corpus.leakageSafeSplit(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
     "q22_hopping_window" -> Analytics.q22HoppingWindow _,
     "q23_kmv_distinct"   -> ((s, d) => Analytics.q23KmvDistinct(s, d)),
@@ -681,6 +683,22 @@ object SparkEntry {
          |    AND NOT is_dup AND bucket < 800
          |    THEN n_tokens END), 0) AS BIGINT) AS n_tokens_kept
          |FROM f GROUP BY source""".stripMargin,
+    // split by hashed CLUSTER representative (near-dups never straddle a
+    // split); isolated docs represent themselves
+    "x_split_leakage_safe" ->
+      (nearDupComponentsCte + ",\n" +
+       s"""j AS (
+          |  SELECT d.doc_id, d.source,
+          |    coalesce(c.cluster_id, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |b AS (
+          |  SELECT doc_id, source, rep,
+          |    ${duckPolyHash("CAST(rep AS VARCHAR)")} % 1000 AS bucket
+          |  FROM j)
+          |SELECT doc_id, source, rep,
+          |  CASE WHEN bucket < 800 THEN 'train'
+          |       WHEN bucket < 900 THEN 'dev' ELSE 'test' END AS split
+          |FROM b""".stripMargin),
     "x_sample_stratified" ->
       s"""SELECT doc_id, source, bucket FROM (
          |  SELECT doc_id, source,
@@ -810,7 +828,11 @@ object SparkEntry {
          |      FROM documents) q""".stripMargin
   )
 
-  private val dedupClustersOracle =
+  /** The shared near-dup-components CTE prefix (transitive closure over the
+    * exact-verified 3-gram jaccard pairs; `comp` = per-doc component min),
+    * reused by the clusters and leakage-safe-split oracles.
+    */
+  private val nearDupComponentsCte =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
       |sh AS (
@@ -835,8 +857,11 @@ object SparkEntry {
       |  SELECT reach.doc_id, e.dst FROM reach
       |  JOIN edges e ON e.src = reach.r),
       |comp AS (
-      |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
-      |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+      |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val dedupClustersOracle =
+    nearDupComponentsCte + "\n" +
+    """SELECT c.doc_id, c.cluster_id, s.cluster_size,
       |  c.doc_id = c.cluster_id AS is_canonical
       |FROM comp c
       |JOIN (SELECT cluster_id, count(*) AS cluster_size

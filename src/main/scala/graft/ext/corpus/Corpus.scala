@@ -99,6 +99,35 @@ object Corpus {
         md5(col("text")).as("text_md5"), length(col("text")).as("n_chars"))
   }
 
+  /** Leakage-safe train/dev/test split: the split assignment hashes each
+    * document's near-dup CLUSTER representative (its component's min
+    * doc_id; isolated docs represent themselves), so near-duplicates can
+    * never straddle a split boundary — the eval-contamination failure mode
+    * of naive per-doc hashing, where a test document's near-copy sits in
+    * train. Deterministic and coordination-free like [[stratifiedSample]]
+    * (portable polynomial hash → oracle-checkable); buckets
+    * `[0, trainPerMille)` → train, `[trainPerMille,
+    * trainPerMille+devPerMille)` → dev, rest → test.
+    *
+    * Scale shape: the cluster table is ∝ true duplication (tiny next to
+    * the corpus), so the left join broadcasts under AQE; everything else
+    * is a narrow projection.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      trainPerMille: Int = 800, devPerMille: Int = 100): DataFrame = {
+    val reps = graft.ext.dedup.TextDedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs(spark, dir)
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(poly_hash(col("rep").cast("string")), lit(1000L)))
+      .select(col("doc_id"), col("source"), col("rep"),
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + devPerMille, "dev")
+          .otherwise("test").as("split"))
+  }
+
   /** End-to-end corpus-prep funnel — the composed pipeline a pretraining
     * run executes: quality filter (length + repetition) → near-dup removal
     * (keep each cluster's canonical doc) → deterministic stratified

@@ -166,6 +166,21 @@ class TextDedupSpec extends SparkSpec {
     assert(lss == simple)
   }
 
+  test("leakage-safe split never straddles a near-dup cluster across splits") {
+    val s = graft.ext.corpus.Corpus.leakageSafeSplit(spark, dir)
+    val clusters = TextDedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val straddling = s.join(clusters, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddling == 0)
+    // all three splits are populated and cover every document
+    assert(s.select(col("split")).distinct().count() == 3)
+    assert(s.count() ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   test("dedup clusters mark exactly one canonical doc per cluster") {
     val rows = TextDedup.dedupClusters(spark, dir).collect()
     assert(rows.nonEmpty)
