@@ -27,6 +27,7 @@ object SparkEntry {
     "q4_segment_stats"   -> Analytics.q4SegmentStats _,
     "q5_revenue_nation"  -> Analytics.q5RevenueByNation _,
     "q6_supplier_rank"   -> Analytics.q6SupplierRank _,
+    "q6_rank_topk_agg"   -> Analytics.q6SupplierRankTopK _,
     "q7_brand_parts"     -> Analytics.q7BrandParts _,
     "q8_exists_semi"     -> Analytics.q8ExistsSemi _,
     "q9_anti_join"       -> Analytics.q9AntiJoin _,
@@ -143,15 +144,9 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name""".stripMargin,
-    "q6_supplier_rank" ->
-      """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal, bal_rank
-        |FROM (
-        |  SELECT s_name, s_nationkey, s_acctbal,
-        |    row_number() OVER (PARTITION BY s_nationkey
-        |                       ORDER BY s_acctbal DESC, s_suppkey ASC) AS bal_rank
-        |  FROM supplier) s
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE bal_rank <= 3""".stripMargin,
+    "q6_supplier_rank" -> q6Oracle,
+    // the two-stage TopKBy aggregate must equal the window row_number form
+    "q6_rank_topk_agg" -> q6Oracle,
     "q7_brand_parts" ->
       """SELECT p_brand, count(*) AS n_parts,
         |  round(avg(p_retailprice), 2) AS avg_price,
@@ -866,6 +861,16 @@ object SparkEntry {
       |FROM comp c
       |JOIN (SELECT cluster_id, count(*) AS cluster_size
       |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
+
+  private val q6Oracle =
+    """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal, bal_rank
+      |FROM (
+      |  SELECT s_name, s_nationkey, s_acctbal,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |                       ORDER BY s_acctbal DESC, s_suppkey ASC) AS bal_rank
+      |  FROM supplier) s
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE bal_rank <= 3""".stripMargin
 
   private val latestPerKeyOracle =
     """SELECT station_id,

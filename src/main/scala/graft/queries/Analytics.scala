@@ -122,6 +122,33 @@ object Analytics {
         round(col("s_acctbal"), 2).as("s_acctbal"), col("bal_rank"))
   }
 
+  /** [[q6SupplierRank]] through the two-stage top-k AGGREGATE instead of a
+    * window: `row_number() OVER (PARTITION BY key ORDER BY …) <= k` funnels
+    * every row of a key through one reducer's sort, while the custom
+    * [[graft.functions.TopKBy]] `TypedImperativeAggregate` keeps an O(k)
+    * heap per group with map-side partial combine — the shuffle carries k
+    * rows per key per partition. Same result, same oracle; the 100 TB
+    * mitigation SCALE.md's q6 row calls for. Descending balance is encoded
+    * by negating it in the ord struct; s_suppkey breaks ties
+    * deterministically.
+    */
+  def q6SupplierRankTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    val supplier = t(spark, dir, "supplier")
+    val nation   = t(spark, dir, "nation")
+    supplier
+      .groupBy(col("s_nationkey"))
+      .agg(top_k_by(
+        struct(col("s_name"), col("s_acctbal")),
+        struct(negate(col("s_acctbal")), col("s_suppkey")), 3).as("top"))
+      .select(col("s_nationkey"),
+        posexplode(col("top")).as(Seq("i", "r")))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("r.s_name").as("s_name"),
+        round(col("r.s_acctbal"), 2).as("s_acctbal"),
+        (col("i") + 1).as("bal_rank"))
+  }
+
   /** Parts price distribution by brand with a having-style post-filter. */
   def q7BrandParts(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "part")

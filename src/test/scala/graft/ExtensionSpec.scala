@@ -193,6 +193,59 @@ class TextDedupSpec extends SparkSpec {
   }
 }
 
+class TopKBySpec extends SparkSpec {
+  import graft.functions.TopKBy.top_k_by
+
+  test("top_k_by keeps the k smallest ords, sorted, stable under repartition") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L), ("a", 1.0, 1L),
+      ("b", 9.0, 9L))
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(top_k_by(struct(col("v"), col("id")),
+          struct(col("v"), col("id")), 2).as("top"))
+        .select(col("g"), col("top"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))).toList).toMap
+      // ties on v broken by id: (1.0,1) then (1.0,2)
+      assert(got("a") == List((1.0, 1L), (1.0, 2L)), s"parts=$parts")
+      assert(got("b") == List((9.0, 9L)), s"parts=$parts")
+    }
+  }
+
+  test("top_k_by skips null ords and plans as ObjectHashAggregate") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (1L, None), (1L, Some(1.0)))
+      .toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(top_k_by(col("v"), col("v"), 5).as("top"))
+    val out = df.collect().head.getSeq[Double](1).toList
+    assert(out == List(1.0, 2.0))
+    // the aggregate must partial-combine map-side (ObjectHashAggregate),
+    // never fall back to a per-key sort
+    val file = graft.queries.Analytics.q6SupplierRankTopK(
+      spark, "/root/testdata/sf0.001")
+    val plan = file.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("q6 via top_k_by equals the window row_number form") {
+    val dir = "/root/testdata/sf0.001"
+    val window = graft.queries.Analytics.q6SupplierRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val agg = graft.queries.Analytics.q6SupplierRankTopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(agg == window)
+    assert(agg.nonEmpty)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
