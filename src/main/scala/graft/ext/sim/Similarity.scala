@@ -276,6 +276,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF-assigned corpus PARTITIONED BY list id — the
+    * [[writeLshIndex]] analog for the learned quantizer: a probe of
+    * `nProbe` lists is a directory-pruned scan reading `nProbe/nLists` of
+    * the corpus. Returns the centroids (the probe ranking needs them;
+    * persist alongside the index in production).
+    */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      nLists: Int = 16): Array[Array[Double]] = {
+    val centroids = ivfFitCentroids(spark, dir, nLists)
+    ivfAssign(spark, dir, centroids).write.mode("overwrite")
+      .partitionBy("ivf_list").parquet(indexPath)
+    centroids
+  }
+
+  /** IVF top-k over a persisted [[writeIvfIndex]] index, querying by
+    * vector: lists ranked by centroid distance driver-side, the literal
+    * list set lands in the scan's PartitionFilters.
+    */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String,
+      centroids: Array[Array[Double]], qVec: Array[Float], k: Int = 10,
+      nProbe: Int = 4, excludeVecId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val qd = qVec.map(_.toDouble)
+    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("ivf_list").isin(probeLists.toSeq: _*))
+    val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    probed
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Gated indexed-IVF report: full-probe config ≡ brute force. */
+  def ivfIndexedReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_ivf_index").toString
+    val centroids = writeIvfIndex(spark, dir, indexPath, nLists = 16)
+    val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    ivfTopKIndexed(spark, indexPath, centroids, qVec, nProbe = 16,
+      excludeVecId = Some(0L))
+  }
+
   /** Product-quantization codebooks: the vector space is split into `m`
     * subspaces of dim/m dims, each with its own `codes`-entry k-means
     * codebook fit on the bounded seeded sample. A vector is then stored as

@@ -378,6 +378,37 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.collect().length == 10)
   }
 
+  test("persisted IVF index prunes list directories and matches brute force") {
+    val indexPath = tmpDir("ivf_index")
+    val centroids = Similarity.writeIvfIndex(spark, dir, indexPath, nLists = 16)
+    val qVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfTopKIndexed(spark, indexPath, centroids, qVec,
+      nProbe = 16, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    val probed = Similarity.ivfTopKIndexed(spark, indexPath, centroids, qVec,
+      nProbe = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+      plan.take(1200))
+    val phys = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.selectedPartitions.partitionCount <= 4,
+      s"pruned=${scan.get.selectedPartitions.partitionCount}")
+    assert(probed.collect().length == 10)
+  }
+
   test("IVF-PQ with full probes equals brute force; pruned probes return k") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
