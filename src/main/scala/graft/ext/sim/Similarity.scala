@@ -87,7 +87,11 @@ object Similarity {
     */
   def writeLshIndex(spark: SparkSession, dir: String, indexPath: String,
       nBits: Int = 8): Unit =
-    lshBuckets(spark, dir, nBits).write.mode("overwrite")
+    // repartition by the partition column first: each task then writes
+    // whole buckets, so the layout is one file per bucket instead of
+    // (tasks × buckets) small files — the standard partitioned-write shape
+    lshBuckets(spark, dir, nBits).repartition(col("bucket"))
+      .write.mode("overwrite")
       .partitionBy("bucket").parquet(indexPath)
 
   /** ANN top-k over a persisted [[writeLshIndex]] index, querying by
@@ -123,14 +127,16 @@ object Similarity {
   /** Gated indexed-ANN report: builds the index in a scratch dir, probes
     * all buckets (exactness config) with vec 0's embedding — must equal
     * brute force; the partition-pruned reduced-probe path is plan-asserted
-    * in SimilaritySpec.
+    * in SimilaritySpec. The gate uses nBits=6 (64 directories) to keep the
+    * index-write cost proportionate at bench scale; the operator default
+    * stays 8 bits.
     */
   def lshIndexedReport(spark: SparkSession, dir: String): DataFrame = {
     val indexPath = graft.util.Scratch.dir("graft_lsh_index").toString
-    writeLshIndex(spark, dir, indexPath)
+    writeLshIndex(spark, dir, indexPath, nBits = 6)
     val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    lshTopKIndexed(spark, indexPath, qVec, probes = 256,
+    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
       excludeVecId = Some(0L))
   }
 
@@ -285,7 +291,8 @@ object Similarity {
   def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
       nLists: Int = 16): Array[Array[Double]] = {
     val centroids = ivfFitCentroids(spark, dir, nLists)
-    ivfAssign(spark, dir, centroids).write.mode("overwrite")
+    ivfAssign(spark, dir, centroids).repartition(col("ivf_list"))
+      .write.mode("overwrite")
       .partitionBy("ivf_list").parquet(indexPath)
     centroids
   }
