@@ -62,6 +62,8 @@ object SparkEntry {
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
     "p_window_stream_append" -> EventOps.tumblingWindowStreamAppend _,
     "p_wstats_append"    -> EventOps.windowedStatsAppend _,
+    "p_session_stream_append" -> EventOps.sessionWindowStreamAppend _,
+    "p_window_sliding_append" -> EventOps.slidingWindowStreamAppend _,
     "p_edge_alerts"      -> EventOps.edgeAlertStream _,
     "p_wire_decode"      -> EventOps.wireDecode _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
@@ -331,24 +333,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
-    "q16_session_window" ->
-      """SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  count(*) AS n_events, round(sum(value), 2) AS session_value
-        |FROM (
-        |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM (
-        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (
-        |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |          IS NULL THEN 1
-        |        WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (
-        |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
-        |    FROM events) m) s
-        |GROUP BY user_id, sid""".stripMargin,
+    "q16_session_window" -> q16Oracle,
+    // the streaming session_window (watermark + append, state merged and
+    // evicted) must finalize exactly the batch sessions
+    "p_session_stream_append" -> q16Oracle,
+    // every event lands in exactly 3 sliding (15 min / 5 min) windows
+    "p_window_sliding_append" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes',
+        |    CAST(ts AS TIMESTAMP)) - k * INTERVAL '5 minutes',
+        |    '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  user_id AS station_id, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
     "q17_top_terms" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token
@@ -864,6 +860,25 @@ object SparkEntry {
       |FROM comp c
       |JOIN (SELECT cluster_id, count(*) AS cluster_size
       |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
+
+  private val q16Oracle =
+    """SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM (
+      |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (
+      |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |          IS NULL THEN 1
+      |        WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (
+      |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |    FROM events) m) s
+      |GROUP BY user_id, sid""".stripMargin
 
   private val q6Oracle =
     """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal, bal_rank

@@ -442,6 +442,48 @@ object EventOps {
         col("max_wind"))
   }
 
+  /** The q16 SESSION windows through the streaming path: streaming
+    * `session_window` requires exactly this watermark+Append shape (state
+    * for a session is merged on overlap and evicted once the watermark
+    * passes the session's end). Same two-sentinel drain; the sentinel's own
+    * session rides user_id = -1 and is excluded. Oracle = the batch q16
+    * session definition.
+    */
+  def sessionWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val agg = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+    drainToMemory(spark, agg, "session_stream_gate", OutputMode.Append())
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"), col("session_value"))
+  }
+
+  /** [[graft.streaming.WindowedStats.sliding]] end to end — overlapping
+    * 15-minute windows sliding every 5 (each event lands in 3), watermarked
+    * append mode over the weather-shaped projection, same sentinel drain.
+    */
+  def slidingWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val archive = eventsStreamWithFlush(spark, dir)
+      .select(col("user_id").as("station_id"),
+        expr("timestamp_micros(ts DIV 1000)").as("status_timestamp"))
+    val agg = graft.streaming.WindowedStats.sliding(
+      archive, "15 minutes", "5 minutes", "30 minutes")
+    drainToMemory(spark, agg, "sliding_stream_gate", OutputMode.Append())
+      .filter(col("station_id") =!= -1L)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("station_id"), col("n"))
+  }
+
   /** [[graft.streaming.WindowedStats.risingEdgeAlerts]] — the stateful
     * flatMapGroupsWithState edge-trigger — gated end to end: alerts fire
     * only when a station CROSSES the threshold (rising edge), not on every
