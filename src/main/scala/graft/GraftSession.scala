@@ -57,12 +57,17 @@ object GraftSession {
   /** Install graft's optimizer rules (e.g. the row_number→max_by top-1
     * rewrite, [[graft.plans.TopOnePerKeyRewrite]]) into an existing session.
     */
-  def installOptimizations(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.TopOnePerKeyRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.TopOnePerKeyRewrite
-    }
+  def installOptimizations(spark: SparkSession): Unit = {
+    // order matters: the top-1 rule first, so rn <= 1 takes the cheaper
+    // min_by/max_by plan and the top-k rule only sees k >= 2
+    Seq(graft.plans.TopOnePerKeyRewrite, graft.plans.TopKPerKeyRewrite)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule)) {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+        }
+      }
+  }
 
   /** Build + register functions + install optimizer rules in one call. */
   def create(master: String = "local[*]"): SparkSession = {

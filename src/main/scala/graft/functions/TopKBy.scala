@@ -42,12 +42,17 @@ final class TopKBuffer(val k: Int, ordering: Ordering[Any]) {
   * the natural (ascending, nulls-ordered) interpreted ordering of `ord`'s
   * type; encode descending dimensions by negating them in the `ord`
   * struct (the same contract [[graft.ext.corpus.Corpus.tfidfTopTerms]]
-  * documents) and include a unique tiebreaker for determinism. Rows with
-  * a NULL `ord` are skipped (window `row_number` ranks them; a top-k
-  * contract over nulls is meaningless). Output: `array<payloadType>`
-  * sorted ascending by `ord` — `posexplode` recovers the rank.
+  * documents) or set `reverse = true` to keep the k LARGEST (used by the
+  * [[graft.plans.TopKPerKeyRewrite]] optimizer rule for DESC sorts over
+  * types negation can't express, e.g. strings); include a unique
+  * tiebreaker for determinism. Rows with a NULL `ord` are skipped (window
+  * `row_number` ranks them; a top-k contract over nulls is meaningless —
+  * rewrite callers encode null rank into a non-null flag field instead).
+  * Output: `array<payloadType>` sorted by the effective ordering, best
+  * first — `posexplode` recovers the rank.
   */
 case class TopKBy(payload: Expression, ord: Expression, k: Int,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
 
@@ -71,8 +76,12 @@ case class TopKBy(payload: Expression, ord: Expression, k: Int,
         s"top_k_by ordering type ${ord.dataType.catalogString} is not orderable")
     }
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(ord.dataType)
+  // `reverse` flips the effective ordering: keep the k LARGEST, array
+  // sorted descending — so index 0 is always "rank 1" either way
+  @transient private lazy val ordering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(ord.dataType)
+    if (reverse) base.reverse else base
+  }
 
   // serialization: each (ord, payload) pair becomes one UnsafeRow
   @transient private lazy val pairProj =

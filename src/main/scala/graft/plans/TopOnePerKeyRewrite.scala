@@ -64,7 +64,7 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
   /** Sort keys must be scalar orderable types whose struct-lexicographic
     * comparison matches multi-column sort semantics.
     */
-  private def scalarOrderable(t: org.apache.spark.sql.types.DataType): Boolean = {
+  private[plans] def scalarOrderable(t: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     t match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -75,7 +75,7 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def defaultRowFrame(f: WindowFrame): Boolean = f match {
+  private[plans] def defaultRowFrame(f: WindowFrame): Boolean = f match {
     case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
     case UnspecifiedFrame => true
     case _ => false
@@ -139,6 +139,106 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: the k > 1 generalization of [[TopOnePerKeyRewrite]] —
+  * rewrite `row_number() over (partition by K order by O) … where rn <= k`
+  * into the bounded [[graft.functions.TopKBy]] aggregate + `posexplode`.
+  *
+  * The window form shuffles and sorts EVERY row of every key; the rewrite
+  * keeps an O(k) heap per group with map-side partial combine, so the
+  * shuffle carries k rows per key per partition — the plan a 100 TB top-k
+  * wants, applied automatically to the idiom users actually write.
+  *
+  * Shares [[TopOnePerKeyRewrite]]'s guards (single row_number window
+  * expression, default frame, non-empty PARTITION BY, uniform sort
+  * direction, scalar orderable keys) and its null-rank flag encoding, so
+  * NULLS FIRST/LAST behave exactly as the window ranks them. Runs AFTER
+  * the top-1 rule in the rule list, so `rn <= 1`/`rn = 1` still take the
+  * cheaper min_by/max_by plan and this rule only sees k >= 2.
+  *
+  * Descending sorts set the aggregate's `reverse` flag rather than
+  * negating keys (negation can't express string DESC); the emitted array
+  * is best-first either way, so `rank = pos + 1`.
+  */
+object TopKPerKeyRewrite extends Rule[LogicalPlan] {
+  import TopOnePerKeyRewrite.{defaultRowFrame, scalarOrderable}
+
+  /** Extract k from `rn <= k` / `k >= rn` with k >= 2. */
+  private def rankBound(cond: Expression, rnId: ExprId): Option[Int] = {
+    def bigEnough(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) if v >= 2 => Some(v)
+      case Literal(v: Long, _) if v >= 2L && v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+    cond match {
+      case LessThanOrEqual(a: AttributeReference, l) if a.exprId == rnId =>
+        bigEnough(l)
+      case GreaterThanOrEqual(l, a: AttributeReference) if a.exprId == rnId =>
+        bigEnough(l)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond,
+        Window(Seq(alias @ Alias(
+          WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order, frame)), _)), _, _, child0, _))
+        if rankBound(cond, alias.exprId).isDefined &&
+          defaultRowFrame(frame) &&
+          part.nonEmpty &&
+          order.nonEmpty &&
+          order.map(_.direction).distinct.size == 1 &&
+          order.forall(o => scalarOrderable(o.child.dataType)) =>
+
+      val k = rankBound(cond, alias.exprId).get
+      val child = child0 match {
+        case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+        case other => other
+      }
+      val value = CreateStruct(child.output)
+      val direction = order.head.direction
+      // identical null-rank flag encoding to the top-1 rule: the flag is
+      // chosen so null keys compare where the window's nullOrdering puts
+      // them under the EFFECTIVE (possibly reversed) ordering
+      val encodedKeys: Seq[Expression] = order.flatMap { o =>
+        if (!o.child.nullable) Seq(o.child)
+        else {
+          val nullFlag = (direction, o.nullOrdering) match {
+            case (Ascending, NullsFirst)  => 0
+            case (Ascending, NullsLast)   => 1
+            case (Descending, NullsFirst) => 1
+            case (Descending, NullsLast)  => 0
+          }
+          Seq(If(IsNull(o.child), Literal(nullFlag), Literal(1 - nullFlag)),
+            o.child)
+        }
+      }
+      val ordering = if (encodedKeys.length == 1) encodedKeys.head
+        else CreateStruct(encodedKeys.toList)
+      val topk = Alias(
+        AggregateExpression(
+          graft.functions.TopKBy(value, ordering, k,
+            reverse = direction == Descending),
+          Complete, isDistinct = false), "__topk")()
+      val agg = Aggregate(part, Seq(topk), child)
+      val topkRef = topk.toAttribute
+      // posexplode the best-first array: pos 0 = rank 1
+      val posAttr = AttributeReference("__pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false)()
+      val colAttr = AttributeReference("__row", value.dataType,
+        nullable = false)()
+      // agg.output = [__topk] alone; the array itself is consumed by the
+      // generator and not needed above it
+      val gen = Generate(PosExplode(topkRef), unrequiredChildIndex = Seq(0),
+        outer = false, qualifier = None,
+        generatorOutput = Seq(posAttr, colAttr), agg)
+      val restored = child.output.zipWithIndex.map { case (a, i) =>
+        Alias(GetStructField(colAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+      } :+ Alias(Add(posAttr, Literal(1)), alias.name)(exprId = alias.exprId)
+      Project(restored, gen)
+  }
+}
+
 /** SparkSessionExtensions injector:
   * {{{
   * SparkSession.builder()
@@ -146,6 +246,8 @@ object TopOnePerKeyRewrite extends Rule[LogicalPlan] {
   * }}}
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopOnePerKeyRewrite)
+    e.injectOptimizerRule(_ => TopKPerKeyRewrite)
+  }
 }

@@ -101,6 +101,84 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  private def withTopKRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.TopKPerKeyRewrite
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.TopKPerKeyRewrite)
+  }
+
+  test("rn<=k window rewrites to a TopKBy aggregate with identical results") {
+    def top3 = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }
+    val baseline = top3.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    withTopKRule {
+      val df = top3
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("top_k_by") && !optimized.contains("row_number"),
+        optimized.take(800))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Window"), physical.take(800))
+      assert(physical.contains("ObjectHashAggregate"), physical.take(800))
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(got.sameElements(baseline))
+      // ranks 1..3 present per key (keys have >= 3 events at this SF)
+      assert(df.select("rn").distinct().collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(1, 2, 3))
+    }
+  }
+
+  test("top-k rewrite preserves NULLS FIRST/LAST and ascending order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(3), 1), ("a", None, 2), ("a", Some(1), 3), ("a", Some(2), 4),
+      ("b", Some(5), 5), ("b", None, 6)
+    ).toDF("k", "v", "id")
+    def topk(orders: Seq[org.apache.spark.sql.Column]) = {
+      val w = Window.partitionBy(col("k")).orderBy(orders: _*)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    }
+    val cases = Seq(
+      Seq(col("v").asc, col("id").asc),
+      Seq(col("v").asc_nulls_last, col("id").asc),
+      Seq(col("v").desc, col("id").desc),
+      Seq(col("v").desc_nulls_first, col("id").desc))
+    for (orders <- cases) {
+      val baseline = topk(orders).collect()
+        .map(r => (r.getString(0), r.getInt(2), r.getInt(3))).sorted
+      withTopKRule {
+        val rewritten = topk(orders)
+        assert(!rewritten.queryExecution.optimizedPlan.toString
+          .contains("row_number"))
+        val got = rewritten.collect()
+          .map(r => (r.getString(0), r.getInt(2), r.getInt(3))).sorted
+        assert(got.sameElements(baseline),
+          s"got ${got.toSeq} expected ${baseline.toSeq}")
+      }
+    }
+  }
+
+  test("top-k rule skips rn<=1 (top-1 rule's case) and global windows") {
+    withTopKRule {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+      val one = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1)
+      assert(one.queryExecution.optimizedPlan.toString.contains("row_number"))
+      val global = events.withColumn("rn",
+          row_number().over(Window.orderBy(col("ts").desc)))
+        .filter(col("rn") <= 3)
+      assert(global.queryExecution.optimizedPlan.toString.contains("row_number"))
+    }
+  }
+
   test("rule leaves non-matching windows untouched") {
     withRule {
       // rank() (not row_number), rn = 2, mixed sort directions → no rewrite
