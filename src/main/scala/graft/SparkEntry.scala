@@ -66,6 +66,7 @@ object SparkEntry {
     "p_window_sliding_append" -> EventOps.slidingWindowStreamAppend _,
     "p_edge_alerts"      -> EventOps.edgeAlertStream _,
     "p_wire_decode"      -> EventOps.wireDecode _,
+    "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
     // extension surface: training-data pipeline operators
@@ -270,6 +271,16 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY event_id) AS prev
         |  FROM events) t
         |WHERE humidity > 70 AND (prev IS NULL OR prev <= 70)""".stripMargin,
+    // Morton interleave reproduced with DuckDB bit arithmetic (disjoint bit
+    // positions, so per-bit terms ADD)
+    "p_zorder_cells" ->
+      """SELECT a, b,
+        |  CAST(list_sum(list_transform(range(0, 8),
+        |    i -> (((a >> i) & 1) << (2 * i))
+        |       + (((CAST(b AS BIGINT) >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS z
+        |FROM (SELECT DISTINCT user_id % 256 AS a,
+        |        CAST(hour(ts) AS INTEGER) AS b FROM events) q""".stripMargin,
     // arrival-order latest (BitCask semantics): the staged log arrives in
     // s_no order, so the winner per key is the max-s_no row — NOT the
     // event-time winner p_latest_stream gates

@@ -82,6 +82,25 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Z-ordered parquet write: range-partition by the Morton code of two
+    * dimensions ([[graft.functions.ZOrderCode]]) and sort within
+    * partitions, so each output file covers a compact 2-D tile — parquet
+    * row-group min/max statistics then prune range predicates on EITHER
+    * dimension (the `OPTIMIZE ZORDER BY` layout, as an explicit operator).
+    * Range partitioning makes the files' z-ranges disjoint (ScaleSpec
+    * asserts this); at 100 TB this is a full shuffle paid ONCE at layout
+    * time to cut every later scan.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      bitsPer: Int = 16, nFiles: Int = 8): Unit = {
+    import graft.functions.ZOrderCode.zorder_code
+    df.withColumn("__z", zorder_code(col(colA), col(colB), bitsPer))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salt derived by hashing the whole row, NOT `rand()`: a nondeterministic
     * expression feeding a shuffle key means a stage retry after a partial
     * shuffle-fetch failure can re-salt rows differently and double-count or

@@ -537,6 +537,20 @@ object EventOps {
         round(col("r.value"), 2).as("value"))
   }
 
+  /** Z-order (Morton) codes over the distinct (station-bucket, hour) cells
+    * — gates the [[graft.functions.ZOrderCode]] bit interleave against a
+    * DuckDB bit-arithmetic oracle. The layout operator built on it
+    * ([[graft.operators.Scale.zorderWrite]]) is plan/layout-asserted in
+    * ScaleSpec.
+    */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(pmod(col("user_id"), lit(256)).as("a"),
+        hour(col("ts")).as("b"))
+      .distinct()
+      .withColumn("z",
+        graft.functions.ZOrderCode.zorder_code(col("a"), col("b"), 8))
+
   /** S4/K1 decode-path gate — the closest executable approximation to the
     * Kafka ingest spine in an environment with no broker or connector jars
     * (COVERAGE S4): events are rendered as Kafka-SHAPED frames — binary

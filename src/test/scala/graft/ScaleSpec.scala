@@ -217,4 +217,40 @@ class WindowedStatsSpec extends SparkSpec {
       assert(fired == Seq(2L, 5L)) // only the two rising edges
     } finally q.stop()
   }
+
+  test("zorder_code interleaves bits and zorderWrite tiles files disjointly") {
+    import spark.implicits._
+    import graft.functions.ZOrderCode.zorder_code
+    // known Morton values: bit i of a -> 2i, bit i of b -> 2i+1
+    val known = Seq((0, 0), (1, 0), (0, 1), (3, 5), (255, 255))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), zorder_code(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(known((0, 0)) == 0L)
+    assert(known((1, 0)) == 1L)
+    assert(known((0, 1)) == 2L)
+    assert(known((3, 5)) == 39L) // 011 ⋈ 101 = 100111b
+    assert(known((255, 255)) == 65535L)
+
+    // layout: range partitioning by z makes the output files' z-ranges
+    // DISJOINT — each file is a compact 2-D tile, so min/max row-group
+    // stats prune range predicates on either dimension
+    val out = tmpDir("zorder_out")
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("user_id"), lit(64)).as("a"),
+        pmod(col("event_id"), lit(64)).as("b"))
+    graft.operators.Scale.zorderWrite(df, "a", "b", out, bitsPer = 6,
+      nFiles = 4)
+    val ranges = spark.read.parquet(out)
+      .select(input_file_name().as("f"),
+        zorder_code(col("a"), col("b"), 6).as("z"))
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file z-ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
 }
