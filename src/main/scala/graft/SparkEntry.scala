@@ -66,6 +66,7 @@ object SparkEntry {
     "p_window_sliding_append" -> EventOps.slidingWindowStreamAppend _,
     "p_edge_alerts"      -> EventOps.edgeAlertStream _,
     "p_wire_decode"      -> EventOps.wireDecode _,
+    "p_asof_state"       -> EventOps.asOfState _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
@@ -310,6 +311,25 @@ object SparkEntry {
         |  CAST(event_id % 30 AS INTEGER) AS wind_speed
         |FROM events
         |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    // the as-of join: the oracle is the naive inequality-join + per-probe
+    // top-1 formulation; the engine's union+window shape must equal it
+    "p_asof_state" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id AS station_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
+        |      AS pts
+        |  FROM events),
+        |j AS (
+        |  SELECT p.station_id, p.pts, e.event_id,
+        |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+        |    row_number() OVER (PARTITION BY p.station_id, p.pts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) <= p.pts)
+        |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+        |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |  round(value, 2) AS value
+        |FROM j WHERE rn = 1""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join: for every probe row, the latest build row of
+  * the same key at-or-before the probe's timestamp — the historical
+  * generalization of the reference's latest-value point lookup
+  * (BitCask.java:143-168: `get(station)` answers "state NOW"; as-of answers
+  * "state as of time T" for many (key, T) probes at once).
+  */
+object AsOfJoin {
+
+  /** For each probe row, attach the latest build row of the same `keys`
+    * whose `buildTs` is at-or-before (`strict = false`) / strictly before
+    * (`strict = true`) the probe's `probeTs`. Ties on `buildTs` are broken
+    * by `buildTieBreak` (largest wins), so the match is deterministic.
+    *
+    * There is NO join in the physical plan: both inputs are unioned with a
+    * side tag and the match is a running `last(_, ignoreNulls)` window over
+    * the key, ordered by (ts, side, tie-break) — one hash shuffle on the
+    * key plus a per-key sort, each input row moved exactly once. The naive
+    * formulation (inequality join + per-probe top-1) materializes
+    * O(probes × matching-history) candidate pairs before pruning — a
+    * nested-loop scale-killer at 100 TB. This shape's cost is
+    * sort-of(|build| + |probe|) per key, independent of match fan-in;
+    * skew is bounded by the hottest single key, same as any keyed window.
+    *
+    * Output: probe columns + a `matched` struct of the build row's non-key
+    * columns (null when no build row precedes the probe). Rows with a null
+    * timestamp on either side are dropped — they have no position on the
+    * timeline.
+    */
+  def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTs: String, buildTs: String, buildTieBreak: Seq[String] = Nil,
+      strict: Boolean = false, matchedCol: String = "matched"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val reserved = Seq("__ts", "__side", "__tb", "__b")
+    require(!(probe.columns ++ build.columns).exists(reserved.contains),
+      s"column names $reserved are reserved by AsOfJoin.asOf")
+
+    val probePayload = probe.columns.toSeq.filterNot(keys.contains)
+    val buildPayload = build.columns.toSeq.filterNot(keys.contains)
+    val bStruct = StructType(buildPayload.map(n => build.schema(n)))
+    val tbStruct = StructType(buildTieBreak.map(n => build.schema(n)))
+
+    val (buildTb, probeTb) =
+      if (buildTieBreak.nonEmpty)
+        (struct(buildTieBreak.map(col): _*), lit(null).cast(tbStruct))
+      else (lit(0), lit(0))
+
+    val buildSide = build
+      .filter(col(buildTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(buildTs).as("__ts"),
+          lit(0).as("__side"),
+          buildTb.as("__tb"),
+          struct(buildPayload.map(col): _*).as("__b")) ++
+        probePayload.map(n =>
+          lit(null).cast(probe.schema(n).dataType).as(n)): _*)
+    val probeSide = probe
+      .filter(col(probeTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(probeTs).as("__ts"),
+          lit(1).as("__side"),
+          probeTb.as("__tb"),
+          lit(null).cast(bStruct).as("__b")) ++
+        probePayload.map(col): _*)
+
+    // inclusive: build rows sort BEFORE the probe at equal ts (side 0 < 1),
+    // so `last` sees them; strict: probe first, equal-ts build rows excluded
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrd, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    buildSide.unionByName(probeSide)
+      .withColumn(matchedCol, last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((keys ++ probePayload).map(col) :+ col(matchedCol): _*)
+  }
+}

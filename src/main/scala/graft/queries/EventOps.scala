@@ -551,6 +551,35 @@ object EventOps {
       .withColumn("z",
         graft.functions.ZOrderCode.zorder_code(col("a"), col("b"), 8))
 
+  /** As-of state probe — "what was the station's latest reading as of
+    * minute 37 of each active hour" — through
+    * [[graft.operators.AsOfJoin.asOf]]: probes are the distinct
+    * (station, hour) cells shifted to :37:00, build is the station's own
+    * event timeline, inclusive at-or-before with max-s_no tie-break.
+    * The DuckDB oracle states the same result as an inequality join +
+    * per-probe row_number — exactly the quadratic formulation the
+    * operator's union+window shape avoids (ScaleSpec plan-asserts zero
+    * Join nodes and a single shuffle).
+    */
+  def asOfState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val probes = ev
+      .select(col("user_id").as("station_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 37 minutes"))
+          .as("probe_ts"))
+      .distinct()
+    val build = ev.select(col("user_id").as("station_id"), col("ts"),
+      col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(probes, build, Seq("station_id"),
+        "probe_ts", "ts", buildTieBreak = Seq("event_id"))
+      .select(col("station_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("matched.event_id").as("s_no"),
+        date_format(col("matched.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("event_ts"),
+        round(col("matched.value"), 2).as("value"))
+  }
+
   /** S4/K1 decode-path gate — the closest executable approximation to the
     * Kafka ingest spine in an environment with no broker or connector jars
     * (COVERAGE S4): events are rendered as Kafka-SHAPED frames — binary

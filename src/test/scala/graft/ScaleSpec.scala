@@ -124,6 +124,41 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("as-of join matches the per-probe latest row and plans join-free") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val build = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
+      (2L, 50L, 200L, 9.0))
+      .toDF("k", "t", "id", "v")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("id"),
+        col("v"))
+    val probe = Seq((1L, 5L), (1L, 20L), (1L, 30L), (2L, 49L))
+      .toDF("k", "pt")
+      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    def matches(strict: Boolean): Map[(Long, Long), Long] =
+      AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t",
+          buildTieBreak = Seq("id"), strict = strict)
+        .select(col("k"), unix_timestamp(col("pt")).as("pt"),
+          col("matched.id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val inc = matches(strict = false)
+    assert(inc((1L, 5L)) == -1L)   // probe precedes every build row
+    assert(inc((1L, 20L)) == 102L) // inclusive at-or-before, max-id tie-break
+    assert(inc((1L, 30L)) == 102L)
+    assert(inc((2L, 49L)) == -1L)
+    val st = matches(strict = true)
+    assert(st((1L, 20L)) == 100L)  // strictly-before excludes the t=20 rows
+    // the physical plan is union + keyed window: no Join node, ONE shuffle
+    val out = AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t",
+      buildTieBreak = Seq("id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
   test("narrow text operators stay in one codegen stage over a pruned scan") {
     val dir = "/root/testdata/sf0.001"
     for (df <- Seq(
