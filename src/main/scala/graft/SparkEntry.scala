@@ -67,6 +67,8 @@ object SparkEntry {
     "p_edge_alerts"      -> EventOps.edgeAlertStream _,
     "p_wire_decode"      -> EventOps.wireDecode _,
     "p_asof_state"       -> EventOps.asOfState _,
+    "p_dedup_stream"     -> EventOps.dedupStream _,
+    "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
@@ -330,6 +332,31 @@ object SparkEntry {
         |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
         |  round(value, 2) AS value
         |FROM j WHERE rn = 1""".stripMargin,
+    // streaming watermarked dedup must emit each unique row exactly once
+    // across replayed micro-batches; (user_id, event_id) is unique, so the
+    // oracle is the log itself
+    "p_dedup_stream" ->
+      """SELECT user_id AS station_id, event_id AS s_no, event_type,
+        |  round(value, 2) AS value
+        |FROM events""".stripMargin,
+    // the grid-bucketed interval join must equal the naive inequality join
+    // over the same arithmetically-derived incident windows
+    "q24_interval_join" ->
+      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
+        |iv AS (
+        |  SELECT i AS interval_id,
+        |    t0 + i * INTERVAL 21 HOUR AS s,
+        |    t0 + i * INTERVAL 21 HOUR + INTERVAL 47 MINUTE AS e
+        |  FROM b, (SELECT unnest(range(0, 32)) AS i) ii)
+        |SELECT interval_id,
+        |  strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_stations,
+        |  round(sum(value), 2) AS sum_value
+        |FROM iv JOIN events ev
+        |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
+        | AND CAST(ev.ts AS TIMESTAMP) < iv.e
+        |GROUP BY interval_id, s""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

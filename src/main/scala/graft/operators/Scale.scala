@@ -101,6 +101,36 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Grid-bucketed interval (range) join: each interval row is exploded
+    * into the fixed-width time-grid cells its [start, end) span overlaps
+    * (typically a handful), each event maps to its single cell, and the
+    * containment predicate runs AFTER an equi-join on the cell id. The
+    * naive inequality join has no equi-key, so Spark plans a broadcast
+    * nested loop — O(|events| × |intervals|) comparisons at 100 TB; this
+    * shape shuffles on cell ids, generates each candidate pair at most
+    * once (an event has exactly one cell, and an interval's exploded cells
+    * are distinct), so no post-join dedup is needed and candidates ∝ true
+    * matches + same-cell near-misses. `gridSeconds` trades the interval
+    * explode factor (long intervals → more cells) against candidate
+    * precision (coarse grid → more near-misses); set it near the typical
+    * interval length.
+    */
+  def intervalJoin(events: DataFrame, intervals: DataFrame, tsCol: String,
+      startCol: String, endCol: String, gridSeconds: Long): DataFrame = {
+    require(gridSeconds > 0, "gridSeconds must be positive")
+    // integer DIV, not floor(a / b): double division of micro timestamps
+    // can land a boundary value in the wrong cell
+    val gUs = gridSeconds * 1000000L
+    val ev = events.withColumn("__cell",
+      expr(s"unix_micros(`$tsCol`) DIV ${gUs}L"))
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(expr(s"unix_micros(`$startCol`) DIV ${gUs}L"),
+        expr(s"(unix_micros(`$endCol`) - 1) DIV ${gUs}L"))))
+    ev.join(iv, Seq("__cell"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__cell")
+  }
+
   /** Salt derived by hashing the whole row, NOT `rand()`: a nondeterministic
     * expression feeding a shuffle key means a stage retry after a partial
     * shuffle-fetch failure can re-salt rows differently and double-count or

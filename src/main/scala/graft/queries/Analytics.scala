@@ -423,6 +423,37 @@ object Analytics {
     c.unionAll(s).except(region0)
   }
 
+  /** Interval (range) join through [[graft.operators.Scale.intervalJoin]]:
+    * 32 synthetic 47-minute "incident windows", one every 21 hours from the
+    * log's first event, each aggregating the events it contains. The
+    * intervals are deliberately NOT aligned to any window/grid boundary, so
+    * no window function can express this — it is a genuine range join. The
+    * DuckDB oracle runs the naive inequality join; the engine runs the
+    * grid-bucketed equi-join shape (ScaleSpec plan-asserts no nested-loop
+    * or cartesian join survives). Interval start/length in exact integer
+    * micros so both engines derive identical bounds.
+    */
+  def q24IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("ts"), col("user_id"), col("value"))
+    val spacingUs = 21L * 3600 * 1000000 // 21 hours
+    val lengthUs = 47L * 60 * 1000000    // 47 minutes
+    val intervals = events(spark, dir).agg(min(col("ts")).as("t0"))
+      .crossJoin(spark.range(32).toDF("interval_id"))
+      .select(col("interval_id"),
+        timestamp_micros(unix_micros(col("t0")) +
+          col("interval_id") * spacingUs).as("iv_start"),
+        timestamp_micros(unix_micros(col("t0")) +
+          col("interval_id") * spacingUs + lengthUs).as("iv_end"))
+    graft.operators.Scale.intervalJoin(ev, intervals,
+        "ts", "iv_start", "iv_end", gridSeconds = 30 * 60)
+      .groupBy(col("interval_id"),
+        date_format(col("iv_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("interval_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_stations"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Scalar string-function surface in one pass: case mapping, substring,
     * padding, trim, edit distance, concat — every function cross-checked
     * against the oracle engine's implementation.

@@ -537,6 +537,50 @@ object EventOps {
         round(col("r.value"), 2).as("value"))
   }
 
+  /** A8 through the SCALE-CORRECT streaming shape: watermarked
+    * `dropDuplicates` — dedup state is keyed on (station_id, s_no) and
+    * EVICTED once the watermark passes a key's event time (the
+    * no-watermark form keeps every key ever seen: unbounded state, the
+    * scale-killer this gate exists to avoid). Duplicates are staged both
+    * ways a real re-ingest produces them: batch 1 is the full log PLUS an
+    * in-batch replay of the odd-s_no rows (in-batch hits go through the
+    * state store too); batch 2 replays the even-s_no rows in a later
+    * micro-batch — each replayed row is dropped as a state hit if its key
+    * is still live, or as late data once the watermark passed its event
+    * time, and both paths emit nothing. Every unique row is emitted
+    * exactly once, so the oracle is simply the event log itself
+    * ((user_id, event_id) is unique in the testdata).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = graft.util.Scratch.dir("graft_dedup_stream_src")
+    val base = System.currentTimeMillis()
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def stageOne(df: DataFrame, name: String, offsetSec: Int): Unit = {
+      val tmp = graft.util.Scratch.dir(s"graft_dedup_part_$offsetSec")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file written under $tmp"))
+      val dest = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(base + offsetSec * 1000L))
+    }
+    stageOne(raw.unionAll(raw.filter(col("event_id") % 2 === 1)),
+      "batch1.parquet", 0)
+    stageOne(raw.filter(col("event_id") % 2 === 0), "batch2.parquet", 60)
+    val deduped = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("user_id", "event_id")
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("event_type"), round(col("value"), 2).as("value"))
+    drainToMemory(spark, deduped, "dedup_stream_gate", OutputMode.Append())
+  }
+
   /** Z-order (Morton) codes over the distinct (station-bucket, hour) cells
     * — gates the [[graft.functions.ZOrderCode]] bit interleave against a
     * DuckDB bit-arithmetic oracle. The layout operator built on it
