@@ -69,6 +69,7 @@ object SparkEntry {
     "p_asof_state"       -> EventOps.asOfState _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
+    "q25_freq_items"     -> Analytics.q25FreqItems _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
@@ -357,6 +358,18 @@ object SparkEntry {
         |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
         | AND CAST(ev.ts AS TIMESTAMP) < iv.e
         |GROUP BY interval_id, s""".stripMargin,
+    // Misra-Gries heavy hitters in the exact (err == 0) regime: the top-10
+    // slice must equal the exact GROUP BY counts, same tie-break
+    "q25_freq_items" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, TRUE AS exact, CAST(rank AS INTEGER) AS rank,
+        |  user_id AS station_id, n
+        |FROM (SELECT event_type, user_id, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
+        |  FROM c) t
+        |WHERE rank <= 10""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

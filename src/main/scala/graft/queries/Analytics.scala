@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Headline analytic queries over the driver testdata (TPC-H-ish star schema).
   *
@@ -422,6 +423,28 @@ object Analytics {
       .select(col("n_nationkey").as("nationkey"))
     c.unionAll(s).except(region0)
   }
+
+  /** Heavy hitters per event type through [[graft.functions.FreqItemsSketch]]
+    * — a Misra–Gries summary as a custom TypedImperativeAggregate. At
+    * 100 TB, "top sources per partition key" must NOT materialize one row
+    * per distinct source (`groupBy(type, station).count` shuffles every
+    * distinct pair); the summary keeps O(k) state per group, merges
+    * map-side, and moves only k entries per group through the shuffle.
+    * The gate runs k = 4096 ≫ distinct stations at every gate SF, so the
+    * summary is provably exact — the emitted `exact` flag asserts the
+    * err == 0 regime — and the top-10 slice must equal the oracle's exact
+    * GROUP BY counts with the same (count DESC, id ASC) tie-break.
+    */
+  def q25FreqItems(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.FreqItems.freq_items(col("user_id"), 4096)
+        .as("sk"))
+      .select(col("event_type"), (col("sk.err") === 0).as("exact"),
+        posexplode(slice(col("sk.items"), 1, 10)))
+      .select(col("event_type"), col("exact"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.item").as("station_id"), col("col.count").as("n"))
 
   /** Interval (range) join through [[graft.operators.Scale.intervalJoin]]:
     * 32 synthetic 47-minute "incident windows", one every 21 hours from the

@@ -622,3 +622,62 @@ class KmvSketchSpec extends SparkSpec {
     assert(est > 1000 && est < 4000, s"estimate $est far from 2000")
   }
 }
+
+class FreqItemsSpec extends SparkSpec {
+  import graft.functions.FreqItems.freq_items
+  import org.apache.spark.sql.Row
+
+  test("exact regime equals groupBy counts and is partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq.tabulate(3000)(i => (i % 3, (i * 7L) % 40)).toDF("g", "item")
+    def run(parts: Int): Map[Int, (Long, List[(Long, Long)])] =
+      df.repartition(parts)
+        .groupBy("g").agg(freq_items(col("item"), 64).as("sk"))
+        .select(col("g"), col("sk.err"), col("sk.items"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1),
+          r.getSeq[Row](2).map(x => (x.getLong(0), x.getLong(1))).toList))
+        .toMap
+    val a = run(1)
+    assert(a == run(13)) // merge path (13 partials) = single-buffer path
+    val exact = df.groupBy("g", "item").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    a.foreach { case (g, (err, items)) =>
+      assert(err == 0L)
+      assert(items.size == exact.keys.count(_._1 == g))
+      items.foreach { case (item, c) => assert(exact((g, item)) == c) }
+      // sorted (count desc, item asc) so prefixes are deterministic top-k
+      assert(items == items.sortBy { case (item, c) => (-c, item) })
+    }
+  }
+
+  test("lossy regime: MG bounds hold and a guaranteed heavy hitter survives") {
+    import spark.implicits._
+    val k = 8
+    // item 999 carries 40% of the stream; the rest are near-singletons
+    val data = Seq.tabulate(10000)(i =>
+      if (i % 5 < 2) 999L else 1000L + i)
+    val row = data.map(Tuple1(_)).toDF("item").repartition(7)
+      .agg(freq_items(col("item"), k).as("sk"))
+      .select(col("sk.err"), col("sk.items")).collect().head
+    val err = row.getLong(0)
+    val items = row.getSeq[Row](1)
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(items.size <= k)
+    assert(err > 0 && err <= data.size / (k + 1))
+    assert(items.contains(999L)) // freq 40% > n/(k+1): must survive
+    items.foreach { case (item, c) =>
+      val t = data.count(_ == item).toLong
+      assert(c <= t && t <= c + err, s"bounds violated for $item")
+    }
+  }
+
+  test("plans as ObjectHashAggregate with map-side partials") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i % 2, i.toLong)).toDF("g", "item")
+    val plan = df.groupBy("g").agg(freq_items(col("item"), 16))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_freq_items_sketch"), plan.take(800))
+  }
+}
