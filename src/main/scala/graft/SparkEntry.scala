@@ -68,6 +68,7 @@ object SparkEntry {
     "p_wire_decode"      -> EventOps.wireDecode _,
     "p_asof_state"       -> EventOps.asOfState _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
+    "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
@@ -370,6 +371,15 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
         |  FROM c) t
         |WHERE rank <= 10""".stripMargin,
+    // bloom prefilter + exact semi join must equal the plain EXISTS join
+    "p_bloom_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_stations,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events s
+        |  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+        |GROUP BY event_type""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

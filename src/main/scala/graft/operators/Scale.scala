@@ -131,6 +131,30 @@ object Scale {
       .drop("__cell")
   }
 
+  /** Bloom-prefiltered semi join (an explicit runtime filter): build a
+    * bounded-size bloom of the small side's keys
+    * ([[graft.functions.BloomFilterAgg]] — a few KB regardless of key
+    * count), pull that ONE row to the driver, prefilter the big side with
+    * the codegen'd [[graft.functions.BloomMightContain]] INSIDE its scan
+    * stage, then run the exact semi join over the survivors to drop bloom
+    * false positives. At 100 TB the win is shuffle volume: the big side
+    * ships only probable matches into the join exchange instead of every
+    * row — the same mechanism as Spark's AQE runtime bloom filters, here
+    * as a composable operator usable when the planner doesn't inject one
+    * (e.g. the build side is itself a subquery the optimizer won't lift).
+    * Keys must be BIGINT (hash wider keys first). Never drops a true
+    * match: bloom filters have no false negatives, and null keys never
+    * equi-join on either path.
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFilter._
+    val bytes = small.agg(bloom_agg(col(key), numBits, numHashes))
+      .collect()(0).getAs[Array[Byte]](0)
+    big.filter(bloom_might_contain(col(key), bytes))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
   /** Salt derived by hashing the whole row, NOT `rand()`: a nondeterministic
     * expression feeding a shuffle key means a stage retry after a partial
     * shuffle-fetch failure can re-salt rows differently and double-count or

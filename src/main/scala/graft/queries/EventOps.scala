@@ -581,6 +581,27 @@ object EventOps {
     drainToMemory(spark, deduped, "dedup_stream_gate", OutputMode.Append())
   }
 
+  /** The bloom-prefiltered semi join machinery
+    * ([[graft.operators.Scale.bloomSemiJoin]]) gated end to end: events of
+    * stations that ever sent a signup, aggregated per type. The engine
+    * builds a bloom of the signup stations, prefilters the full log inside
+    * the scan stage, and exact-semi-joins the survivors; the DuckDB oracle
+    * is the plain EXISTS semi join — any bloom false POSITIVE the exact
+    * join fails to drop, or any false NEGATIVE (impossible by
+    * construction), breaks the hash match.
+    */
+  def bloomPrunedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"))
+    graft.operators.Scale.bloomSemiJoin(ev, signup, "user_id",
+        numBits = 1 << 16)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_stations"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Z-order (Morton) codes over the distinct (station-bucket, hour) cells
     * — gates the [[graft.functions.ZOrderCode]] bit interleave against a
     * DuckDB bit-arithmetic oracle. The layout operator built on it

@@ -184,6 +184,40 @@ class ScaleSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("bloom prefilter: no false negatives, bounded fpp, semi-join equal") {
+    import spark.implicits._
+    import graft.functions.BloomFilter._
+    val keys = (1 to 500).map(_.toLong * 7919)
+    val small = keys.toDF("k")
+    def build(parts: Int): Array[Byte] = small.repartition(parts)
+      .agg(bloom_agg(col("k"), 1 << 14)).collect()(0).getAs[Array[Byte]](0)
+    val bytes = build(1)
+    // OR-merge is partitioning-invariant: identical bytes either way
+    assert(java.util.Arrays.equals(bytes, build(9)))
+    // no false negatives — every inserted key passes
+    assert(small.filter(bloom_might_contain(col("k"), bytes)).count() == 500)
+    // false-positive rate on 10k disjoint keys stays far below saturation
+    // (m/n = 32 bits/key, 5 hashes -> fpp well under 1%)
+    val fp = (1 to 10000).map(i => i.toLong * 7919 + 3).toDF("k")
+      .filter(bloom_might_contain(col("k"), bytes)).count()
+    assert(fp < 100, s"implausible false-positive count $fp")
+    // end to end: bloomSemiJoin == plain left_semi, and the probe runs
+    // the codegen'd membership test (parquet-backed big side: over a local
+    // relation ConvertToLocalRelation folds the filter away at optimize
+    // time, which would hide the expression from the plan)
+    val bigPath = tmpDir("bloom_big")
+    (1 to 20000).map(i => (i.toLong * 3, i % 7)).toDF("k", "grp")
+      .write.mode("overwrite").parquet(bigPath)
+    val big = spark.read.parquet(bigPath)
+    val viaBloom = Scale.bloomSemiJoin(big, small, "k", numBits = 1 << 14)
+    val plain = big.join(small.distinct(), Seq("k"), "left_semi")
+    assert(plain.count() > 0)
+    assert(viaBloom.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+  }
+
   test("narrow text operators stay in one codegen stage over a pruned scan") {
     val dir = "/root/testdata/sf0.001"
     for (df <- Seq(
