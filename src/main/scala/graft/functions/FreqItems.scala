@@ -62,7 +62,7 @@ final class FreqBuffer(val k: Int) {
   * every counter is EXACT — the regime the driver gate runs in, making
   * the summary fully oracle-comparable. In the lossy regime stored counts
   * are order-dependent (as with any MG summary); only the bounds are
-  * contractual — PropertySpec asserts them.
+  * contractual — FreqItemsSpec asserts them.
   *
   * Output: `struct(err BIGINT, items ARRAY<STRUCT<item BIGINT,
   * count BIGINT>>)`, items sorted by (count DESC, item ASC) so prefixes
