@@ -69,6 +69,8 @@ object SparkEntry {
     "p_asof_state"       -> EventOps.asOfState _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
+    "p_stream_join"      -> EventOps.streamStreamJoin _,
+    "p_compact_files"    -> EventOps.compactRoundTrip _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
@@ -380,6 +382,24 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM events s
         |  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
         |GROUP BY event_type""".stripMargin,
+    // stream-stream watermarked inner join must equal the batch range
+    // self-join (alert events x same-station context in the prior 12 h)
+    "p_stream_join" ->
+      """SELECT a.user_id AS station_id, a.event_id AS alert_sno,
+        |  c.event_id AS ctx_sno
+        |FROM events a JOIN events c
+        |  ON c.user_id = a.user_id
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     >= CAST(a.ts AS TIMESTAMP) - INTERVAL 12 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
+        |WHERE a.value > 90""".stripMargin,
+    // compaction is a pure layout change: the checksum aggregate over the
+    // compacted files must equal the same aggregate over the original log
+    "p_compact_files" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  count(DISTINCT user_id) AS n_stations
+        |FROM events GROUP BY event_type""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

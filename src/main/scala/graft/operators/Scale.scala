@@ -155,6 +155,36 @@ object Scale {
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * size-targeted files. Streaming ingest (the reference's per-batch
+    * archive flush, ParquetArchiver.java:96-103) leaves one small file
+    * per micro-batch per partition; at lake scale that means millions of
+    * KB-sized files — scan task explosion, tiny row groups, useless
+    * min/max statistics. Compaction pays one read+shuffle+write to
+    * restore ceil(totalBytes / targetFileBytes) round-robin-balanced
+    * files (no keys: pure bin packing; use [[zorderWrite]] instead when a
+    * sort-based layout should be restored at the same time). Returns the
+    * file count written.
+    */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val nFiles = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Salt derived by hashing the whole row, NOT `rand()`: a nondeterministic
     * expression feeding a shuffle key means a stage retry after a partial
     * shuffle-fetch failure can re-salt rows differently and double-count or

@@ -581,6 +581,61 @@ object EventOps {
     drainToMemory(spark, deduped, "dedup_stream_gate", OutputMode.Append())
   }
 
+  /** Stream-stream inner join — the last major Structured Streaming
+    * operator shape previously ungated: severe readings (value > 90)
+    * joined to the SAME station's context events in the preceding 12
+    * hours. Both sides are watermarked and the join carries an event-time
+    * range condition — that pair is what lets the engine EVICT buffered
+    * rows once the watermark passes their join window (without it,
+    * stream-stream join state grows with the full history: the 100 TB
+    * scale-killer). Inner joins emit a pair as soon as both sides have
+    * arrived, so the single-batch AvailableNow drain emits exactly the
+    * batch-join result deterministically (the watermark bounds STATE, not
+    * result membership). Oracle = the equivalent batch range self-join.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val severe = eventsStream(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .filter(col("value") > 90.0)
+      .select(col("user_id").as("station_id"),
+        col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
+      .withWatermark("alert_ts", "30 minutes")
+    val context = eventsStream(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("user_id").as("ctx_station"),
+        col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
+      .withWatermark("ctx_ts", "30 minutes")
+    val joined = severe.join(context,
+      col("station_id") === col("ctx_station") &&
+        col("ctx_ts") >= col("alert_ts") - expr("INTERVAL 12 hours") &&
+        col("ctx_ts") < col("alert_ts"))
+      .select(col("station_id"), col("alert_sno"), col("ctx_sno"))
+    drainToMemory(spark, joined, "ss_join_gate", OutputMode.Append())
+  }
+
+  /** Small-file compaction round trip ([[graft.operators.Scale
+    * .compactFiles]]): the event log is deliberately shattered into 64
+    * micro-batch-sized files (the streaming-ingest failure shape), then
+    * compacted to size-targeted files and read back. The integer
+    * checksum aggregate must equal the oracle's over the ORIGINAL log —
+    * compaction must be a pure layout change, byte-losslessly preserving
+    * every row. ScaleSpec separately asserts the file-count arithmetic.
+    */
+  def compactRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val shattered = graft.util.Scratch.dir("graft_compact_in").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(64).write.mode("overwrite").parquet(shattered)
+    val out = graft.util.Scratch.dir("graft_compact_out").toString
+    graft.operators.Scale.compactFiles(spark, shattered, out,
+      targetFileBytes = 4L << 20)
+    spark.read.parquet(out)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_sno"),
+        countDistinct(col("user_id")).as("n_stations"))
+  }
+
   /** The bloom-prefiltered semi join machinery
     * ([[graft.operators.Scale.bloomSemiJoin]]) gated end to end: events of
     * stations that ever sent a signup, aggregated per type. The engine

@@ -218,6 +218,31 @@ class ScaleSpec extends SparkSpec {
       .contains("bloom_might_contain"))
   }
 
+  test("compaction hits the file-count target and loses no rows") {
+    val in = tmpDir("compact_in")
+    val out = tmpDir("compact_out")
+    li.select("l_orderkey", "l_quantity").repartition(32)
+      .write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    val totalIn = parquetFiles(in).map(_.length()).sum
+    val target = totalIn / 4 // expect ceil(total/target) = 4-5 files
+    val n = Scale.compactFiles(spark, in, out, target)
+    assert(n == ((totalIn + target - 1) / target).toInt)
+    val written = parquetFiles(out)
+    assert(written.length == n, s"expected $n files, got ${written.length}")
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(in).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("narrow text operators stay in one codegen stage over a pruned scan") {
     val dir = "/root/testdata/sf0.001"
     for (df <- Seq(
