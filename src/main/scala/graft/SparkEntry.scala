@@ -71,6 +71,7 @@ object SparkEntry {
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
     "p_stream_join"      -> EventOps.streamStreamJoin _,
     "p_compact_files"    -> EventOps.compactRoundTrip _,
+    "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
@@ -382,6 +383,17 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM events s
         |  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
         |GROUP BY event_type""".stripMargin,
+    // stream-stream LEFT OUTER join: unmatched alerts must finalize with a
+    // null ctx_sno once the watermark proves no match can arrive
+    "p_stream_join_outer" ->
+      """SELECT a.user_id AS station_id, a.event_id AS alert_sno,
+        |  c.event_id AS ctx_sno
+        |FROM events a LEFT JOIN events c
+        |  ON c.user_id = a.user_id
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     >= CAST(a.ts AS TIMESTAMP) - INTERVAL 12 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
+        |WHERE a.value > 90""".stripMargin,
     // stream-stream watermarked inner join must equal the batch range
     // self-join (alert events x same-station context in the prior 12 h)
     "p_stream_join" ->

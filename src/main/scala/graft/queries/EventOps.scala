@@ -614,6 +614,46 @@ object EventOps {
     drainToMemory(spark, joined, "ss_join_gate", OutputMode.Append())
   }
 
+  /** Stream-stream LEFT OUTER join — the half of streaming join semantics
+    * [[streamStreamJoin]] cannot exercise: an unmatched left row may only
+    * be emitted (null-padded) once the watermark proves no match can
+    * still arrive, which is exactly the state-eviction machinery working.
+    * Both sides use the two-sentinel flush staging (the sentinels advance
+    * the joint watermark past every real event), so every unmatched alert
+    * finalizes deterministically: alerts with no same-station context
+    * event in the preceding 12 hours emit with a null ctx_sno. The
+    * sentinel rows must survive the alert filter on BOTH sides: each
+    * side's watermark advances only from rows reaching its own watermark
+    * node, so dropping the sentinels pre-watermark on the severe side
+    * would freeze its watermark at the last real alert and the final
+    * 30 minutes of unmatched alerts would never finalize (observed as an
+    * off-by-one on first gating). Sentinels ride station_id = -1: they
+    * join nothing (their 24 h spacing misses the 12 h window) and are
+    * filtered after the drain. Oracle = the batch LEFT range self-join.
+    */
+  def streamStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val severe = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .filter(col("value") > 90.0 || col("event_type") === "__flush__")
+      .select(col("user_id").as("station_id"),
+        col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
+      .withWatermark("alert_ts", "30 minutes")
+    val context = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("user_id").as("ctx_station"),
+        col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
+      .withWatermark("ctx_ts", "30 minutes")
+    val joined = severe.join(context,
+        col("station_id") === col("ctx_station") &&
+          col("ctx_ts") >= col("alert_ts") - expr("INTERVAL 12 hours") &&
+          col("ctx_ts") < col("alert_ts"),
+        "left_outer")
+      .select(col("station_id"), col("alert_sno"), col("ctx_sno"))
+    drainToMemory(spark, joined, "ss_outer_gate", OutputMode.Append())
+      .filter(col("station_id") =!= -1L)
+  }
+
   /** Small-file compaction round trip ([[graft.operators.Scale
     * .compactFiles]]): the event log is deliberately shattered into 64
     * micro-batch-sized files (the streaming-ingest failure shape), then
