@@ -60,7 +60,8 @@ object GraftSession {
   def installOptimizations(spark: SparkSession): Unit = {
     // order matters: the top-1 rule first, so rn <= 1 takes the cheaper
     // min_by/max_by plan and the top-k rule only sees k >= 2
-    Seq(graft.plans.TopOnePerKeyRewrite, graft.plans.TopKPerKeyRewrite)
+    Seq(graft.plans.TopOnePerKeyRewrite, graft.plans.TopKPerKeyRewrite,
+        graft.plans.RangeJoinRewrite)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule)) {
           spark.experimental.extraOptimizations =

@@ -73,6 +73,7 @@ object SparkEntry {
     "p_compact_files"    -> EventOps.compactRoundTrip _,
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
+    "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
@@ -347,6 +348,24 @@ object SparkEntry {
     // the grid-bucketed interval join must equal the naive inequality join
     // over the same arithmetically-derived incident windows
     "q24_interval_join" ->
+      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
+        |iv AS (
+        |  SELECT i AS interval_id,
+        |    t0 + i * INTERVAL 21 HOUR AS s,
+        |    t0 + i * INTERVAL 21 HOUR + INTERVAL 47 MINUTE AS e
+        |  FROM b, (SELECT unnest(range(0, 32)) AS i) ii)
+        |SELECT interval_id,
+        |  strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_stations,
+        |  round(sum(value), 2) AS sum_value
+        |FROM iv JOIN events ev
+        |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
+        | AND CAST(ev.ts AS TIMESTAMP) < iv.e
+        |GROUP BY interval_id, s""".stripMargin,
+    // the naive-formulation variant planned through RangeJoinRewrite must
+    // equal the same oracle
+    "q24_interval_rule" ->
       """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
         |iv AS (
         |  SELECT i AS interval_id,

@@ -249,5 +249,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopOnePerKeyRewrite)
     e.injectOptimizerRule(_ => TopKPerKeyRewrite)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

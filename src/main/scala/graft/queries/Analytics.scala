@@ -458,17 +458,43 @@ object Analytics {
     */
   def q24IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("ts"), col("user_id"), col("value"))
+    graft.operators.Scale.intervalJoin(ev, incidentIntervals(spark, dir),
+        "ts", "iv_start", "iv_end", gridSeconds = 30 * 60)
+      .groupBy(col("interval_id"),
+        date_format(col("iv_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("interval_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_stations"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** The 32 synthetic 47-minute incident windows, one every 21 hours from
+    * the log's first event — exact integer-micros arithmetic so DuckDB
+    * derives identical bounds.
+    */
+  private def incidentIntervals(spark: SparkSession, dir: String): DataFrame = {
     val spacingUs = 21L * 3600 * 1000000 // 21 hours
     val lengthUs = 47L * 60 * 1000000    // 47 minutes
-    val intervals = events(spark, dir).agg(min(col("ts")).as("t0"))
+    events(spark, dir).agg(min(col("ts")).as("t0"))
       .crossJoin(spark.range(32).toDF("interval_id"))
       .select(col("interval_id"),
         timestamp_micros(unix_micros(col("t0")) +
           col("interval_id") * spacingUs).as("iv_start"),
         timestamp_micros(unix_micros(col("t0")) +
           col("interval_id") * spacingUs + lengthUs).as("iv_end"))
-    graft.operators.Scale.intervalJoin(ev, intervals,
-        "ts", "iv_start", "iv_end", gridSeconds = 30 * 60)
+  }
+
+  /** The SAME incident-window aggregation as [[q24IntervalJoin]] written
+    * the way a user would — a plain inequality join — relying on
+    * [[graft.plans.RangeJoinRewrite]] to plan it as the grid-bucketed
+    * equi-join automatically (RewriteSpec asserts the rewritten plan; this
+    * gate proves end-to-end value equality against the naive oracle
+    * through the rewritten plan).
+    */
+  def q24IntervalJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("ts"), col("user_id"), col("value"))
+    ev.join(incidentIntervals(spark, dir),
+        col("ts") >= col("iv_start") && col("ts") < col("iv_end"))
       .groupBy(col("interval_id"),
         date_format(col("iv_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("interval_start"))

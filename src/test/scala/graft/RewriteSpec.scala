@@ -200,3 +200,81 @@ class RewriteSpec extends SparkSpec {
     }
   }
 }
+
+class RangeJoinRewriteSpec extends SparkSpec {
+  import graft.plans.RangeJoinRewrite
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+  }
+
+  lazy val events =
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("ts"), col("user_id"), col("event_id"))
+
+  // 16 unaligned 47-minute windows every 21 hours from the first event
+  private def intervals = events.agg(min(col("ts")).as("t0"))
+    .crossJoin(spark.range(16).toDF("iv_id"))
+    .select(col("iv_id"),
+      timestamp_micros(unix_micros(col("t0")) +
+        col("iv_id") * (21L * 3600 * 1000000)).as("s"),
+      timestamp_micros(unix_micros(col("t0")) +
+        col("iv_id") * (21L * 3600 * 1000000) + 47L * 60 * 1000000).as("e"))
+
+  private def naive = events.join(intervals,
+    col("ts") >= col("s") && col("ts") < col("e"))
+
+  test("time-band join rewrites to a cell equi-join with identical results") {
+    val baseline = naive.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iv_id"))).sorted
+    assert(baseline.nonEmpty)
+    withRule {
+      val df = naive
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__range_cell"), optimized.take(1200))
+      val physical = df.queryExecution.executedPlan.toString
+      // the BAND join must be an equi join on the injected cell (the
+      // interval-construction crossJoin of the 1-row min(ts) aggregate is
+      // a legitimate Cross nested loop and stays)
+      assert("NestedLoopJoin[^\\n]*Inner".r.findFirstIn(physical).isEmpty,
+        physical.take(1200))
+      assert(physical.contains("Join [__range_cell"), physical.take(1200))
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iv_id"))).sorted
+      assert(got.sameElements(baseline))
+    }
+  }
+
+  test("band joins with equi keys keep the keys; plain equi joins untouched") {
+    withRule {
+      // same-station band join: the station equality must survive as a
+      // join key alongside the injected cell
+      val probes = events.select(col("user_id").as("u2"),
+        col("ts").as("pt"), col("event_id").as("pid"))
+      val band = events.join(probes,
+        col("user_id") === col("u2") &&
+          col("ts") >= col("pt") - expr("INTERVAL 1 hour") &&
+          col("ts") < col("pt"))
+      val optimized = band.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__range_cell"), optimized.take(1200))
+      // cross-engine sanity on a keyed band: rewrite equals no-rewrite
+      val got = band.count()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+      val plain = band.count()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+      assert(got == plain)
+
+      // no range pair -> untouched
+      val equi = events.join(probes, col("user_id") === col("u2"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("__range_cell"))
+    }
+  }
+}
