@@ -72,6 +72,7 @@ object SparkEntry {
     "p_stream_join"      -> EventOps.streamStreamJoin _,
     "p_compact_files"    -> EventOps.compactRoundTrip _,
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
+    "p_timeout_offline"  -> EventOps.offlineTimeoutStream _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -402,6 +403,18 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM events s
         |  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
         |GROUP BY event_type""".stripMargin,
+    // event-time timers: every station times out exactly once after its
+    // final ping, emitting the same latest state the batch oracle computes
+    "p_timeout_offline" ->
+      """SELECT station_id, last_s_no,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+        |FROM (
+        |  SELECT user_id AS station_id, event_id AS last_s_no,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
     // stream-stream LEFT OUTER join: unmatched alerts must finalize with a
     // null ctx_sno once the watermark proves no match can arrive
     "p_stream_join_outer" ->

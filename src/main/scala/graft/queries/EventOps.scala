@@ -654,6 +654,30 @@ object EventOps {
       .filter(col("station_id") =!= -1L)
   }
 
+  /** [[graft.streaming.WindowedStats.offlineAlerts]] gated end to end —
+    * the EVENT-TIME TIMER path: every station's timer is armed at its
+    * latest ping + 24 h and re-armed by newer pings; the two far-future
+    * flush sentinels drive the watermark past every armed time, so every
+    * real station times out exactly once and emits its final state. The
+    * sentinels' own station (-1) arms a timer the final watermark never
+    * passes, so it never emits (and is filtered defensively anyway). The
+    * emitted rows must equal the batch latest-per-key oracle — the same
+    * ANSWER as p_latest_per_key, through a completely different
+    * (timer-driven, push-based) mechanism.
+    */
+  def offlineTimeoutStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val pings = eventsStreamWithFlush(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+    val alerts = graft.streaming.WindowedStats.offlineAlerts(pings)
+    drainToMemory(spark, alerts.toDF(), "offline_gate", OutputMode.Append())
+      .filter(col("station_id") =!= -1L)
+      .select(col("station_id"), col("last_s_no"),
+        date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_seen"))
+  }
+
   /** Small-file compaction round trip ([[graft.operators.Scale
     * .compactFiles]]): the event log is deliberately shattered into 64
     * micro-batch-sized files (the streaming-ingest failure shape), then

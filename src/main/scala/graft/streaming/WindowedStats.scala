@@ -74,4 +74,62 @@ object WindowedStats {
           out.iterator
       }
   }
+
+  // public (not nested/private) for encoder codegen, same as Reading
+  case class Ping(station_id: Long, s_no: Long, ts: java.sql.Timestamp)
+  case class SeenState(sNo: Long, tsMicros: Long)
+  case class OfflineAlert(station_id: Long, last_s_no: Long,
+      last_seen: java.sql.Timestamp)
+
+  /** Offline-station detection via an EVENT-TIME TIMER
+    * (`GroupStateTimeout.EventTimeTimeout`) — the stateful-processing
+    * feature none of the other operators exercise: per station, keep the
+    * latest (event-time, s_no) ping and arm a timer at `last_seen +
+    * quiet`; each newer ping re-arms it. When the WATERMARK passes the
+    * armed time with no newer ping, the group times out and emits one
+    * OfflineAlert carrying the station's final state, then drops its
+    * state. The reference's serving layer can only answer "latest value
+    * when asked" (BitCask.java:143-168); this is its push-based
+    * complement, and the timer's state is O(1) per station forever.
+    *
+    * Input needs columns (station_id, s_no, ts); the caller's watermark
+    * delay governs how late a reviving ping may arrive before the alert
+    * is considered final.
+    */
+  def offlineAlerts(pings: DataFrame, quietMs: Long = 24L * 3600 * 1000,
+      watermark: String = "30 minutes"): Dataset[OfflineAlert] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val encP = Encoders.product[Ping]
+    implicit val encS = Encoders.product[SeenState]
+    implicit val encO = Encoders.product[OfflineAlert]
+    implicit val encLong = Encoders.scalaLong
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    pings
+      .select(col("station_id"), col("s_no"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[Ping]
+      .groupByKey(_.station_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (station: Long, rows: Iterator[Ping], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // rebuild the full-microsecond timestamp: the ms constructor
+            // alone would truncate sub-millisecond precision
+            val t = new java.sql.Timestamp(
+              Math.floorDiv(s.tsMicros, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(s.tsMicros, 1000000L) * 1000L).toInt)
+            Iterator.single(OfflineAlert(station, s.sNo, t))
+          } else {
+            // max by (event time, s_no) across prior state + this batch
+            val newest = (state.getOption.map(s => (s.tsMicros, s.sNo))
+                ++ rows.map(p => (micros(p.ts), p.s_no))).max
+            state.update(SeenState(newest._2, newest._1))
+            state.setTimeoutTimestamp(newest._1 / 1000L + quietMs)
+            Iterator.empty
+          }
+      }
+  }
 }

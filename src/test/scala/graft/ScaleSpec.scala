@@ -311,6 +311,47 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers: offline alerts fire once with the final state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val alerts = WindowedStats.offlineAlerts(
+      input.toDF().toDF("station_id", "s_no", "ts"),
+      quietMs = 30L * 60000, watermark = "1 minute")
+    val q = alerts.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("offline_alerts").start()
+    def fired(): Seq[(Long, Long)] = spark.table("offline_alerts").collect()
+      .map(r => (r.getAs[Long]("station_id"), r.getAs[Long]("last_s_no")))
+      .toSeq.sorted
+    try {
+      // station 1 pings at 0 and 10 -> timer re-armed to 10+30=40
+      input.addData((1L, 1L, t(0)), (1L, 2L, t(10)))
+      q.processAllAvailable()
+      // watermark reaches 19 (< 40) -> nothing can fire
+      input.addData((2L, 3L, t(20)))
+      q.processAllAvailable()
+      assert(fired().isEmpty)
+      // watermark reaches 59 >= 40 (processAllAvailable includes the
+      // post-watermark-advance no-data batch): station 1 fires ONCE with
+      // its final s_no; station 2's timer re-armed to 90
+      input.addData((2L, 4L, t(60)))
+      q.processAllAvailable()
+      assert(fired() == Seq((1L, 2L)))
+      // watermark reaches 199 >= 90: station 2 fires
+      input.addData((3L, 5L, t(200)))
+      q.processAllAvailable()
+      assert(fired() == Seq((1L, 2L), (2L, 4L)))
+      // wm reaches 499 >= 230: station 3 fires; 1 and 2 do NOT re-fire
+      // (their state was dropped on timeout)
+      input.addData((4L, 6L, t(500)))
+      q.processAllAvailable()
+      assert(fired() == Seq((1L, 2L), (2L, 4L), (3L, 5L)))
+    } finally q.stop()
+  }
+
   test("rising-edge alerts fire once per crossing (streaming)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
