@@ -73,6 +73,7 @@ object SparkEntry {
     "p_compact_files"    -> EventOps.compactRoundTrip _,
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
     "p_timeout_offline"  -> EventOps.offlineTimeoutStream _,
+    "p_orc_roundtrip"    -> EventOps.orcRoundTrip _,
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -437,6 +438,14 @@ object SparkEntry {
         |     >= CAST(a.ts AS TIMESTAMP) - INTERVAL 12 HOUR
         | AND CAST(c.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
         |WHERE a.value > 90""".stripMargin,
+    // the ORC round trip must preserve every value (incl. µs timestamps)
+    "p_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
+        |    AS max_ts,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // compaction is a pure layout change: the checksum aggregate over the
     // compacted files must equal the same aggregate over the original log
     "p_compact_files" ->

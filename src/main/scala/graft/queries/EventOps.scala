@@ -581,6 +581,28 @@ object EventOps {
     drainToMemory(spark, deduped, "dedup_stream_gate", OutputMode.Append())
   }
 
+  /** K4-adjacent — ORC as an alternative columnar archive format: the
+    * normalized projection is written as ORC, read back, and aggregated;
+    * every value (including the max event timestamp, which exercises
+    * ORC's nanosecond timestamp round trip) must equal the oracle's
+    * aggregate over the parquet original. The lake layer is not
+    * parquet-bound: `Archive`-shaped data survives either columnar
+    * format byte-exactly.
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_orc").toString
+    events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("s_no")).as("sum_sno"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("max_ts"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Stream-stream inner join — the last major Structured Streaming
     * operator shape previously ungated: severe readings (value > 90)
     * joined to the SAME station's context events in the preceding 12
