@@ -52,9 +52,9 @@ final class FreqBuffer(val k: Int) {
   * `groupBy(group, item).count` materializes EVERY distinct item — at
   * 100 TB, finding the top sources per partition key must not shuffle one
   * row per distinct item); partials combine map-side under
-  * ObjectHashAggregate, and the merge is the Agarwal et al. mergeable-
-  * summaries rule (add counts, then subtract the (k+1)-th largest and drop
-  * non-positives), so the guarantee survives arbitrary partitioning.
+  * ObjectHashAggregate, and the merge replays the other summary's
+  * counters as weighted inserts (see [[merge]]) — a mergeable-summaries
+  * scheme, so the guarantee survives arbitrary partitioning.
   *
   * Guarantees: for every item, `stored ≤ true ≤ stored + err`; any item
   * with true frequency > n/(k+1) is present. When the group's distinct
@@ -104,9 +104,14 @@ case class FreqItemsSketch(child: Expression, k: Int,
     buffer
   }
 
-  /** Mergeable-summaries rule: add the other side's counters as weighted
-    * inserts (each may decrement-all when at capacity), then accumulate
-    * the other side's own error bound.
+  /** Merge = replay the other side's counters as WEIGHTED inserts (each
+    * may trigger capped decrement-all rounds when at capacity), then
+    * accumulate the other side's own error bound. This is the weighted-
+    * update formulation of a mergeable MG summary — equivalent bounds to
+    * the Agarwal et al. "add all, subtract the (k+1)-th largest" rule
+    * (stored ≤ true ≤ stored + err survives either way; exact-regime
+    * results are identical), but lossy-regime stored counters may differ
+    * between the two formulations.
     */
   override def merge(buffer: FreqBuffer, other: FreqBuffer): FreqBuffer = {
     val it = other.counts.entrySet().iterator()

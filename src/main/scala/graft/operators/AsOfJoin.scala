@@ -37,7 +37,7 @@ object AsOfJoin {
       probeTs: String, buildTs: String, buildTieBreak: Seq[String] = Nil,
       strict: Boolean = false, matchedCol: String = "matched"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
-    val reserved = Seq("__ts", "__side", "__tb", "__b")
+    val reserved = Seq("__ts", "__side", "__tb", "__b", matchedCol)
     require(!(probe.columns ++ build.columns).exists(reserved.contains),
       s"column names $reserved are reserved by AsOfJoin.asOf")
 

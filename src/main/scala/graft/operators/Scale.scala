@@ -123,9 +123,15 @@ object Scale {
     val gUs = gridSeconds * 1000000L
     val ev = events.withColumn("__cell",
       expr(s"unix_micros(`$tsCol`) DIV ${gUs}L"))
-    val iv = intervals.withColumn("__cell",
-      explode(sequence(expr(s"unix_micros(`$startCol`) DIV ${gUs}L"),
-        expr(s"(unix_micros(`$endCol`) - 1) DIV ${gUs}L"))))
+    val iv = intervals
+      // empty/inverted intervals ([start, end) with end <= start) match
+      // nothing; drop them BEFORE the explode — sequence(a, b) with a > b
+      // counts DOWN, which would fabricate a huge descending cell list
+      // from a single corrupt row
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__cell",
+        explode(sequence(expr(s"unix_micros(`$startCol`) DIV ${gUs}L"),
+          expr(s"(unix_micros(`$endCol`) - 1) DIV ${gUs}L"))))
     ev.join(iv, Seq("__cell"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__cell")
@@ -151,8 +157,11 @@ object Scale {
     import graft.functions.BloomFilter._
     val bytes = small.agg(bloom_agg(col(key), numBits, numHashes))
       .collect()(0).getAs[Array[Byte]](0)
+    // no distinct() on the build side: left_semi never duplicates probe
+    // rows whatever the build side holds, so a pre-dedup is a wasted
+    // aggregate+exchange
     big.filter(bloom_might_contain(col(key), bytes))
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(small.select(col(key)), Seq(key), "left_semi")
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -113,10 +113,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           AttributeReference(CellName, LongType, nullable = false)()
         // Sequence is TimeZoneAware: the analyzer's ResolveTimeZone has
         // already run, so the id must be supplied here or the plan
-        // de-resolves
+        // de-resolves. Guard inverted per-row bounds: sequence(a, b)
+        // counts DOWN when a > b — a single corrupt interval row would
+        // fabricate a huge descending cell list where the un-rewritten
+        // plan just matches nothing; emit an empty cell array instead.
+        val loCell = cellOf(lower)
+        val hiCell = cellOf(upper)
+        val cells = If(LessThanOrEqual(loCell, hiCell),
+          new Sequence(loCell, hiCell, None,
+            Some(conf.sessionLocalTimeZone)),
+          Literal.create(Array.empty[Long],
+            org.apache.spark.sql.types.ArrayType(LongType, false)))
         val gen = Generate(
-          Explode(new Sequence(cellOf(lower), cellOf(upper), None,
-            Some(conf.sessionLocalTimeZone))),
+          Explode(cells),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(cellAttr), explodeChild)
         val pointCell = Alias(cellOf(point), CellName)()

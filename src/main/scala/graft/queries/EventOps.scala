@@ -368,32 +368,41 @@ object EventOps {
     * windows, finalized — no reliance on no-data micro-batches. Callers
     * filter `event_type != '__flush__'` from their drained result.
     */
+  /** Write `df` as ONE parquet file at `stage/name` with the given mtime
+    * — the staging primitive for multi-batch file-source gates
+    * (`maxFilesPerTrigger=1` orders micro-batches by file mtime).
+    */
+  private def stageParquetFile(df: DataFrame, stage: java.nio.file.Path,
+      name: String, mtimeMillis: Long): Unit = {
+    val tmp = graft.util.Scratch.dir(s"graft_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part file written under $tmp"))
+    val dest = stage.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+  }
+
   private def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
     val stage = graft.util.Scratch.dir("graft_stream_append_src")
     val base = System.currentTimeMillis()
-    def setMtime(p: java.nio.file.Path, offsetSec: Int): Unit =
-      java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(base + offsetSec * 1000L))
     val eventsFile = stage.resolve("events.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
-    setMtime(eventsFile, 0)
+    java.nio.file.Files.setLastModifiedTime(eventsFile,
+      java.nio.file.attribute.FileTime.fromMillis(base))
     // 2100-01-01 / 2100-01-02 as nanos — far past any real event time
     Seq(("flush1.parquet", 4102444800000000000L, 60),
         ("flush2.parquet", 4102531200000000000L, 120)).foreach {
-      case (name, tsNanos, offset) =>
-        val tmp = graft.util.Scratch.dir(s"graft_sentinel_$name")
+      case (name, tsNanos, offsetSec) =>
         import spark.implicits._
-        Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part file written under $tmp"))
-        val dest = stage.resolve(name)
-        java.nio.file.Files.move(part.toPath, dest)
-        setMtime(dest, offset)
+        stageParquetFile(
+          Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          stage, name, base + offsetSec * 1000L)
     }
     spark.readStream.schema(EventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
@@ -538,10 +547,11 @@ object EventOps {
   }
 
   /** A8 through the SCALE-CORRECT streaming shape: watermarked
-    * `dropDuplicates` — dedup state is keyed on (station_id, s_no) and
-    * EVICTED once the watermark passes a key's event time (the
-    * no-watermark form keeps every key ever seen: unbounded state, the
-    * scale-killer this gate exists to avoid). Duplicates are staged both
+    * `dropDuplicates` — dedup state is keyed on (station_id, s_no, ts)
+    * WITH the event-time column, so each key's state is EVICTED once the
+    * watermark passes its event time (the no-watermark/no-ts form keeps
+    * every key ever seen: unbounded state, the scale-killer this gate
+    * exists to avoid). Duplicates are staged both
     * ways a real re-ingest produces them: batch 1 is the full log PLUS an
     * in-batch replay of the odd-s_no rows (in-batch hits go through the
     * state store too); batch 2 replays the even-s_no rows in a later
@@ -556,26 +566,20 @@ object EventOps {
     val stage = graft.util.Scratch.dir("graft_dedup_stream_src")
     val base = System.currentTimeMillis()
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    def stageOne(df: DataFrame, name: String, offsetSec: Int): Unit = {
-      val tmp = graft.util.Scratch.dir(s"graft_dedup_part_$offsetSec")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part file written under $tmp"))
-      val dest = stage.resolve(name)
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(base + offsetSec * 1000L))
-    }
-    stageOne(raw.unionAll(raw.filter(col("event_id") % 2 === 1)),
-      "batch1.parquet", 0)
-    stageOne(raw.filter(col("event_id") % 2 === 0), "batch2.parquet", 60)
+    stageParquetFile(raw.unionAll(raw.filter(col("event_id") % 2 === 1)),
+      stage, "batch1.parquet", base)
+    stageParquetFile(raw.filter(col("event_id") % 2 === 0),
+      stage, "batch2.parquet", base + 60000L)
     val deduped = spark.readStream.schema(EventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "30 minutes")
-      .dropDuplicates("user_id", "event_id")
+      // the EVENT-TIME column must be part of the dedup key: Spark evicts
+      // dedup state by key-embedded event time (WatermarkSupport's
+      // watermarkPredicateForKeys) — without ts in the subset, state
+      // holds every key ever seen and only the late-drop path bounds
+      // work. Replays are byte-identical, so adding ts changes no values.
+      .dropDuplicates("user_id", "event_id", "ts")
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
         col("event_type"), round(col("value"), 2).as("value"))
     drainToMemory(spark, deduped, "dedup_stream_gate", OutputMode.Append())
