@@ -74,6 +74,8 @@ object SparkEntry {
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
     "p_timeout_offline"  -> EventOps.offlineTimeoutStream _,
     "p_orc_roundtrip"    -> EventOps.orcRoundTrip _,
+    "p_latest_tws"       -> EventOps.latestPerKeyTws _,
+    "x_corpus_rebalance" -> ((s, d) => graft.ext.corpus.Corpus.rebalance(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -547,6 +549,21 @@ object SparkEntry {
     // the streaming (file-source + mapGroupsWithState + memory sink) path
     // must produce the identical latest table
     "p_latest_stream" -> latestPerKeyOracle,
+    // transformWithState path: same latest-per-key contract
+    "p_latest_tws" -> latestPerKeyOracle,
+    // uniform-mix rebalance: integer thresholds + portable MD5 draw make
+    // the exact kept set engine-independent
+    "x_corpus_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS min_n FROM c),
+        |t AS (SELECT lang, (min_n * 1000000) // n_lang AS thr FROM c, m)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |    17, 16)) AS UBIGINT) % 1000000 < thr
+        |GROUP BY lang""".stripMargin,
     // CSV round trip must be value-preserving, so the same oracle applies
     "p_csv_roundtrip" -> latestPerKeyOracle,
     "p_full_scan" ->

@@ -169,4 +169,35 @@ object Corpus {
       coalesce(sum(when(col("pass_s"), col("n_tokens"))), lit(0L))
         .cast("long").as("n_tokens_kept"))
   }
+
+  /** Rebalance the corpus to a uniform per-language mix (the pretraining
+    * "don't let English drown everything" knob) by DETERMINISTIC hash
+    * sampling: every language downsampled toward the smallest language's
+    * count — document kept iff a portable 64-bit MD5 draw (low 8 bytes of
+    * md5(doc_id), big-endian, modulo `grain`) falls below the language's
+    * integer threshold floor(min_n · grain / n_lang). Content-addressed
+    * selection is retry/partition/ENGINE stable (the DuckDB oracle
+    * reproduces the exact kept set — both sides integer arithmetic, no FP
+    * thresholds), unlike `df.sample`. At 100 TB: one tiny aggregate for
+    * the per-language counts, a broadcast of L thresholds, and a narrow
+    * filter — the corpus itself never shuffles. Kept counts concentrate
+    * at min_n ± O(sqrt) per language (threshold granularity 1/grain).
+    * Returns the per-language report (kept count + id checksum) so the
+    * gate pins the exact selection, not just its size.
+    */
+  def rebalance(spark: SparkSession, dir: String,
+      grain: Long = 1000000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val thresholds = counts
+      .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
+      .select(col("lang"),
+        expr(s"CAST(min_n * $grain DIV n_lang AS BIGINT)").as("thr"))
+    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
+    docs.join(broadcast(thresholds), "lang")
+      .filter(draw < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+  }
 }

@@ -274,6 +274,46 @@ object EventOps {
         round(col("r.value"), 2).as("value"))
   }
 
+  /** A1 through Spark 4's `transformWithState`
+    * ([[graft.streaming.TwsLatest]]) — the third stateful-API gate beside
+    * mapGroupsWithState (p_latest_stream) and the arrival-order mode
+    * (p_latest_arrival), all hash-compared to the same latest-per-key
+    * oracle. transformWithState runs only on the RocksDB state store;
+    * the provider conf is set for the drain and restored after (the same
+    * set-and-restore discipline ScaleSpec uses for planner confs).
+    */
+  def latestPerKeyTws(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[graft.streaming.TwsLatest.Rec]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rec = eventsStream(spark, dir)
+        .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.TwsLatest.Rec]
+      val latest = graft.streaming.TwsLatest.latestStream(rec)
+      // same defensive multi-batch reduce as latestPerKeyStream
+      drainToMemory(spark, latest.toDF(), "latest_tws_gate",
+          OutputMode.Update())
+        .groupBy(col("station_id"))
+        .agg(max_by(
+          struct(col("ts"), col("s_no"), col("event_type"), col("value")),
+          struct(col("ts"), col("s_no"))).as("r"))
+        .select(col("station_id"),
+          date_format(col("r.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("r.s_no").as("s_no"), col("r.event_type").as("event_type"),
+          round(col("r.value"), 2).as("value"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The event-type counts computed through [[graft.operators.Scale
     * .saltedAggregate]] — gates the skew machinery itself: the two-phase
     * (key, salt) → key aggregation must be value-identical to the plain

@@ -90,4 +90,27 @@ class CorpusSpec extends SparkSpec {
     assert(spans.exists(r => r.getString(0) == boiler &&
       r.getAs[Long]("n_docs") == 2L))
   }
+
+  test("rebalance equalizes the language mix deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    def kept(): Map[String, (Long, Long)] =
+      graft.ext.corpus.Corpus.rebalance(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("sum_ids"))).toMap
+    val a = kept()
+    assert(a == kept()) // content-addressed selection: bit-identical reruns
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    // the smallest language is kept whole (threshold = grain exactly);
+    // every other language lands near min_n (binomial spread)
+    val minLang = counts.minBy(_._2)._1
+    assert(a(minLang)._1 == minN)
+    a.foreach { case (lang, (n, _)) =>
+      assert(n <= counts(lang))
+      assert(n >= minN / 2 && n <= minN * 2,
+        s"$lang kept $n, expected near $minN")
+    }
+  }
 }

@@ -352,6 +352,42 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState latest keeps the event-time winner across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.TwsLatest
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[TwsLatest.Rec]
+    val q = TwsLatest.latestStream(input.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tws_latest").start()
+    try {
+      input.addData(TwsLatest.Rec(1L, 1L, t(10), "a", 1.0))
+      q.processAllAvailable()
+      // an OLDER event must not displace the stored winner
+      input.addData(TwsLatest.Rec(1L, 2L, t(5), "b", 2.0))
+      q.processAllAvailable()
+      // a newer one must
+      input.addData(TwsLatest.Rec(1L, 3L, t(20), "c", 3.0))
+      q.processAllAvailable()
+      val emitted = spark.table("tws_latest").collect()
+        .map(r => (r.getAs[Long]("s_no"), r.getAs[String]("event_type")))
+      assert(emitted.toSeq == Seq((1L, "a"), (1L, "a"), (3L, "c")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rising-edge alerts fire once per crossing (streaming)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
