@@ -52,6 +52,23 @@ object GraftSession {
         val k = exprs(1).eval(null).asInstanceOf[Number].intValue
         graft.functions.KmvSketch(exprs.head, k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("freq_items",
+      exprs => {
+        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+        graft.functions.FreqItemsSketch(exprs.head, k)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => {
+        val bits = exprs(1).eval(null).asInstanceOf[Number].intValue
+        val hashes = if (exprs.length > 2)
+          exprs(2).eval(null).asInstanceOf[Number].intValue else 5
+        graft.functions.BloomFilterAgg(exprs.head, bits, hashes)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("zorder_code",
+      exprs => {
+        val bits = exprs(2).eval(null).asInstanceOf[Number].intValue
+        graft.functions.ZOrderCode(exprs.head, exprs(1), bits)
+      }, "scala_udf")
   }
 
   /** Install graft's optimizer rules (e.g. the row_number→max_by top-1

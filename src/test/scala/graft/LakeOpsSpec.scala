@@ -79,6 +79,30 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("m").length == 4)
     assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq("a b", "b c"))
   }
+
+  test("custom aggregates and zorder_code are SQL-callable after register()") {
+    GraftSession.register(spark)
+    import spark.implicits._
+    Seq(1L, 1L, 2L, 3L).toDF("v").createOrReplaceTempView("sqlreg_vals")
+    try {
+      val r = spark.sql(
+        """SELECT kmv_sketch(CAST(v AS STRING), 16) AS kmv,
+          |  freq_items(v, 8) AS fi,
+          |  bloom_agg(v, 1024, 5) AS bloom,
+          |  zorder_code(max(v), max(v), 4) AS z
+          |FROM sqlreg_vals""".stripMargin).collect().head
+      assert(r.getStruct(0).getInt(0) == 3)      // kmv nd = 3 distinct
+      val items = r.getStruct(1).getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      assert(items.head == (1L, 2L))             // top item 1 with count 2
+      val (nh, words) =
+        graft.functions.BloomUtil.fromBytes(r.getAs[Array[Byte]](2))
+      assert(nh == 5 &&
+        graft.functions.BloomUtil.mightContain(words, nh, 3L) &&
+        !graft.functions.BloomUtil.mightContain(words, nh, 99L))
+      assert(r.getAs[Long]("z") == 15L)          // 3 ⋈ 3 = 1111b
+    } finally spark.catalog.dropTempView("sqlreg_vals")
+  }
 }
 
 class EmbedNearDupSpec extends SparkSpec {
