@@ -121,7 +121,12 @@ case class TopKBy(payload: Expression, ord: Expression, k: Int,
       val p = it.next()
       pairRow.update(0, p._1)
       pairRow.update(1, p._2)
-      rows += pairProj(pairRow).getBytes
+      // copy() first: getBytes returns the projection's SHARED backing
+      // array (no copy) whenever sizeInBytes exactly equals the reused
+      // writer buffer's length — a payload whose var-length section
+      // exactly fills the headroom would be aliased and overwritten by
+      // the next projected pair, corrupting the shuffle bytes
+      rows += pairProj(pairRow).copy().getBytes
     }
     val bb = ByteBuffer.allocate(8 + rows.map(_.length + 4).sum)
     bb.putInt(buffer.k).putInt(rows.length)

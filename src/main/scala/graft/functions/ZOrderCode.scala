@@ -14,7 +14,13 @@ import org.apache.spark.sql.types._
   * range predicates on EITHER dimension (the layout trick behind
   * Delta/Iceberg `OPTIMIZE ZORDER BY`). Codegen'd single pass; negative
   * inputs are rejected at runtime (callers normalize first — hash or
-  * offset) rather than silently interleaving sign bits.
+  * offset) rather than silently interleaving sign bits. Values at or
+  * above `2^bitsPer` are CLAMPED to `2^bitsPer - 1` (saturation) before
+  * interleaving: dropping the high bits instead would alias distant
+  * points into the same z-code and silently destroy the written files'
+  * min/max pruning power; saturation is monotone, so out-of-range values
+  * collapse onto the top edge of the grid and tile statistics stay
+  * truthful.
   */
 case class ZOrderCode(left: Expression, right: Expression, bitsPer: Int)
     extends BinaryExpression {
@@ -46,7 +52,8 @@ case class ZOrderCode(left: Expression, right: Expression, bitsPer: Int)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = toLong(a); val y = toLong(b)
+    val max = (1L << bitsPer) - 1
+    val x = math.min(toLong(a), max); val y = math.min(toLong(b), max)
     if (x < 0 || y < 0) {
       throw new IllegalArgumentException(
         s"zorder_code inputs must be non-negative, got ($x, $y)")
@@ -66,8 +73,8 @@ case class ZOrderCode(left: Expression, right: Expression, bitsPer: Int)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val z = ctx.freshName("z"); val i = ctx.freshName("i")
       s"""
-         |long $x = (long) $a;
-         |long $y = (long) $b;
+         |long $x = Math.min((long) $a, ${(1L << bitsPer) - 1}L);
+         |long $y = Math.min((long) $b, ${(1L << bitsPer) - 1}L);
          |if ($x < 0L || $y < 0L) {
          |  throw new IllegalArgumentException(
          |    "zorder_code inputs must be non-negative, got (" + $x + ", " + $y + ")");

@@ -31,7 +31,10 @@ object AsOfJoin {
     * Output: probe columns + a `matched` struct of the build row's non-key
     * columns (null when no build row precedes the probe). Rows with a null
     * timestamp on either side are dropped — they have no position on the
-    * timeline.
+    * timeline. Rows with a null key column are likewise dropped on BOTH
+    * sides: an equi-join never matches null keys, but `Window.partitionBy`
+    * groups nulls together, so without the filter a null-key probe would
+    * "match" null-key build history.
     */
   def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
       probeTs: String, buildTs: String, buildTieBreak: Seq[String] = Nil,
@@ -51,8 +54,9 @@ object AsOfJoin {
         (struct(buildTieBreak.map(col): _*), lit(null).cast(tbStruct))
       else (lit(0), lit(0))
 
+    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
     val buildSide = build
-      .filter(col(buildTs).isNotNull)
+      .filter(col(buildTs).isNotNull && nonNullKeys)
       .select(
         keys.map(col) ++ Seq(
           col(buildTs).as("__ts"),
@@ -62,7 +66,7 @@ object AsOfJoin {
         probePayload.map(n =>
           lit(null).cast(probe.schema(n).dataType).as(n)): _*)
     val probeSide = probe
-      .filter(col(probeTs).isNotNull)
+      .filter(col(probeTs).isNotNull && nonNullKeys)
       .select(
         keys.map(col) ++ Seq(
           col(probeTs).as("__ts"),

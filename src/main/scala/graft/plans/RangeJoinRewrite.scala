@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *     literals/constants never match;
   *   - skips joins already carrying a `__cell`/`__range_cell` key (the
   *     explicit operator's output, or this rule's own — the rule runs in
-  *     a fixed-point batch and must not re-fire on its result).
+  *     a fixed-point batch and must not re-fire on its result);
+  *   - interval rows spanning >= `spark.graft.rangeJoin.maxCellsPerRow`
+  *     grid cells (default 10000) are diverted to a fallback band join
+  *     (rare pathological rows only) instead of exploding — an unbounded
+  *     Sequence would hit the array-length limit / OOM where the naive
+  *     plan merely ran slow.
   *
   * Grid width: `spark.graft.rangeJoin.gridSeconds` (default 3600); set it
   * near the typical interval length — see the operator's Scaladoc for the
@@ -50,6 +55,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def gridUs: Long =
     conf.getConfString("spark.graft.rangeJoin.gridSeconds", "3600").toLong *
       1000000L
+  private def maxCells: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxCellsPerRow", "10000").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) plan
@@ -97,9 +104,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (s1, l1, c1) <- bounds.iterator
       (s2, l2, c2) <- bounds.iterator if c1 ne c2
       if s1.semanticEquals(l2)
-    } yield (s1, s2, l1)).nextOption()
+    } yield (s1, s2, l1, c1, c2)).nextOption()
 
-    band.flatMap { case (point, lower, upper) =>
+    band.flatMap { case (point, lower, upper, bandC1, bandC2) =>
       val pointOnLeft = sideOnly(point, left)
       val pointChild = if (pointOnLeft) left else right
       val explodeChild = if (pointOnLeft) right else left
@@ -124,10 +131,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             Some(conf.sessionLocalTimeZone)),
           Literal.create(Array.empty[Long],
             org.apache.spark.sql.types.ArrayType(LongType, false)))
+        // Width guard: a valid but very wide band (bounds far apart
+        // relative to the grid, e.g. a multi-year interval at the 3600 s
+        // default) would materialize one row per cell per interval —
+        // Sequence's array-length limit / OOM where the un-rewritten plan
+        // merely ran slow. Interval rows spanning >= maxCellsPerRow cells
+        // take a fallback band join instead (nested loop, but only over
+        // those rare pathological rows); everything else takes the cell
+        // equi-join. Null/inverted bounds land in the narrow branch and
+        // explode to nothing, exactly as before.
+        val wideCond = GreaterThanOrEqual(Subtract(hiCell, loCell),
+          Literal(maxCells))
         val gen = Generate(
           Explode(cells),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(cellAttr), explodeChild)
+          generatorOutput = Seq(cellAttr),
+          Filter(Not(wideCond), explodeChild))
         val pointCell = Alias(cellOf(point), CellName)()
         val proj = Project(pointChild.output :+ pointCell, pointChild)
         val equi = conjuncts.filter {
@@ -143,8 +162,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val joined =
           Join(newLeft, newRight, Inner, Some((equi :+ cellEq).reduce(And)),
             hint)
-        Some(Project(left.output ++ right.output,
-          Filter(residual.reduce(And), joined)))
+        val narrow = Project(left.output ++ right.output,
+          Filter(residual.reduce(And), joined))
+        // Fallback branch for the wide rows: the ORIGINAL join, with the
+        // two band conjuncts recast onto unix_micros (same semantics —
+        // the conversion is monotone and null-preserving) so this rule's
+        // band matcher, which requires TimestampType comparisons, cannot
+        // re-fire on its own fallback in the fixed-point batch.
+        def micros(c: Expression): Expression = c match {
+          case LessThan(a, b) => LessThan(UnixMicros(a), UnixMicros(b))
+          case LessThanOrEqual(a, b) =>
+            LessThanOrEqual(UnixMicros(a), UnixMicros(b))
+          case GreaterThan(a, b) => GreaterThan(UnixMicros(a), UnixMicros(b))
+          case GreaterThanOrEqual(a, b) =>
+            GreaterThanOrEqual(UnixMicros(a), UnixMicros(b))
+          case other => other
+        }
+        val wideCond2 = conjuncts.map {
+          case c if c eq bandC1 => micros(bandC1)
+          case c if c eq bandC2 => micros(bandC2)
+          case c => c
+        }.reduce(And)
+        val wideExplode = Filter(wideCond, explodeChild)
+        val (wl, wr) =
+          if (pointOnLeft) (pointChild, wideExplode)
+          else (wideExplode, pointChild)
+        val wide = Project(left.output ++ right.output,
+          Join(wl, wr, Inner, Some(wideCond2), hint))
+        Some(Union(Seq(narrow, wide)))
       }
     }
   }

@@ -233,6 +233,24 @@ class TopKBySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("serialize copies pair bytes when the row exactly fills the writer buffer") {
+    import spark.implicits._
+    // pair row is (ord: long, payload: string): fixed part 8+16=24 bytes,
+    // UnsafeRowWriter headroom 32 → a 32-char ASCII payload makes
+    // sizeInBytes == buffer.length exactly, the case where getBytes
+    // returns the shared backing array instead of a copy. Without the
+    // defensive copy() in serialize(), the second pair overwrites the
+    // first's shuffle bytes and the merged top-k holds duplicates.
+    val payloads = (0 until 6).map(i => s"$i" * 32)
+    val df = payloads.zipWithIndex.map { case (p, i) => (1, i.toLong, p) }
+      .toDF("g", "ord", "p")
+      .repartition(1) // one partial buffer holds all pairs → one serialize
+      .groupBy(col("g"))
+      .agg(top_k_by(col("p"), col("ord"), 6).as("top"))
+    val out = df.collect().head.getSeq[String](1).toList
+    assert(out == payloads.toList, out.map(_.take(4)))
+  }
+
   test("q6 via top_k_by equals the window row_number form") {
     val dir = "/root/testdata/sf0.001"
     val window = graft.queries.Analytics.q6SupplierRank(spark, dir).collect()

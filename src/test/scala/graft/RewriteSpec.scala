@@ -238,16 +238,51 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("__range_cell"), optimized.take(1200))
       val physical = df.queryExecution.executedPlan.toString
-      // the BAND join must be an equi join on the injected cell (the
+      // the BAND join over the data must be an equi join on the injected
+      // cell; the only permitted inner nested loop is the wide-row
+      // fallback branch, whose interval side is emptied by the
+      // maxCellsPerRow filter (AQE collapses it at runtime) — the
       // interval-construction crossJoin of the 1-row min(ts) aggregate is
-      // a legitimate Cross nested loop and stays)
-      assert("NestedLoopJoin[^\\n]*Inner".r.findFirstIn(physical).isEmpty,
+      // a legitimate Cross nested loop and stays
+      assert("NestedLoopJoin[^\\n]*Inner".r.findAllIn(physical).size <= 1,
         physical.take(1200))
+      assert(optimized.contains("unix_micros"), optimized.take(1200))
       assert(physical.contains("Join [__range_cell"), physical.take(1200))
       val got = df.collect()
         .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("iv_id"))).sorted
       assert(got.sameElements(baseline))
     }
+  }
+
+  test("wide intervals take the fallback branch instead of exploding") {
+    import spark.implicits._
+    // 3 narrow intervals (1 cell each) + 1 pathological 500-cell one; with
+    // maxCellsPerRow=4 the wide row must NOT explode into Sequence cells —
+    // it takes the fallback band join — while results stay identical
+    val ev = Seq.tabulate(300)(i => (i.toLong, i * 7199L))
+      .toDF("id", "sec")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"))
+    val iv = Seq((0L, 100L, 700L), (1L, 5000L, 5600L), (2L, 9000L, 9800L),
+        (3L, 1000L, 1000L + 500L * 3600L))
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), timestamp_seconds(col("s")).as("s"),
+        timestamp_seconds(col("e")).as("e"))
+    // def, not val: Dataset caches its QueryExecution, so the plan must be
+    // rebuilt after the rule is installed
+    def band = ev.join(iv, col("ts") >= col("s") && col("ts") < col("e"))
+    val baseline = band.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("iv_id"))).sorted
+    assert(baseline.nonEmpty)
+    spark.conf.set("spark.graft.rangeJoin.maxCellsPerRow", "4")
+    try withRule {
+      val df = band
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__range_cell"), optimized.take(1200))
+      assert(optimized.contains("Union"), optimized.take(1200))
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("iv_id"))).sorted
+      assert(got.sameElements(baseline))
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxCellsPerRow")
   }
 
   test("band joins with equi keys keep the keys; plain equi joins untouched") {

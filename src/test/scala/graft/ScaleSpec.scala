@@ -159,6 +159,23 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("as-of join drops null-key rows on both sides (equi-join semantics)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // Window.partitionBy groups nulls together, so without the explicit
+    // null-key filter a null-key probe would "match" null-key build history
+    val build = Seq((Some(1L), 10L, 7.0), (None, 10L, 8.0))
+      .toDF("k", "t", "v")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("v"))
+    val probe = Seq((Some(1L), 20L), (None, 20L))
+      .toDF("k", "pt")
+      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    val out = AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t").collect()
+    assert(out.length == 1)           // the null-key probe row is dropped
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getStruct(2).getDouble(1) == 7.0) // matched = (t, v)
+  }
+
   test("interval join equals the naive range join without a nested loop") {
     import spark.implicits._
     val ev = Seq.tabulate(200)(i => (i.toLong, i * 97L % 10000))
@@ -427,6 +444,17 @@ class WindowedStatsSpec extends SparkSpec {
     assert(known((0, 1)) == 2L)
     assert(known((3, 5)) == 39L) // 011 ⋈ 101 = 100111b
     assert(known((255, 255)) == 65535L)
+
+    // out-of-range values saturate at 2^bitsPer - 1 rather than having
+    // their high bits dropped (which would alias distant points into the
+    // same tile and silently kill min/max pruning)
+    val sat = Seq((256, 0), (257, 3), (5000, 255))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), zorder_code(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sat((256, 0)) == known((255, 255)) - 2L * 21845L) // = z(255, 0)
+    assert(sat((5000, 255)) == known((255, 255)))
+    assert(sat((257, 3)) == sat((256, 0)) + 2L * 5L) // = z(255, 3)
 
     // layout: range partitioning by z makes the output files' z-ranges
     // DISJOINT — each file is a compact 2-D tile, so min/max row-group
