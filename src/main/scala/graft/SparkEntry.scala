@@ -122,7 +122,12 @@ object SparkEntry {
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
-    "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d))
+    "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
+    "q26_window_suite"   -> Analytics.q26WindowSuite _,
+    "p_asof_forward"     -> EventOps.asOfForward _,
+    "p_merge_upsert"     -> EventOps.mergeUpsert _,
+    "x_knn_join"         -> ((s, d) => Similarity.knnJoin(s, d)),
+    "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -990,7 +995,95 @@ object SparkEntry {
          |  CAST((fp // 640) % 480 AS INTEGER) + 1 AS height,
          |  fp AS checksum, true AS ok
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
-         |      FROM documents) q""".stripMargin
+         |      FROM documents) q""".stripMargin,
+    // one keyed window serves all seven functions; rolling extrema (not
+    // sums) keep the gate free of FP reduction-order drift
+    "q26_window_suite" ->
+      """WITH e AS (
+        |  SELECT user_id AS station_id, event_id AS s_no,
+        |    CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events)
+        |SELECT station_id, s_no,
+        |  round(lag(value, 1) OVER w, 2) AS prev_v,
+        |  round(lead(value, 1) OVER w, 2) AS next_v,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  round(min(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |    2) AS roll_min,
+        |  round(max(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |    2) AS roll_max
+        |FROM e
+        |WINDOW w AS (PARTITION BY station_id ORDER BY ts, s_no)""".stripMargin,
+    // forward as-of + tolerance: the oracle is the bounded inequality join
+    // + per-probe top-1 (earliest ts wins, largest event_id on ties)
+    "p_asof_forward" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id AS station_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
+        |      AS pts
+        |  FROM events),
+        |j AS (
+        |  SELECT p.station_id, p.pts, e.event_id,
+        |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+        |    row_number() OVER (PARTITION BY p.station_id, p.pts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id DESC) AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) >= p.pts
+        |      AND CAST(e.ts AS TIMESTAMP) <= p.pts + INTERVAL 30 MINUTE)
+        |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+        |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |  round(value, 2) AS value
+        |FROM j WHERE rn = 1""".stripMargin,
+    // MERGE upsert: NOT EXISTS keeps unmatched base rows, UNION ALL brings
+    // every delta row (updates + inserts)
+    "p_merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id AS station_id, event_id AS s_no, event_type,
+        |    round(value, 2) AS value
+        |  FROM events),
+        |base AS (SELECT * FROM ev WHERE s_no % 5 <> 0),
+        |delta AS (
+        |  SELECT station_id, s_no, event_type, round(value + 1000, 2) AS value
+        |  FROM ev WHERE s_no % 3 = 0)
+        |SELECT b.station_id, b.s_no, b.event_type, b.value FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d
+        |  WHERE d.station_id = b.station_id AND d.s_no = b.s_no)
+        |UNION ALL
+        |SELECT station_id, s_no, event_type, value FROM delta""".stripMargin,
+    // kNN JOIN at radius = nBits probes every bucket -> exact all-pairs;
+    // the oracle is the exhaustive formulation (reduced-radius recall is
+    // covered in SimilaritySpec)
+    "x_knn_join" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |SELECT q_id, rn AS rnk, n_id, score FROM (
+        |  SELECT q_id, n_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 5""".stripMargin,
+    // directed containment |S(A) ∩ S(B)| / |S(A)| over the same 3-gram
+    // shingle definition as the Jaccard oracle
+    "x_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d_sub, b.doc_id AS d_super, count(*) AS shared,
+        |    any_value(a.n) AS n_sub
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d_sub, d_super, round(shared / n_sub, 3) AS containment
+        |FROM pairs
+        |WHERE round(shared / n_sub, 3) >= 0.9""".stripMargin
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

@@ -57,8 +57,13 @@ object TextDedup {
     * (d1 < d2, rounded score).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = shingles(docs(spark, dir), n)
+      threshold: Double = 0.8, n: Int = 3): DataFrame =
+    ngramJaccardPairsOf(docs(spark, dir), threshold, n)
+
+  /** [[ngramJaccardPairs]] over an explicit (doc_id, text) frame. */
+  def ngramJaccardPairsOf(df: DataFrame, threshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, n)
     // join on 64-bit shingle hashes, not strings: the shuffle carries 8-byte
     // keys and the join compares longs; a cross-engine-visible collision
     // would need ~2^32 distinct shingles per bucket (not at any plausible SF)
@@ -76,6 +81,42 @@ object TextDedup {
       .withColumn("jaccard", round(jaccard, 3))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** Directed shingle-containment pairs: C(A→B) = |S(A)∩S(B)| / |S(A)| —
+    * the asymmetric cousin of Jaccard that catches a SHORT document
+    * embedded inside a LONGER one (quote inclusion, boilerplate wrapping,
+    * excerpt pages), which symmetric Jaccard misses because the union is
+    * dominated by the long side. Same exhaustive shared-shingle join
+    * skeleton as [[ngramJaccardPairs]] (64-bit hashed shingle keys, the
+    * shuffle is the only data movement), emitting BOTH directions of each
+    * overlapping pair and thresholding on the direction's own containment.
+    * Like the Jaccard form this is the oracle yardstick; at 100 TB the
+    * candidate set comes from MinHash-LSH banding (containment-calibrated
+    * banding needs the asymmetric variant — divide band agreement by the
+    * SHORTER doc's signature — but candidates from plain banding are a
+    * superset at any threshold ≥ the Jaccard one, so the production path
+    * is band-join → exact containment verify, same as
+    * [[minhashLshPairs]]).
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, n: Int = 3): DataFrame =
+    containmentPairsOf(docs(spark, dir), threshold, n)
+
+  /** [[containmentPairs]] over an explicit (doc_id, text) frame. */
+  def containmentPairsOf(df: DataFrame, threshold: Double = 0.9,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, n)
+    val ex = sh.select(col("doc_id"),
+        explode(col("shingles")).as("span"), size(col("shingles")).as("n"))
+      .select(col("doc_id"), xxhash64(col("span")).as("s"), col("n"))
+    val a = ex.as("a"); val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d_sub"), col("b.doc_id").as("d_super"))
+      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("n_sub"))
+      .withColumn("containment", round(col("shared") / col("n_sub"), 3))
+      .filter(col("containment") >= threshold)
+      .select("d_sub", "d_super", "containment")
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the

@@ -521,4 +521,60 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"),
         round(min(col("nrm")), 4).as("min_norm"),
         round(max(col("nrm")), 4).as("max_norm"))
+
+  /** k-NN JOIN: EVERY corpus vector gets its top-k cosine neighbors — the
+    * batch shape behind "retrieve neighbors for every training document"
+    * (hard-negative mining, semantic dedup clustering, kNN-LM data prep).
+    * The single-query gates ([[lshTopK]] etc.) probe once; this is the
+    * all-pairs problem, and the all-pairs cross join is the 100 TB
+    * scale-killer — O(n²) candidate pairs.
+    *
+    * Shape: every vector is LSH-bucketed once ([[lshBuckets]]); each
+    * vector then probes the buckets within hamming `radius` of its own
+    * signature (its probe LIST is computed per-row in codegen —
+    * `filter(sequence(0, 2^nBits-1), hamming <= radius)` — no driver
+    * enumeration, no second scan), and candidates meet through an
+    * equi-join on the probed bucket id. Each corpus vector lives in
+    * exactly one bucket, so a candidate pair appears at most once — no
+    * dedup pass. Per-query top-k runs as the bounded O(k)
+    * [[graft.functions.TopKBy]] heap aggregate (map-side combined), NOT a
+    * window sort. Candidates ∝ bucket co-occupancy: at radius r the scan
+    * touches C(nBits, <=r)/2^nBits of the corpus per query — the
+    * recall/cost dial. At `radius = nBits` every bucket is probed and the
+    * join degenerates to the exact all-pairs result (the gate config, so
+    * the DuckDB exhaustive oracle states exact equality); reduced-radius
+    * recall on planted clusters is covered in SimilaritySpec.
+    *
+    * For nBits beyond ~12 the per-row `sequence` enumeration (2^nBits
+    * elements) should be replaced by combination generation; at the gate's
+    * corpus scale nBits=4 keeps every bucket occupied.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5, nBits: Int = 4,
+      radius: Int = 4): DataFrame =
+    knnJoinOf(emb(spark, dir), k, nBits, radius)
+
+  /** [[knnJoin]] over an explicit (vec_id, embedding) frame. */
+  def knnJoinOf(df: DataFrame, k: Int, nBits: Int, radius: Int): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    val b = df.withColumn("bucket",
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"),
+        nBits))
+    val corpus = b.select(col("bucket").as("__pb"), col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"))
+    val probes = b.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      explode(filter(sequence(lit(0), lit((1 << nBits) - 1)),
+        x => bit_count(x.bitwiseXOR(col("bucket"))) <= lit(radius)))
+        .as("__pb"))
+    probes.join(corpus, "__pb")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("n_vec"), col("q_vec")), 6).as("score"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by(struct(col("n_id"), col("score")),
+        struct(negate(col("score")), col("n_id")), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.n_id").as("n_id"), col("col.score").as("score"))
+  }
 }

@@ -99,6 +99,25 @@ object Archive {
     fs.delete(old, true)
   }
 
+  /** MERGE upsert (SCD-1): apply a `delta` batch onto `base` by primary
+    * key — matched keys take the delta row (update), unmatched delta keys
+    * append (insert), everything else passes through. The plan is ONE
+    * left-anti hash join on the key plus a union — no window, no sort: the
+    * nightly "apply the change feed to the snapshot" shape. At 100 TB the
+    * anti join shuffles on the key (or broadcasts when the delta is small
+    * — AQE decides from the delta's actual size), and cost is
+    * ∝ |base| + |delta| regardless of how many keys changed. Both inputs
+    * must be unique per key (a change FEED with multiple versions per key
+    * should be pre-collapsed with latest-per-key, `max_by`); delta columns
+    * are aligned to base's by name.
+    */
+  def mergeUpsert(base: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert needs at least one key column")
+    base.join(delta, keys, "left_anti")
+      .unionByName(delta.select(base.columns.map(delta.col): _*))
+  }
+
   /** Streaming read (S5) — fixed schema (inference off, like the reference,
     * ref: SparkParquetStreamingToElasticsearch.java:47,76-90), recursive
     * lookup, bounded files per micro-batch.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: for every probe row, the latest build row of
   * the same key at-or-before the probe's timestamp — the historical
@@ -17,6 +17,10 @@ object AsOfJoin {
     * whose `buildTs` is at-or-before (`strict = false`) / strictly before
     * (`strict = true`) the probe's `probeTs`. Ties on `buildTs` are broken
     * by `buildTieBreak` (largest wins), so the match is deterministic.
+    * `forward = true` flips the direction: the EARLIEST build row
+    * at-or-after (or strictly after) the probe. `toleranceSeconds` bounds
+    * the match distance — a build row further than the tolerance from the
+    * probe yields null, same as no match (pandas `merge_asof` semantics).
     *
     * There is NO join in the physical plan: both inputs are unioned with a
     * side tag and the match is a running `last(_, ignoreNulls)` window over
@@ -38,15 +42,24 @@ object AsOfJoin {
     */
   def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
       probeTs: String, buildTs: String, buildTieBreak: Seq[String] = Nil,
-      strict: Boolean = false, matchedCol: String = "matched"): DataFrame = {
+      strict: Boolean = false, matchedCol: String = "matched",
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(toleranceSeconds.forall(_ >= 0),
+      s"as-of tolerance must be non-negative, got $toleranceSeconds")
     val reserved = Seq("__ts", "__side", "__tb", "__b", matchedCol)
     require(!(probe.columns ++ build.columns).exists(reserved.contains),
       s"column names $reserved are reserved by AsOfJoin.asOf")
 
     val probePayload = probe.columns.toSeq.filterNot(keys.contains)
     val buildPayload = build.columns.toSeq.filterNot(keys.contains)
-    val bStruct = StructType(buildPayload.map(n => build.schema(n)))
+    // the build timestamp rides along inside the match struct so the
+    // tolerance bound can be checked AFTER the window pass (one extra
+    // embedded field instead of a second join)
+    val bStruct = StructType(Seq(
+      StructField("__bts", build.schema(buildTs).dataType),
+      StructField("__bp", StructType(buildPayload.map(n => build.schema(n))))))
     val tbStruct = StructType(buildTieBreak.map(n => build.schema(n)))
 
     val (buildTb, probeTb) =
@@ -62,7 +75,8 @@ object AsOfJoin {
           col(buildTs).as("__ts"),
           lit(0).as("__side"),
           buildTb.as("__tb"),
-          struct(buildPayload.map(col): _*).as("__b")) ++
+          struct(col(buildTs).as("__bts"),
+            struct(buildPayload.map(col): _*).as("__bp")).as("__b")) ++
         probePayload.map(n =>
           lit(null).cast(probe.schema(n).dataType).as(n)): _*)
     val probeSide = probe
@@ -76,14 +90,24 @@ object AsOfJoin {
         probePayload.map(col): _*)
 
     // inclusive: build rows sort BEFORE the probe at equal ts (side 0 < 1),
-    // so `last` sees them; strict: probe first, equal-ts build rows excluded
+    // so `last` sees them; strict: probe first, equal-ts build rows
+    // excluded. `forward` flips only the TIME axis (descending traversal:
+    // the last build row seen before the probe is then the EARLIEST at-or-
+    // after it); tie-break and side ordering are direction-independent.
     val sideOrd = if (strict) col("__side").desc else col("__side").asc
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, sideOrd, col("__tb").asc)
+      .orderBy(tsOrd, sideOrd, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val raw = last(col("__b"), ignoreNulls = true).over(w)
+    val bounded = toleranceSeconds.fold(raw) { tol =>
+      when(raw.isNotNull &&
+        abs(unix_micros(raw.getField("__bts")) - unix_micros(col("__ts")))
+          <= tol * 1000000L, raw)
+    }
     buildSide.unionByName(probeSide)
-      .withColumn(matchedCol, last(col("__b"), ignoreNulls = true).over(w))
+      .withColumn(matchedCol, bounded.getField("__bp"))
       .filter(col("__side") === 1)
       .select((keys ++ probePayload).map(col) :+ col(matchedCol): _*)
   }

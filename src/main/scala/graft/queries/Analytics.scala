@@ -446,6 +446,34 @@ object Analytics {
         (col("pos") + 1).cast(IntegerType).as("rank"),
         col("col.item").as("station_id"), col("col.count").as("n"))
 
+  /** Analytic window-function suite over each station's ordered timeline:
+    * lag/lead navigation, ntile quartile, percent_rank/cume_dist
+    * distribution ranks, and a 4-row rolling min/max. One keyed window —
+    * a single hash shuffle on station + one per-partition sort serves all
+    * seven functions (Catalyst collapses same-spec windows into one
+    * WindowExec); rolling extrema are chosen over rolling sums because
+    * min/max are reduction-order-insensitive, keeping the gate free of FP
+    * summation-order drift. Global-window functions (no PARTITION BY)
+    * are deliberately absent: they single-partition at 100 TB.
+    */
+  def q26WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("station_id"))
+      .orderBy(col("ts"), col("s_no"))
+    val frame = w.rowsBetween(-3, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("ts"), col("value"))
+      .select(col("station_id"), col("s_no"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_v"),
+        round(lead(col("value"), 1).over(w), 2).as("next_v"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(min(col("value")).over(frame), 2).as("roll_min"),
+        round(max(col("value")).over(frame), 2).as("roll_max"))
+  }
+
   /** Interval (range) join through [[graft.operators.Scale.intervalJoin]]:
     * 32 synthetic 47-minute "incident windows", one every 21 hours from the
     * log's first event, each aggregating the events it contains. The

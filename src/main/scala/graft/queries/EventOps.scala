@@ -875,4 +875,54 @@ object EventOps {
         col("weather.temperature").as("temperature"),
         col("weather.wind_speed").as("wind_speed"))
   }
+
+  /** Forward as-of with tolerance — "the FIRST reading at-or-after minute
+    * 37 of each active hour, but only if it arrives within 30 minutes" —
+    * [[graft.operators.AsOfJoin.asOf]] with `forward = true` and
+    * `toleranceSeconds`: same union+window join-free shape as
+    * [[asOfState]], traversing the timeline descending; the tolerance
+    * bound nulls out matches farther than 30 min (pandas `merge_asof`
+    * semantics). The oracle restates it as the quadratic bounded
+    * inequality join + per-probe top-1.
+    */
+  def asOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val probes = ev
+      .select(col("user_id").as("station_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 37 minutes"))
+          .as("probe_ts"))
+      .distinct()
+    val build = ev.select(col("user_id").as("station_id"), col("ts"),
+      col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(probes, build, Seq("station_id"),
+        "probe_ts", "ts", buildTieBreak = Seq("event_id"),
+        forward = true, toleranceSeconds = Some(30L * 60))
+      .select(col("station_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("matched.event_id").as("s_no"),
+        date_format(col("matched.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("event_ts"),
+        round(col("matched.value"), 2).as("value"))
+  }
+
+  /** MERGE upsert gate — [[graft.lake.Archive.mergeUpsert]] applying a
+    * change feed onto a snapshot by primary key (station, s_no): the
+    * "delta" re-delivers every third event with a corrected value (+1000)
+    * plus a synthetic batch of brand-new rows; matched keys must take the
+    * correction, new keys must append, the rest pass through untouched.
+    * The oracle is the NOT EXISTS + UNION ALL restatement.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("event_type"), round(col("value"), 2).as("value"))
+    // base omits every 5th event; delta re-delivers every 3rd — their
+    // overlap (s_no % 3 == 0 && % 5 != 0) exercises UPDATE, the s_no % 15
+    // rows (in delta, never in base) exercise INSERT
+    val base = ev.filter(col("s_no") % 5 =!= 0)
+    val delta = ev.filter(col("s_no") % 3 === 0)
+      .select(col("station_id"), col("s_no"), col("event_type"),
+        round(col("value") + 1000, 2).as("value"))
+    graft.lake.Archive.mergeUpsert(base, delta, Seq("station_id", "s_no"))
+  }
 }

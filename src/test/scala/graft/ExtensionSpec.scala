@@ -24,6 +24,23 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("containment finds a short doc embedded in a long one; jaccard misses it") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = "prefix words here " + short + " and a very long tail " +
+      (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated text entirely " +
+      "different tokens nothing shared at all here")).toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairsOf(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every shingle of doc 1 appears in doc 2 → containment(1→2) = 1.0;
+    // the reverse direction is far below threshold, as is doc 3
+    assert(cont == Set((1L, 2L)))
+    // symmetric jaccard on the same pair is diluted by the long tail
+    val jac = TextDedup.ngramJaccardPairsOf(df, threshold = 0.8)
+    assert(jac.collect().isEmpty)
+  }
+
   test("simhash: identical docs collide, near-dups are close in hamming") {
     import spark.implicits._
     val df = Seq(
@@ -480,6 +497,71 @@ class SimilaritySpec extends SparkSpec {
     // same-bucket twins are found by both
     twinPairs.filter(p => ham(p) == 0)
       .foreach(p => assert(single.contains(p) && multi.contains(p)))
+  }
+
+  test("kNN join at full radius equals exhaustive; plans heap-agg, no window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.knnJoinOf(df, k = 3, nBits = 4, radius = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    // exhaustive reference: same rounded-cosine, (score desc, id asc) order
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.flatMap { case (q, qv) =>
+      rows.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, s) => (-s, n) }
+        .take(3).zipWithIndex
+        .map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.length == 40 * 3)
+    assert(got.sameElements(want))
+    // per-query top-k must be the bounded heap aggregate, not a window sort
+    val plan = Similarity.knnJoin(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("kNN join radius-1 probing recovers hamming-1 twins that radius 0 misses") {
+    import spark.implicits._
+    // same planted-twin construction as the multi-probe near-dup spec:
+    // a twin straddling one hyperplane is invisible at radius 0
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+      val twin = base.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, twin.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val nBits = 8
+    val buckets = df.select(col("vec_id"),
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits)
+        .as("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val split = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+      .filter { case (a, b) => Integer.bitCount(buckets(a) ^ buckets(b)) == 1 }
+    assert(split.nonEmpty)
+    def nn(radius: Int): Map[Long, Long] =
+      Similarity.knnJoinOf(df, k = 1, nBits = nBits, radius = radius)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r0 = nn(0); val r1 = nn(1)
+    split.foreach { case (a, b) =>
+      assert(r0.get(a) != Some(b), s"split twin ($a,$b) visible at radius 0?")
+      assert(r1.get(a) == Some(b), s"radius 1 should find twin of $a")
+    }
   }
 
   test("cosine of a vector with itself is 1") {

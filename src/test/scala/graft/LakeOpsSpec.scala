@@ -5,6 +5,35 @@ import graft.core.Normalize
 import graft.gen.StationSource
 import graft.lake.Archive
 
+class MergeUpsertSpec extends SparkSpec {
+
+  test("mergeUpsert: matched keys update, new keys insert, rest pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (4L, "d", 4.0))
+      .toDF("k", "s", "v")
+    val delta = Seq((2L, "B", 20.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val out = Archive.mergeUpsert(base, delta, Seq("k")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> ("a", 1.0), 2L -> ("B", 20.0),
+      3L -> ("c", 3.0), 4L -> ("d", 4.0)))
+    // one anti join + union: no window, no sort in the plan
+    val plan = Archive.mergeUpsert(base, delta, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("mergeUpsert aligns delta columns by name") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val delta = Seq((9.0, "z", 5L)).toDF("v", "s", "k") // shuffled order
+    val out = Archive.mergeUpsert(base, delta, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 1.0), (5L, "z", 9.0)))
+  }
+}
+
 class CompactionSpec extends SparkSpec {
 
   test("compact collapses per-batch small files to one file per partition") {

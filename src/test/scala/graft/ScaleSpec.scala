@@ -159,6 +159,41 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("as-of forward and tolerance variants") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val build = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
+      (2L, 50L, 200L, 9.0))
+      .toDF("k", "t", "id", "v")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("id"),
+        col("v"))
+    val probe = Seq((1L, 5L), (1L, 20L), (1L, 30L), (2L, 49L))
+      .toDF("k", "pt")
+      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    def matches(forward: Boolean, tol: Option[Long]): Map[(Long, Long), Long] =
+      AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t",
+          buildTieBreak = Seq("id"), forward = forward,
+          toleranceSeconds = tol)
+        .select(col("k"), unix_timestamp(col("pt")).as("pt"),
+          col("matched.id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val fwd = matches(forward = true, tol = None)
+    assert(fwd((1L, 5L)) == 100L)  // earliest at-or-after
+    assert(fwd((1L, 20L)) == 102L) // inclusive, max-id tie-break
+    assert(fwd((1L, 30L)) == -1L)  // nothing after the last event
+    assert(fwd((2L, 49L)) == 200L)
+    // forward tolerance: t=10 is 5 s after the probe at 5 — a 5 s budget
+    // admits it, a 4 s budget nulls it
+    assert(matches(forward = true, tol = Some(5L))((1L, 5L)) == 100L)
+    assert(matches(forward = true, tol = Some(4L))((1L, 5L)) == -1L)
+    // backward tolerance: latest at-or-before 30 is t=20 (10 s away)
+    assert(matches(forward = false, tol = Some(15L))((1L, 30L)) == 102L)
+    assert(matches(forward = false, tol = Some(5L))((1L, 30L)) == -1L)
+  }
+
   test("as-of join drops null-key rows on both sides (equi-join semantics)") {
     import spark.implicits._
     import graft.operators.AsOfJoin
