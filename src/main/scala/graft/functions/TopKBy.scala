@@ -26,6 +26,21 @@ final class TopKBuffer(val k: Int, ordering: Ordering[Any]) {
       heap.poll(); heap.add((ord, payload)); ()
     }
   }
+
+  /** Insert with deferred materialization: `rawOrd` (which may be backed
+    * by Catalyst's reused row buffers) is only COMPARED, never retained;
+    * the defensive copies — and the payload evaluation itself — run only
+    * when the pair actually enters the heap. After the heap warms up the
+    * overwhelming majority of rows are rejected, and this makes each
+    * rejection a single compare with zero allocation.
+    */
+  def insertLazy(rawOrd: Any, copyOrd: () => Any,
+      copyPayload: () => Any): Unit = {
+    if (heap.size < k) { heap.add((copyOrd(), copyPayload())); () }
+    else if (ordering.compare(rawOrd, heap.peek()._1) < 0) {
+      heap.poll(); heap.add((copyOrd(), copyPayload())); ()
+    }
+  }
 }
 
 /** Per-group top-k rows as a custom Catalyst `TypedImperativeAggregate` —
@@ -94,8 +109,8 @@ case class TopKBy(payload: Expression, ord: Expression, k: Int,
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val o = ord.eval(input)
     if (o != null) {
-      buffer.insert(InternalRow.copyValue(o),
-        InternalRow.copyValue(payload.eval(input)))
+      buffer.insertLazy(o, () => InternalRow.copyValue(o),
+        () => InternalRow.copyValue(payload.eval(input)))
     }
     buffer
   }
