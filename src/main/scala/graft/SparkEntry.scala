@@ -127,7 +127,8 @@ object SparkEntry {
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
     "x_knn_join"         -> ((s, d) => Similarity.knnJoinGate(s, d)),
-    "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d))
+    "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d)),
+    "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1084,7 +1085,20 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT d_sub, d_super, round(shared / n_sub, 3) AS containment
         |FROM pairs
-        |WHERE round(shared / n_sub, 3) >= 0.9""".stripMargin
+        |WHERE round(shared / n_sub, 3) >= 0.9""".stripMargin,
+    // keep-best survivor = longest member (min doc_id on ties) of each
+    // near-dup component; reuses the recursive-CTE component oracle
+    "x_dedup_keepbest" -> (nearDupComponentsCte + "\n" +
+      """, memb AS (
+        |  SELECT c.cluster_id, c.doc_id, d.n_chars
+        |  FROM comp c JOIN documents d USING (doc_id)),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM memb
+        |       GROUP BY cluster_id)
+        |SELECT m.cluster_id, m.doc_id AS survivor_id,
+        |  m.n_chars AS survivor_chars, sz.n_members
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM memb) m
+        |JOIN sz USING (cluster_id) WHERE rn = 1""".stripMargin)
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

@@ -530,6 +530,33 @@ object TextDedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Keep-BEST survivor selection: one row per near-dup cluster naming the
+    * member that survives dedup — here "best" = LONGEST text (largest
+    * `n_chars`, smallest doc_id on ties), the common curation rule that
+    * keeps the superset copy when a page was scraped both with and
+    * without its boilerplate/tail. Contrast with [[dedupClusters]]'s
+    * `is_canonical` (min doc_id — arbitrary but stable): survivor CHOICE
+    * is a policy, and this operator makes it a pluggable ranking rather
+    * than an accident of id assignment. One extra narrow join (cluster
+    * labels ⋈ doc lengths) and a max_by aggregate over O(cluster) rows —
+    * nothing here scales worse than the clustering itself.
+    */
+  def keepBestSurvivors(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = dedupClusters(spark, dir, threshold)
+    val lengths = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(lengths, "doc_id")
+      .groupBy(col("cluster_id"))
+      // lexicographic max of (n_chars, -doc_id): longest text, then
+      // smallest id — deterministic without relying on any engine's
+      // arg_max tie-break
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("survivor_id"),
+        col("best.n_chars").as("survivor_chars"), col("n_members"))
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of ±1 (bit i of each token's xxhash64). Near-dups have small
     * hamming distance. Pairs are found by joining on rotated 16-bit bands

@@ -229,20 +229,33 @@ object EventOps {
   }
 
   private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
-      mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
+      mode: org.apache.spark.sql.streaming.OutputMode,
+      statePartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // unique per call + dropped after resolution: gated query functions stay
     // free of session-catalog mutation (the memory sink's rows are captured
     // by the resolved plan, so the view itself is disposable)
     val name = sink + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .option("checkpointLocation",
-        graft.util.Scratch.dir("graft_ck").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store INSTANCE count (= shuffle partitions at first batch,
+    // then pinned in the checkpoint) should track state VOLUME, not CPU
+    // count: every instance pays per-batch commit/maintenance file I/O
+    // (up to 4 stores per partition for a stream-stream join), so 32
+    // instances for ~100k rows of state is pure overhead — these gates
+    // measurably drain ~2x faster at 8. A 100 TB deployment sizes it UP
+    // for exactly the same reason, and because the count is pinned at
+    // checkpoint creation it must be chosen for peak state, not cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.util.Scratch.dir("graft_ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try spark.table(name)
     finally spark.catalog.dropTempView(name)
   }
