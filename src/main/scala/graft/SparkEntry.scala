@@ -128,7 +128,9 @@ object SparkEntry {
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
     "x_knn_join"         -> ((s, d) => Similarity.knnJoinGate(s, d)),
     "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d)),
-    "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d))
+    "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d)),
+    "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
+    "x_index_lookup"     -> TextAnalysis.termLookupReport _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1098,7 +1100,21 @@ object SparkEntry {
         |  m.n_chars AS survivor_chars, sz.n_members
         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
         |        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM memb) m
-        |JOIN sz USING (cluster_id) WHERE rn = 1""".stripMargin)
+        |JOIN sz USING (cluster_id) WHERE rn = 1""".stripMargin),
+    // inverted-index build: term -> df + first-20 sorted posting ids
+    "x_index_postings" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(trim(text), ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',')
+        |    AS postings_csv
+        |FROM tok GROUP BY term HAVING count(*) >= 3""".stripMargin,
+    // conjunctive lookup via the index must equal the direct corpus scan
+    "x_index_lookup" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(str_split(trim(text), ' '), 'merge')
+        |  AND list_contains(str_split(trim(text), ' '), 'window')""".stripMargin
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

@@ -576,6 +576,23 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("inverted index: df counts, sorted capped postings, AND lookup") {
+    import spark.implicits._
+    val df = Seq((3L, "red blue"), (1L, "red green"), (2L, "red blue red"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(df, maxPostings = 2)
+    val byTerm = idx.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2).toList))
+      .toMap
+    assert(byTerm("red") == (3L, List(1L, 2L)))  // df uncapped, postings capped+sorted
+    assert(byTerm("blue") == (2L, List(2L, 3L)))
+    assert(byTerm("green") == (1L, List(1L)))
+    val hits = TextAnalysis.termLookup(
+      TextAnalysis.invertedIndex(df, maxPostings = 100), Seq("red", "blue"))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits.toList == List(2L, 3L))
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 75).map(i => s"w$i")
