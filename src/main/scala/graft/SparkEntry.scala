@@ -130,7 +130,8 @@ object SparkEntry {
     "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d)),
     "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d)),
     "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
-    "x_index_lookup"     -> TextAnalysis.termLookupReport _
+    "x_index_lookup"     -> TextAnalysis.termLookupReport _,
+    "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1114,7 +1115,22 @@ object SparkEntry {
     "x_index_lookup" ->
       """SELECT doc_id FROM documents
         |WHERE list_contains(str_split(trim(text), ' '), 'merge')
-        |  AND list_contains(str_split(trim(text), ' '), 'window')""".stripMargin
+        |  AND list_contains(str_split(trim(text), ' '), 'window')""".stripMargin,
+    // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
+    // whose running token sum fits the budget; integer sums keep it exact
+    "x_corpus_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(toks) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum <= 1000 GROUP BY source""".stripMargin
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

@@ -30,6 +30,32 @@ object Corpus {
           col("doc_id").cast("string"))), lit(1000L)).as("bucket"))
       .filter(col("bucket") < keepPerMille)
 
+  /** Per-source token-BUDGET trimming: keep each source's documents, best
+    * first, until the source's token budget is exhausted — the mixture
+    * allocation step of corpus assembly ("this source contributes at most
+    * N tokens"). "Best first" here = longest text (n_chars DESC, doc_id
+    * tie) — swap the ordering columns for a model-based quality score in
+    * production; the MACHINERY (per-source ordered cumulative sum, one
+    * keyed window) is the operator. A doc is kept iff the running token
+    * total through itself still fits the budget, so the cut is a prefix
+    * of the quality ordering. Integer token sums keep the gate
+    * reduction-order-exact. Output: per-source kept-doc and kept-token
+    * accounting.
+    */
+  def budgetTrim(spark: SparkSession, dir: String,
+      budgetTokens: Long = 1000L): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= budgetTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+  }
+
   /** Token-budget shard packing: assign documents (per source, in doc_id
     * order) to shards of ~`budgetTokens` by cumulative token offset —
     * `shard_id = floor(exclusive_cumsum(tokens) / budget)`. This is the
