@@ -131,7 +131,9 @@ object SparkEntry {
     "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d)),
     "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
-    "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d))
+    "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
+    "p_cdc_apply"        -> EventOps.cdcApply _,
+    "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1130,7 +1132,47 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, count(*) AS n_kept,
         |  CAST(sum(toks) AS BIGINT) AS tokens_kept
-        |FROM c WHERE cum <= 1000 GROUP BY source""".stripMargin
+        |FROM c WHERE cum <= 1000 GROUP BY source""".stripMargin,
+    // CDC apply: collapse the feed to each key's latest (version, op),
+    // then NOT EXISTS (all changed keys leave the base) + UNION ALL of
+    // surviving upserts; same-version D/U ties resolve U > D both sides
+    "p_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id AS station_id, event_id AS s_no, event_type,
+        |    round(value, 2) AS value, CAST(ts AS TIMESTAMP) AS tts
+        |  FROM events),
+        |base AS (
+        |  SELECT station_id, s_no, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY station_id
+        |      ORDER BY tts DESC, s_no DESC) AS rn FROM ev) b WHERE rn = 1),
+        |feed AS (
+        |  SELECT station_id, s_no, event_type,
+        |    round(value + 500, 2) AS value, s_no AS version,
+        |    CASE WHEN s_no % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM ev WHERE s_no % 2 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY station_id
+        |      ORDER BY version DESC, op DESC) AS rn FROM feed) f
+        |  WHERE rn = 1)
+        |SELECT b.station_id, b.s_no, b.event_type, b.value FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |  WHERE l.station_id = b.station_id)
+        |UNION ALL
+        |SELECT station_id, s_no, event_type, value FROM latest
+        |WHERE op <> 'D'""".stripMargin,
+    // bottom-k-by-portable-hash per source == the TopKBy heap result
+    "x_sample_per_key" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${duckPolyHash("concat(source, '|', CAST(doc_id AS VARCHAR))")}
+         |      % 1000000007 AS h
+         |  FROM documents)
+         |SELECT source, rn AS rnk, doc_id FROM (
+         |  SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn
+         |  FROM h) t
+         |WHERE rn <= 5""".stripMargin
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

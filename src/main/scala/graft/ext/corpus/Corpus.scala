@@ -30,6 +30,30 @@ object Corpus {
           col("doc_id").cast("string"))), lit(1000L)).as("bucket"))
       .filter(col("bucket") < keepPerMille)
 
+  /** Deterministic per-key sample: the `k` documents per source with the
+    * SMALLEST portable hash of (source, doc_id) — bottom-k-by-hash is the
+    * fixed-size cousin of [[stratifiedSample]]'s rate-based keep (same
+    * reproducibility story: stable across runs, retries, and
+    * repartitioning, no coordination), and it runs as the bounded
+    * [[graft.functions.TopKBy]] heap aggregate — O(k) state per source,
+    * map-side partials — NOT a per-key window sort, which is the
+    * difference between shuffling k rows and shuffling every row per key
+    * at 100 TB.
+    */
+  def perKeySample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(poly_hash(concat_ws("|", col("source"),
+          col("doc_id").cast("string"))), lit(1000000007L)).as("h"))
+      .groupBy(col("source"))
+      .agg(top_k_by(col("doc_id"), struct(col("h"), col("doc_id")), k)
+        .as("picked"))
+      .select(col("source"), posexplode(col("picked")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("doc_id"))
+  }
+
   /** Per-source token-BUDGET trimming: keep each source's documents, best
     * first, until the source's token budget is exhausted — the mixture
     * allocation step of corpus assembly ("this source contributes at most

@@ -118,6 +118,35 @@ object Archive {
       .unionByName(delta.select(base.columns.map(delta.col): _*))
   }
 
+  /** CDC apply: advance a snapshot by a raw change FEED — multiple
+    * versioned rows per key carrying upsert/delete ops (`opCol` = "D"
+    * deletes, anything else upserts), the Debezium/Delta-CDF shape. Two
+    * steps, both scale-bounded: (1) collapse the feed to each key's
+    * LATEST change with `max_by(struct(payload), struct(version, op))` —
+    * one hash aggregate with map-side partials, no window sort; the
+    * (version, op) ordering makes a same-version delete+upsert pair
+    * resolve deterministically (upsert wins: "U" > "D" lexically);
+    * (2) [[mergeUpsert]] the surviving upserts onto the base, with keys
+    * whose final change is a delete dropped from BOTH sides. Cost
+    * ∝ |base| + |feed| at any change multiplicity; the oracle restates it
+    * as row_number-latest + NOT EXISTS.
+    */
+  def cdcApply(base: DataFrame, feed: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = base.columns.toSeq
+    val latest = feed.groupBy(keys.map(col): _*)
+      .agg(max_by(
+          struct((payload.filterNot(keys.contains).map(col) :+
+            col(opCol)): _*),
+          struct(col(versionCol), col(opCol))).as("__last"))
+      .select(keys.map(col) :+ col("__last.*"): _*)
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(payload.map(col): _*)
+    base.join(latest, keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Streaming read (S5) — fixed schema (inference off, like the reference,
     * ref: SparkParquetStreamingToElasticsearch.java:47,76-90), recursive
     * lookup, bounded files per micro-batch.

@@ -938,4 +938,30 @@ object EventOps {
         round(col("value") + 1000, 2).as("value"))
     graft.lake.Archive.mergeUpsert(base, delta, Seq("station_id", "s_no"))
   }
+
+  /** CDC apply gate — [[graft.lake.Archive.cdcApply]] advancing a
+    * per-station snapshot by a RAW multi-version change feed: every even
+    * event is a change (version = s_no), with every 10th a DELETE, so
+    * each station's fate rides on its LATEST even event — collapse must
+    * pick it (not any earlier change), deletes must drop the station from
+    * the snapshot, upserts must replace it. The oracle restates collapse
+    * as row_number-latest and the apply as NOT EXISTS + UNION ALL.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("event_type"), round(col("value"), 2).as("value"), col("ts"))
+    val base = ev.groupBy(col("station_id"))
+      .agg(max_by(
+        struct(col("s_no"), col("event_type"), col("value")),
+        struct(col("ts"), col("s_no"))).as("l"))
+      .select(col("station_id"), col("l.*"))
+    val feed = ev.filter(col("s_no") % 2 === 0)
+      .select(col("station_id"), col("s_no"), col("event_type"),
+        round(col("value") + 500, 2).as("value"),
+        col("s_no").as("version"),
+        when(col("s_no") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+    graft.lake.Archive.cdcApply(base, feed, Seq("station_id"),
+      "version", "op")
+  }
 }

@@ -7,6 +7,26 @@ import graft.ext.dedup.TextDedup
 class CorpusSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("perKeySample: k per source, hash-stable, heap-agg plan") {
+    val out = Corpus.perKeySample(spark, dir, k = 5)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length)) // dense ranks
+    }
+    // identical on re-run (hash-determined, no rand())
+    val again = Corpus.perKeySample(spark, dir, k = 5).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    // bounded heap aggregate, not a per-key window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
   test("prepare funnel counts are monotone and consistent with the stages") {
     val rows = Corpus.prepare(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -24,6 +24,31 @@ class MergeUpsertSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("cdcApply collapses the feed per key, applies deletes and upserts") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    // key 1: U then later D -> deleted; key 2: D then later U -> upserted
+    // (latest wins, not op precedence); key 4: insert; key 3: untouched
+    val feed = Seq(
+      (1L, "a1", 10.0, 1L, "U"), (1L, "a2", 11.0, 2L, "D"),
+      (2L, "b1", 20.0, 1L, "D"), (2L, "b2", 21.0, 2L, "U"),
+      (4L, "d", 40.0, 1L, "U"))
+      .toDF("k", "s", "v", "version", "op")
+    val out = Archive.cdcApply(base, feed, Seq("k"), "version", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(2L -> ("b2", 21.0), 3L -> ("c", 3.0),
+      4L -> ("d", 40.0)))
+    // same-version delete+upsert pair resolves to the upsert ("U" > "D")
+    val tie = Seq((5L, "e", 50.0, 1L, "D"), (5L, "e2", 51.0, 1L, "U"))
+      .toDF("k", "s", "v", "version", "op")
+    val tied = Archive.cdcApply(base.limit(0), tie, Seq("k"),
+      "version", "op").collect()
+    assert(tied.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((5L, "e2")))
+  }
+
   test("mergeUpsert aligns delta columns by name") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
