@@ -133,7 +133,9 @@ object SparkEntry {
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
-    "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d))
+    "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
+    "p_schema_evolve"    -> EventOps.schemaEvolve _,
+    "p_stream_enrich"    -> EventOps.streamEnrich _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1172,7 +1174,21 @@ object SparkEntry {
          |  SELECT source, doc_id, row_number() OVER (
          |    PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn
          |  FROM h) t
-         |WHERE rn <= 5""".stripMargin
+         |WHERE rn <= 5""".stripMargin,
+    // schema evolution: even rows predate the quality column (null there),
+    // odd rows carry s_no % 5 — the CASE reconstruction of mergeSchema
+    "p_schema_evolve" ->
+      """SELECT user_id AS station_id, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS n_quality,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN event_id % 5 END)
+        |    AS BIGINT) AS sum_quality
+        |FROM events GROUP BY user_id""".stripMargin,
+    // stream-static enrichment == the batch join
+    "p_stream_enrich" ->
+      """SELECT e.user_id AS station_id, e.event_id AS s_no,
+        |  round(e.value, 2) AS value, n.n_name AS region_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin
   )
 
   /** The shared near-dup-components CTE prefix (transitive closure over the

@@ -964,4 +964,54 @@ object EventOps {
     graft.lake.Archive.cdcApply(base, feed, Seq("station_id"),
       "version", "op")
   }
+
+  /** Schema-evolution read: the lake accrues batches whose schema GREW (a
+    * `quality` column added mid-stream — the normal life of a telemetry
+    * archive); `mergeSchema` reconciles per-file footers into the union
+    * schema, with the old batch's missing column read as null. The gate
+    * aggregates across both generations — null-aware counts/sums must
+    * equal the oracle's CASE-based reconstruction. (mergeSchema is a
+    * LAYOUT-TIME cost: at 100 TB you pay footer reads per file once per
+    * listing, which is why production lakes persist the merged schema in
+    * a catalog — the READ path with an explicit union schema is what
+    * this gate exercises.)
+    */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.Scratch.dir("graft_evolve").toString
+    val ev = events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        round(col("value"), 2).as("value"))
+    ev.filter(col("s_no") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$stage/gen=1")
+    ev.filter(col("s_no") % 2 =!= 0)
+      .withColumn("quality", (col("s_no") % 5).cast(IntegerType))
+      .write.mode("overwrite").parquet(s"$stage/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(stage)
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_no")).as("sum_sno"),
+        count(col("quality")).as("n_quality"),
+        sum(col("quality")).as("sum_quality"))
+  }
+
+  /** Stream-STATIC enrichment — the stateless streaming join the
+    * stream-stream gates don't cover: each micro-batch of the event
+    * stream joins a broadcast STATIC dimension (re-resolved per batch,
+    * no watermark, no join state — the dimension is not a stream). This
+    * is the ingest-time enrichment shape (station → region metadata); at
+    * 100 TB the dimension stays broadcast-sized or becomes a
+    * bucketed-table join, never stateful. Oracle = the batch join.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val st = eventsStream(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        round(col("value"), 2).as("value"),
+        pmod(col("user_id"), lit(25)).as("nk"))
+    val joined = st.join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .select(col("station_id"), col("s_no"), col("value"),
+        col("n_name").as("region_name"))
+    drainToMemory(spark, joined, "stream_enrich_gate", OutputMode.Append())
+  }
 }
