@@ -76,6 +76,66 @@ class PropertySpec extends SparkSpec {
     assert(a == shuffled)
   }
 
+  test("merge/cdc algebra: empty feeds are identity, disjoint deltas are union") {
+    import graft.lake.Archive
+    val base = samples(Gen.choose(1L, 40L), 60).distinct
+      .map(k => (k, s"v$k")).toDF("k", "s")
+    val n = base.count()
+    // empty delta/feed: the snapshot is unchanged
+    val emptyDelta = Seq.empty[(Long, String)].toDF("k", "s")
+    assert(Archive.mergeUpsert(base, emptyDelta, Seq("k")).count() == n)
+    val emptyFeed = Seq.empty[(Long, String, Long, String)]
+      .toDF("k", "s", "version", "op")
+    assert(Archive.cdcApply(base, emptyFeed, Seq("k"), "version", "op")
+      .count() == n)
+    // disjoint delta (keys > 100): merge == plain union
+    val disjoint = samples(Gen.choose(101L, 140L), 30).distinct
+      .map(k => (k, s"d$k")).toDF("k", "s")
+    val merged = Archive.mergeUpsert(base, disjoint, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val union = base.unionByName(disjoint)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(merged.sameElements(union))
+    // cdc with every key deleted: empty snapshot
+    val killAll = base.select(col("k"), col("s"),
+      lit(1L).as("version"), lit("D").as("op"))
+    assert(Archive.cdcApply(base, killAll, Seq("k"), "version", "op")
+      .count() == 0)
+  }
+
+  test("as-of forward on a reversed timeline equals backward on the original") {
+    import graft.operators.AsOfJoin
+    // negate every timestamp: at-or-before on t is at-or-after on -t, so
+    // backward(t) and forward(-t) must pick the SAME build rows (ties
+    // excluded: tie-break order is direction-independent only for
+    // distinct build timestamps, so the gen keeps them unique)
+    val ts = samples(Gen.choose(1L, 100000L), 50).distinct
+    val build = ts.zipWithIndex
+      .map { case (t, i) => (1L, t, i.toLong) }
+      .toDF("k", "t", "id")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("id"))
+    val probes = samples(Gen.choose(1L, 100000L), 30).distinct
+      .map(p => (1L, p)).toDF("k", "pt")
+      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    val negBuild = build.select(col("k"),
+      timestamp_seconds(-unix_timestamp(col("t"))).as("t"), col("id"))
+    val negProbes = probes.select(col("k"),
+      timestamp_seconds(-unix_timestamp(col("pt"))).as("pt"))
+    def ids(df: org.apache.spark.sql.DataFrame,
+        probeFrame: org.apache.spark.sql.DataFrame,
+        forward: Boolean): Map[Long, Long] =
+      AsOfJoin.asOf(probeFrame, df, Seq("k"), "pt", "t",
+          buildTieBreak = Seq("id"), forward = forward)
+        .select(abs(unix_timestamp(col("pt"))).as("pt"), col("matched.id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val backward = ids(build, probes, forward = false)
+    val forward = ids(negBuild, negProbes, forward = true)
+    assert(backward.nonEmpty)
+    assert(backward == forward)
+  }
+
   test("simhash hamming distance is monotone in token overlap (statistically)") {
     import graft.ext.dedup.TextDedup.simhash
     val base = (1 to 40).map(i => s"tok$i")
