@@ -135,7 +135,8 @@ object SparkEntry {
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
-    "p_stream_enrich"    -> EventOps.streamEnrich _
+    "p_stream_enrich"    -> EventOps.streamEnrich _,
+    "x_dedup_stream"     -> ((s, d) => TextDedup.streamingNearDupsGate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -663,24 +664,10 @@ object SparkEntry {
     "x_dedup_minhash" -> ngramJaccardOracle,
     // exhaustive odd(delta)-vs-even(index) join — banding recall is
     // complete at 0.8 (the symmetric yardstick covers every true pair)
-    "x_dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (
-        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS d_new, b.doc_id AS d_index, count(*) AS shared,
-        |    any_value(a.n) AS n1, any_value(b.n) AS n2
-        |  FROM ex a JOIN ex b ON a.s = b.s
-        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |  GROUP BY 1, 2)
-        |SELECT d_new, d_index, round(shared / (n1 + n2 - shared), 3) AS jaccard
-        |FROM pairs
-        |WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8""".stripMargin,
+    "x_dedup_incremental" -> deltaVsIndexOracle,
+    // the same answer through the streaming scheduler: per-micro-batch
+    // flags vs the persisted index, unioned across batches
+    "x_dedup_stream" -> deltaVsIndexOracle,
     "x_text_tokens" ->
       """SELECT doc_id,
         |  len(str_split(trim(text), ' ')) AS n_ws_tokens,
@@ -1280,6 +1267,25 @@ object SparkEntry {
        |    list_transform(range(1, length($expr) + 1),
        |      i -> CAST(ord(substr($expr, CAST(i AS INTEGER), 1)) AS BIGINT))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  private val deltaVsIndexOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS d_new, b.doc_id AS d_index, count(*) AS shared,
+      |    any_value(a.n) AS n1, any_value(b.n) AS n2
+      |  FROM ex a JOIN ex b ON a.s = b.s
+      |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  GROUP BY 1, 2)
+      |SELECT d_new, d_index, round(shared / (n1 + n2 - shared), 3) AS jaccard
+      |FROM pairs
+      |WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8""".stripMargin
 
   private val ngramJaccardOracle =
     """WITH toks AS (

@@ -291,6 +291,33 @@ object TextDedup {
     * verified pairs (reject queue, tombstone write, metric). Returns the
     * started query; callers own its lifecycle.
     */
+  /** [[streamingNearDups]] gated end to end: the odd-id docs arrive as a
+    * file STREAM and are flagged per micro-batch against the persisted
+    * even-id index — the nightly-ingest topology actually running through
+    * Structured Streaming's scheduler, prepared-index reuse across
+    * batches included. Per-batch outputs append to parquet; the union
+    * over batches must equal the batch delta-vs-index answer (same
+    * DuckDB oracle as `x_dedup_incremental`) REGARDLESS of how the
+    * scheduler splits files into batches, because each delta doc is
+    * flagged against the static index exactly once.
+    */
+  def streamingNearDupsGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val d = docs(spark, dir)
+    val src = graft.util.Scratch.dir("graft_ndstream_src")
+    d.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(src.toString)
+    val out = graft.util.Scratch.dir("graft_ndstream_out").toString
+    val stream = spark.readStream.schema(d.schema).parquet(src.toString)
+    val q = streamingNearDups(stream, d.filter(col("doc_id") % 2 === 0),
+      threshold) { (pairs, _) =>
+      pairs.write.mode("append").parquet(out)
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+  }
+
   def streamingNearDups(deltaStream: DataFrame, index: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3)(onPairs: (DataFrame, Long) => Unit)
