@@ -117,6 +117,7 @@ object SparkEntry {
     "x_ann_ivfpq"        -> ((s, d) =>
       Similarity.ivfPqTopK(s, d, nLists = 16, nProbe = 16, rerank = 400)),
     "x_ann_lsh_indexed"  -> ((s, d) => Similarity.lshIndexedReport(s, d)),
+    "x_ann_lsh_append"   -> ((s, d) => Similarity.lshIndexAppendReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
@@ -926,6 +927,9 @@ object SparkEntry {
     "x_ann_lsh_indexed" -> annTopkOracle,
     // persisted IVF index at nProbe = nLists -> equals brute force
     "x_ann_ivf_indexed" -> annTopkOracle,
+    // index built from even ids + appended odd-id generation, full-probe
+    // query over the union == brute force over the whole corpus
+    "x_ann_lsh_append" -> annTopkOracle,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,

@@ -140,6 +140,39 @@ object Similarity {
       excludeVecId = Some(0L))
   }
 
+  /** Append a delta of vectors to an existing [[writeLshIndex]] index —
+    * incremental index MAINTENANCE: the nightly embedding batch lands as
+    * new files inside the same bucket directories (append mode +
+    * `partitionBy`), no rewrite of the resident data; probes keep
+    * partition-pruning over old and new generations alike. Compact with
+    * [[graft.lake.Archive.compact]]-style rewrites when per-bucket file
+    * counts accrete.
+    */
+  def appendLshIndex(df: DataFrame, indexPath: String, nBits: Int): Unit =
+    df.withColumn("bucket",
+        graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"),
+          nBits))
+      .repartition(col("bucket"))
+      .write.mode("append")
+      .partitionBy("bucket").parquet(indexPath)
+
+  /** Gate for incremental maintenance: the index is built from the EVEN
+    * vec_ids, the odd ids arrive later as an [[appendLshIndex]] delta,
+    * and a full-probe query over the union must equal brute force over
+    * the whole corpus — proving the appended generation is
+    * indistinguishable from the resident one at probe time.
+    */
+  def lshIndexAppendReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_lsh_index_inc").toString
+    val e = emb(spark, dir)
+    appendLshIndex(e.filter(col("vec_id") % 2 === 0), indexPath, nBits = 6)
+    appendLshIndex(e.filter(col("vec_id") % 2 =!= 0), indexPath, nBits = 6)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
+      excludeVecId = Some(0L))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
     * recall: one side of the join explodes each vector's bucket into the
