@@ -93,7 +93,7 @@ object SparkEntry {
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
     "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
-    "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClusters(s, d)),
+    "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClustersShared(s, d)),
     "x_dedup_clusters_lss" -> ((s, d) => TextDedup.dedupClusters(s, d,
       strategy = TextDedup.CcStrategy.LargeStarSmallStar)),
     "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
@@ -121,7 +121,7 @@ object SparkEntry {
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
-    "x_embed_neardup"    -> ((s, d) => Similarity.cosineNearDupPairs(s, d)),
+    "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
     "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
@@ -195,7 +195,8 @@ object SparkEntry {
         |  round(sum(c_acctbal), 2) AS idle_balance
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey = c.c_custkey)
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
     "q10_set_ops" ->
       """SELECT nationkey, n_name
@@ -899,15 +900,21 @@ object SparkEntry {
         |  FROM scored) q
         |WHERE rn = 1""".stripMargin,
     "x_ann_topk" -> annTopkOracle,
-    // LSH-bucketed candidates, exact-cosine verified; the oracle is the
-    // exhaustive pair join — equal when every >=0.8 pair shares a bucket
-    // (trivially true on this data: no such pairs exist; planted-pair
-    // recall is covered by SimilaritySpec)
+    // LSH-bucketed candidates, exact-cosine verified, over the corpus plus
+    // planted exact twins (vec_id % 50 -> id + 1e6, same embedding); the
+    // oracle is the exhaustive pair join over the same union — equal
+    // because identical vectors share identical buckets (structural
+    // recall) and no natural pair reaches 0.8 at any test SF
     "x_embed_neardup" ->
-      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+      """WITH un AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM un a JOIN un b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.8""".stripMargin,
     // probes=256 covers all 2^8 buckets -> LSH degrades to exact brute force

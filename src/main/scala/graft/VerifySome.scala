@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Targeted correctness dump: like [[Verify]] but only for the query names
+  * given on the command line — `sbt "runMain graft.VerifySome <sfDir>
+  * <outDir> <name>..."` — so a changed gate can be oracle-checked locally
+  * in seconds instead of re-dumping all of them.
+  */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.register(spark)
+    GraftSession.installOptimizations(spark)
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      SparkEntry.oracleSql.get(name).foreach(sql =>
+        Files.writeString(Paths.get(s"$outDir/$name.sql"), sql))
+    }
+    spark.stop()
+  }
+}

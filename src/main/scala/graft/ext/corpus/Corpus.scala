@@ -165,7 +165,7 @@ object Corpus {
     */
   def leakageSafeSplit(spark: SparkSession, dir: String,
       trainPerMille: Int = 800, devPerMille: Int = 100): DataFrame = {
-    val reps = graft.ext.dedup.TextDedup.dedupClusters(spark, dir)
+    val reps = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     docs(spark, dir)
       .join(reps, Seq("doc_id"), "left")
@@ -192,7 +192,7 @@ object Corpus {
     */
   def prepare(spark: SparkSession, dir: String, minTokens: Int = 20,
       maxDupRatio: Double = 0.7, keepPerMille: Int = 800): DataFrame = {
-    val dupIds = graft.ext.dedup.TextDedup.dedupClusters(spark, dir)
+    val dupIds = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
       .filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     val t = tokens(col("text"))

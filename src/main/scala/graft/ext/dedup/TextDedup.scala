@@ -557,6 +557,34 @@ object TextDedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[dedupClusters]] behind a per-process memo: the cluster table is the
+    * single most expensive artifact in the suite (banded candidate join +
+    * iterative connected components) and it feeds FOUR downstream
+    * consumers (the cluster report itself, keep-best survivor selection,
+    * `Corpus.prepare`'s dup filter, `Corpus.leakageSafeSplit`'s
+    * representatives). Computing it per consumer re-pays the iterative
+    * job each time; here the first caller materializes it with an eager
+    * `localCheckpoint` (the table is ∝ true duplication — tiny next to
+    * the corpus) and later callers reuse the checkpointed blocks. The
+    * production analog at 100 TB is writing the cluster table once per
+    * corpus snapshot to scratch storage and reading it from every
+    * consumer — same artifact, durable instead of in-memory. Keyed by
+    * application id + all semantic parameters, so distinct sessions,
+    * corpora, or thresholds never share.
+    */
+  def dedupClustersShared(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
+    val key = Seq(spark.sparkContext.applicationId, dir, threshold,
+      numHashes, bands, n, strategy).mkString("|")
+    clusterMemo.computeIfAbsent(key, _ =>
+      dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
+        .localCheckpoint(true))
+  }
+
   /** Keep-BEST survivor selection: one row per near-dup cluster naming the
     * member that survives dedup — here "best" = LONGEST text (largest
     * `n_chars`, smallest doc_id on ties), the common curation rule that
@@ -570,7 +598,7 @@ object TextDedup {
     */
   def keepBestSurvivors(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val clusters = dedupClusters(spark, dir, threshold)
+    val clusters = dedupClustersShared(spark, dir, threshold)
     val lengths = docs(spark, dir).select(col("doc_id"), col("n_chars"))
     clusters.join(lengths, "doc_id")
       .groupBy(col("cluster_id"))

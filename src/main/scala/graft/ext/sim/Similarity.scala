@@ -188,6 +188,26 @@ object Similarity {
       threshold: Double = 0.8, nBits: Int = 8, probeHamming: Int = 1): DataFrame =
     cosineNearDupPairsOf(emb(spark, dir), threshold, nBits, probeHamming)
 
+  /** Gate entry for [[cosineNearDupPairs]]: the natural test corpus has no
+    * pair above cosine 0.8 at any SF (max ≈ 0.60 at sf0.1), so gating the
+    * raw operator proves only 0 == 0. To make the gate bite it PLANTS
+    * exact twins — every `vec_id % 50 == 0` vector re-appears under
+    * `vec_id + 1_000_000` with the same embedding — so the expected
+    * output is exactly the planted pairs at score 1.0. Identical vectors
+    * land in identical LSH buckets by construction, so banded recall on
+    * the planted set is structural (not probabilistic) and the exhaustive
+    * DuckDB oracle over the same union is a true equality. Perturbed-twin
+    * recall (near-but-not-identical vectors) is covered by
+    * `EmbedNearDupSpec`, which this gate complements rather than
+    * replaces.
+    */
+  def embedNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    cosineNearDupPairsOf(e.unionAll(twins))
+  }
+
   /** [[cosineNearDupPairs]] over any frame with (vec_id, embedding). */
   def cosineNearDupPairsOf(df: DataFrame, threshold: Double = 0.8,
       nBits: Int = 8, probeHamming: Int = 1): DataFrame = {

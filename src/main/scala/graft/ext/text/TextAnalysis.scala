@@ -211,8 +211,11 @@ object TextAnalysis {
     * length are kept alongside): an UNCAPPED list for a stopword term is
     * a single multi-GB row at 100 TB — the classic inverted-index hot-key
     * — and every real engine stores such terms as skip-list blocks, not
-    * one array. Queries against the capped index treat over-cap terms as
-    * "match everything" candidates ([[termLookup]] verifies exactly).
+    * one array. Queries against a capped index must treat over-cap terms
+    * (`df > size(postings)`) as match-everything CANDIDATES and verify
+    * them against the corpus — [[termLookup]] implements exactly that,
+    * taking the corpus frame for the verify step when any queried term is
+    * capped.
     */
   def invertedIndex(df: DataFrame, maxPostings: Int = 1000): DataFrame =
     df.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -234,24 +237,68 @@ object TextAnalysis {
 
   /** Conjunctive (AND) term lookup through the inverted index: intersect
     * the terms' posting lists — |terms| index point lookups + an
-    * id-intersection, never a corpus scan. The index frame is passed in
-    * (build once with [[invertedIndex]], reuse per query), uncapped here
-    * so the intersection is exact.
+    * id-intersection, never an unselective corpus scan.
+    *
+    * Capped terms (`df > size(postings)` — the index truncated their
+    * posting list) carry no usable posting set, so they are treated as
+    * match-everything candidates: the intersection runs over the UNCAPPED
+    * terms only, and capped terms are then verified exactly against the
+    * candidate documents' own token sets via `corpus`. The verify join is
+    * driven by the candidate id set (∝ the selective terms' intersection,
+    * not the corpus), so a stopword-capped term never costs a full scan
+    * unless every queried term is capped — the same degradation a real
+    * search engine hits when a query is all stopwords. Calling with a
+    * capped queried term but no corpus frame is refused rather than
+    * silently under-returning. The per-term cap check collects ≤ |terms|
+    * index rows to the driver — bounded by the query, not the data.
     */
-  def termLookup(index: DataFrame, terms: Seq[String]): DataFrame = {
+  def termLookup(index: DataFrame, terms: Seq[String],
+      corpus: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "termLookup needs at least one term")
-    index.filter(col("term").isin(terms: _*))
-      .select(explode(col("postings")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === terms.length)
-      .select(col("doc_id"))
+    val rows = index.filter(col("term").isin(terms: _*))
+      .select(col("term"), (col("df") > size(col("postings"))).as("capped"))
+      .collect()
+    val present = rows.map(_.getString(0)).toSet
+    val spark = index.sparkSession
+    import spark.implicits._
+    // a term absent from the index appears in no document: AND of anything
+    // with it is empty
+    if (!terms.forall(present)) return Seq.empty[Long].toDF("doc_id")
+    val (cappedTerms, exactTerms) =
+      terms.partition(t => rows.exists(r => r.getString(0) == t && r.getBoolean(1)))
+    require(cappedTerms.isEmpty || corpus.isDefined,
+      s"terms ${cappedTerms.mkString(", ")} exceed the index's posting cap; " +
+        "pass the corpus frame so they can be verified exactly")
+    val candidates =
+      if (exactTerms.isEmpty)
+        // all queried terms capped: every doc is a candidate (the honest
+        // all-stopword degradation — one corpus scan, flagged by the
+        // require above having demanded the corpus)
+        corpus.get.select(col("doc_id"))
+      else
+        index.filter(col("term").isin(exactTerms: _*))
+          .select(explode(col("postings")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") === exactTerms.length)
+          .select(col("doc_id"))
+    if (cappedTerms.isEmpty) candidates
+    else
+      // exact verify of capped terms on candidate docs only; the join is
+      // candidate-driven so AQE broadcasts the (small) id set
+      candidates.join(corpus.get, "doc_id")
+        .filter(cappedTerms.map(t =>
+          array_contains(tokens(col("text")), t)).reduce(_ && _))
+        .select(col("doc_id"))
   }
 
   /** Gate entry for [[termLookup]]: docs containing BOTH "merge" and
-    * "window", answered via an uncapped [[invertedIndex]] intersection;
-    * the oracle answers the same question with a direct corpus scan.
+    * "window", answered through a CAPPED [[invertedIndex]] (cap 100) with
+    * the corpus frame supplied, so the gate exercises the capped-term
+    * exact-verify path whenever either term's df exceeds the cap at the
+    * gate's scale factor; the oracle answers the same question with a
+    * direct corpus scan.
     */
   def termLookupReport(spark: SparkSession, dir: String): DataFrame =
-    termLookup(invertedIndex(docs(spark, dir), maxPostings = Int.MaxValue),
-      Seq("merge", "window"))
+    termLookup(invertedIndex(docs(spark, dir), maxPostings = 100),
+      Seq("merge", "window"), corpus = Some(docs(spark, dir)))
 }

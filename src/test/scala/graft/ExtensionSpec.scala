@@ -593,6 +593,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits.toList == List(2L, 3L))
   }
 
+  test("termLookup: capped terms verify exactly against the corpus") {
+    import spark.implicits._
+    val df = Seq((3L, "red blue"), (1L, "red green"), (2L, "red blue red"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.invertedIndex(df, maxPostings = 2)
+    // "red" (df=3) is capped to postings [1,2]; doc 3 must still be found
+    // via the match-all-candidate + corpus-verify path
+    val hits = TextAnalysis
+      .termLookup(capped, Seq("red", "blue"), corpus = Some(df))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits.toList == List(2L, 3L))
+    // every queried term capped -> full-candidate degradation, still exact
+    val allCapped = TextAnalysis.invertedIndex(df, maxPostings = 1)
+    val hits2 = TextAnalysis
+      .termLookup(allCapped, Seq("red", "blue"), corpus = Some(df))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits2.toList == List(2L, 3L))
+    // capped term without a corpus is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      TextAnalysis.termLookup(capped, Seq("red", "blue"))
+    }
+    // absent term -> empty (AND with a nowhere-term)
+    assert(TextAnalysis
+      .termLookup(capped, Seq("red", "nope"), corpus = Some(df)).count() == 0L)
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 75).map(i => s"w$i")
