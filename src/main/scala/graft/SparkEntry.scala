@@ -119,11 +119,18 @@ object SparkEntry {
     "x_ann_lsh_indexed"  -> ((s, d) => Similarity.lshIndexedReport(s, d)),
     "x_ann_lsh_append"   -> ((s, d) => Similarity.lshIndexAppendReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
+    "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
+    "x_multimodal_frames" -> Multimodal.frameReport _,
+    // rows-only by construction: recall counts depend on xxhash64-seeded
+    // hyperplane buckets DuckDB cannot reproduce (see knnRecallReport)
+    "x_knn_recall"       -> ((s, d) => Similarity.knnRecallReport(s, d)),
     "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
+    "x_profile_approx"   -> ((s, d) =>
+      graft.ext.profile.Profile.lineitemApproxProfile(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -934,6 +941,10 @@ object SparkEntry {
     "x_ann_lsh_indexed" -> annTopkOracle,
     // persisted IVF index at nProbe = nLists -> equals brute force
     "x_ann_ivf_indexed" -> annTopkOracle,
+    // persisted IVF-PQ index (codes-only, list-partitioned) at full probes
+    // + rerank covering the unsafe pool -> ADC pool contains the true
+    // top-10, exact re-rank equals brute force
+    "x_ann_ivfpq_indexed" -> annTopkOracle,
     // index built from even ids + appended odd-id generation, full-probe
     // query over the union == brute force over the whole corpus
     "x_ann_lsh_append" -> annTopkOracle,
@@ -958,6 +969,21 @@ object SparkEntry {
         |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
         |  count(DISTINCT l_linestatus),
         |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |FROM lineitem""".stripMargin,
+    // HLL++ estimates are engine-specific, so the gate hashes the exact
+    // anchor plus a within-5% boolean (the q20 sketch pattern): the
+    // oracle asserts TRUE, Spark computes |approx-exact|/exact <= 0.05
+    "x_profile_approx" ->
+      """SELECT 'l_orderkey' AS col_name,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  TRUE AS approx_within_5pct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(DISTINCT l_quantity), TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(DISTINCT l_returnflag), TRUE
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(DISTINCT l_linestatus), TRUE
         |FROM lineitem""".stripMargin,
     // integer checksums: associative sums, immune to FP reduction order;
     // floor(x+0.5) is the shared bit-deterministic rounding rule
@@ -1002,6 +1028,28 @@ object SparkEntry {
          |  fp AS checksum, true AS ok
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin,
+    // frame sampling is integer stride math over ASCII payload bytes, so
+    // the oracle reproduces the exact frame windows with substr and the
+    // same polynomial checksum fold as x_multimodal
+    "x_multimodal_frames" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS len
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id, text, len,
+         |    LEAST(4, GREATEST(1, len // 32)) AS n_frames FROM m),
+         |g AS (
+         |  SELECT media_id, text, len,
+         |    GREATEST(1, len // n_frames) AS stride,
+         |    unnest(range(n_frames)) AS i FROM f),
+         |fr AS (
+         |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+         |    substr(text, CAST(i * stride + 1 AS INTEGER),
+         |      CAST(LEAST(32, len - i * stride) AS INTEGER)) AS frame
+         |  FROM g)
+         |SELECT media_id, frame_idx, length(frame) AS frame_bytes,
+         |  ${duckPolyHash("frame")} AS frame_checksum
+         |FROM fr""".stripMargin,
     // one keyed window serves all seven functions; rolling extrema (not
     // sums) keep the gate free of FP reduction-order drift
     "q26_window_suite" ->

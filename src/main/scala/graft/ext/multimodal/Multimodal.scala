@@ -131,6 +131,23 @@ object Multimodal {
     }
   }
 
+  /** Gate entry for [[sampleFrames]]: per-frame byte length plus the
+    * [[StubDecoder]] checksum fold over each frame's bytes. Frame
+    * boundaries and the checksum are integer arithmetic over the payload
+    * (ASCII text bytes in the fixture), so the DuckDB oracle reproduces
+    * the exact frame set with substring windows + the same polynomial
+    * fold — the 1→N explode, stride math, and tail-frame truncation all
+    * get hash-pinned, not just row counts.
+    */
+  def frameReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(spark, dir))
+      .map { f =>
+        val d = StubDecoder.decode(MediaRow(f.media_id, "frame", f.frame))
+        (f.media_id, f.frame_idx, d.n_bytes, d.checksum)
+      }.toDF("media_id", "frame_idx", "frame_bytes", "frame_checksum")
+  }
+
   /** The oracle-checkable query: features of the document-derived media.
     * checksum/width/height are reproducible in SQL because the stub decoder
     * is the same fold as [[graft.functions.PolyHash]].

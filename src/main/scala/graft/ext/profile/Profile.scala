@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  // the stack() expression is built from column names — quote the labels
+  // and backtick the refs so names with spaces/quotes neither break the
+  // parse nor inject into the generated expression
+  private def label(c: String) =
+    "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def ref(c: String) = "`" + c.replace("`", "``") + "`"
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    // the stack() expression is built from column names — quote the labels
-    // and backtick the refs so names with spaces/quotes neither break the
-    // parse nor inject into the generated expression
-    def label(c: String) =
-      "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    def ref(c: String) = "`" + c.replace("`", "``") + "`"
     // two aggregate passes on purpose: counts/distincts have long buffers
     // (HashAggregate over the distinct Expand), while min/max over string
     // columns only run as SortAggregate — kept in their own global
@@ -52,5 +53,37 @@ object Profile {
   /** Gated profile over lineitem's mixed-type columns. */
   def lineitemProfile(spark: SparkSession, dir: String): DataFrame =
     profile(spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+
+  /** The 100 TB profiling shape, gated: `approx_count_distinct` (HLL++,
+    * relative error 0.02) runs in ONE aggregate pass with no Expand
+    * stream — at scale the exact form's per-distinct-aggregate duplicated
+    * streams are the cost that forces the approximation. The report pairs
+    * each estimate with the exact count as a within-5 % boolean, so the
+    * gate PROVES the estimator's accuracy on real columns (including a
+    * high-cardinality key) instead of just documenting the swap; the
+    * exact count anchors the oracle row.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "approxProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"dist_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"apx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"${label(c)}, ${ref(s"dist_$c")}, ${ref(s"apx_$c")}").mkString(", ")
+    wide.select(expr(
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, apx)"))
+      .select(col("col_name"), col("n_distinct"),
+        (abs(col("apx") - col("n_distinct")).cast("double") /
+          col("n_distinct").cast("double") <= 0.05).as("approx_within_5pct"))
+  }
+
+  /** Gated approx profile over the same lineitem columns as
+    * [[lineitemProfile]] (cardinalities from 1-digit to row-count scale).
+    */
+  def lineitemApproxProfile(spark: SparkSession, dir: String): DataFrame =
+    approxProfile(spark.read.parquet(s"$dir/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
 }

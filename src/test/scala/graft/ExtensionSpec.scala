@@ -444,6 +444,42 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.collect().length == 10)
   }
 
+  test("persisted IVF-PQ index: codes-only schema, pruned probes, brute-force equality") {
+    val indexPath = tmpDir("ivfpq_index")
+    val (centroids, cb) =
+      Similarity.writeIvfPqIndex(spark, dir, indexPath, nLists = 16)
+    // the index must NOT carry raw vectors — that's the point of PQ
+    assert(spark.read.parquet(indexPath).columns.sorted.toList ==
+      List("codes", "ivf_list", "vec_id"))
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qVec = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfPqTopKIndexed(spark, indexPath, corpus,
+      centroids, cb, qVec, nProbe = 16, rerank = 400,
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    val probed = Similarity.ivfPqTopKIndexed(spark, indexPath, corpus,
+      centroids, cb, qVec, nProbe = 4, rerank = 100)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+      plan.take(1200))
+    val phys = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.selectedPartitions.partitionCount <= 4,
+      s"pruned=${scan.get.selectedPartitions.partitionCount}")
+    assert(probed.collect().length == 10)
+  }
+
   test("IVF-PQ with full probes equals brute force; pruned probes return k") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -570,6 +606,18 @@ class SimilaritySpec extends SparkSpec {
     val c = df.select(graft.functions.VectorFunctions
       .cosine(col("embedding"), col("embedding")).as("c")).collect().head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("kNN recall report: full radius anchors at 1000, recall grows with radius") {
+    val rows = Similarity.knnRecallReport(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toList == List(0, 1, 2, 4))
+    // radius = nBits probes every bucket -> exact by construction
+    assert(rows.last._2._3 == 1000L, s"full-radius recall ${rows.last._2._3}")
+    // wider probing can only add candidates -> hits monotone in radius
+    assert(rows.map(_._2._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_._2._1).distinct.length == 1, "exact pair count is fixed")
   }
 }
 
