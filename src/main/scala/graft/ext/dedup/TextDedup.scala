@@ -309,13 +309,24 @@ object TextDedup {
       .write.mode("overwrite").parquet(src.toString)
     val out = graft.util.Scratch.dir("graft_ndstream_out").toString
     val stream = spark.readStream.schema(d.schema).parquet(src.toString)
+    // idempotent sink: each micro-batch OVERWRITES its own batchId-named
+    // subdirectory, so a batch replayed after a failure rewrites the same
+    // files instead of double-appending its pairs — the standard
+    // foreachBatch exactly-once recipe for a non-transactional store
     val q = streamingNearDups(stream, d.filter(col("doc_id") % 2 === 0),
-      threshold) { (pairs, _) =>
-      pairs.write.mode("append").parquet(out)
+      threshold) { (pairs, batchId) =>
+      pairs.write.mode("overwrite").parquet(s"$out/b$batchId")
     }
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(out)
+    // explicit schema + recursive lookup: a run that produced zero pairs
+    // has no files to infer from, and the pairs live in per-batch subdirs
+    import org.apache.spark.sql.types._
+    val pairSchema = StructType(Seq(
+      StructField("d_new", LongType), StructField("d_index", LongType),
+      StructField("jaccard", DoubleType)))
+    spark.read.schema(pairSchema)
+      .option("recursiveFileLookup", "true").parquet(out)
   }
 
   def streamingNearDups(deltaStream: DataFrame, index: DataFrame,

@@ -228,9 +228,16 @@ object EventOps {
     spark.readStream.schema(EventsSchema).parquet(stage.toString)
   }
 
+  // drainToMemory temporarily lowers the SESSION-global shuffle-partition
+  // conf; a query planned concurrently on the same session would silently
+  // inherit the low setting. Gates run sequentially today — the lock makes
+  // that assumption enforced rather than incidental by serializing
+  // concurrent drains (the conf mutation window) against each other.
+  private val drainLock = new Object
+
   private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8): DataFrame = drainLock.synchronized {
     import org.apache.spark.sql.streaming.Trigger
     // unique per call + dropped after resolution: gated query functions stay
     // free of session-catalog mutation (the memory sink's rows are captured
@@ -403,23 +410,23 @@ object EventOps {
     * window each trigger: state ∝ all windows ever — a scale-killer as the
     * only exercised mode; this gate closes that gap.)
     *
-    * Deterministic drain without relying on no-data micro-batches: the real
-    * events file stages first (one micro-batch — the initial watermark is
-    * the epoch floor, so nothing is late-dropped), then two far-future
-    * `__flush__` sentinel files in separate later batches
-    * (`maxFilesPerTrigger=1` + explicit mtimes order them). Sentinel 1's
-    * batch advances the watermark past every real window end; sentinel 2's
-    * batch then emits ALL real windows, finalized. The sentinels' own
-    * windows never finalize (their ends exceed the final watermark) and
-    * their rows are filtered from the drained result either way.
+    * Deterministic two-batch drain via the staged sentinel source (see the
+    * staging doc below). The sentinels' own windows never finalize (their
+    * ends exceed the final watermark) and their rows are filtered from
+    * the drained result either way.
     */
   /** Staged file-stream source for append-mode gates: the real events file
-    * (one micro-batch) followed by two far-future `__flush__` sentinel
-    * files in separate later batches (`maxFilesPerTrigger=1` + explicit
-    * mtimes order them). Sentinel 1's batch advances the watermark past
-    * every real window end; sentinel 2's batch then emits all real
-    * windows, finalized — no reliance on no-data micro-batches. Callers
-    * filter `event_type != '__flush__'` from their drained result.
+    * PLUS the first far-future `__flush__` sentinel in micro-batch one,
+    * the second sentinel in micro-batch two (`maxFilesPerTrigger=2` +
+    * explicit mtimes order them). Batch one runs at the epoch-floor
+    * initial watermark either way (nothing is late-dropped) and its END
+    * recomputes the watermark from the sentinel — past every real window
+    * end; batch two then emits ALL real windows/timers, finalized — no
+    * reliance on no-data micro-batches, and one micro-batch cheaper than
+    * staging the first sentinel alone (each batch pays the full
+    * state-store commit/maintenance round, so the drain floor is
+    * batches × store-instance I/O). Callers filter
+    * `event_type != '__flush__'` from their drained result.
     */
   /** Write `df` as ONE parquet file at `stage/name` with the given mtime
     * — the staging primitive for multi-batch file-source gates
@@ -458,7 +465,7 @@ object EventOps {
           stage, name, base + offsetSec * 1000L)
     }
     spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .option("maxFilesPerTrigger", "2").parquet(stage.toString)
   }
 
   def tumblingWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
