@@ -896,6 +896,34 @@ object EventOps {
         col("weather.wind_speed").as("wind_speed"))
   }
 
+  /** S4 through the DataSourceV2 Source API itself: the custom
+    * [[graft.sources.WireSourceProvider]] micro-batch stream replays wire
+    * frames with per-station cadence + lossy-channel drops + malformed
+    * frames + invalid enums, and this gate drives them through the exact
+    * decode → parse → normalize pipeline the Kafka path uses
+    * ([[wireDecode]]) — same offset/partition-reader contract the Kafka
+    * connector implements, no broker required. The frame arithmetic is
+    * small-integer modular math, so the DuckDB oracle reproduces the
+    * surviving row set from `generate_series` alone.
+    */
+  def wireSourceReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val raw = spark.readStream
+      .format(classOf[graft.sources.WireSourceProvider].getName)
+      .option("stations", 40).option("perStation", 50)
+      .option("ticksPerBatch", 25)
+      .load()
+    val archive = graft.core.Normalize.toArchive(graft.core.Normalize
+        .parseWire(graft.streaming.WeatherPipeline.decodeWire(raw)))
+      .select(col("station_id"), col("s_no"), col("battery_status"),
+        date_format(col("status_timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("ts"),
+        col("weather.humidity").as("humidity"),
+        col("weather.temperature").as("temperature"),
+        col("weather.wind_speed").as("wind_speed"))
+    drainToMemory(spark, archive, "wire_source_gate", OutputMode.Append())
+  }
+
   /** Forward as-of with tolerance — "the FIRST reading at-or-after minute
     * 37 of each active hour, but only if it arrives within 30 minutes" —
     * [[graft.operators.AsOfJoin.asOf]] with `forward = true` and
