@@ -66,11 +66,18 @@ object Profile {
     */
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "approxProfile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).as(s"dist_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"apx_$c"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // two aggregate passes ON PURPOSE: the HLL sketches must not ride the
+    // exact pass's Expand stream (4 distinct aggregates expand every row
+    // 5×; updating the sketches on the expanded stream multiplies their
+    // per-row hashing the same way). Separated, the approx pass is the
+    // production shape — ONE clean scan, no Expand — and the exact pass
+    // exists only as the gate's anchor. Both are single-row results, so
+    // the crossJoin is free.
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"dist_$c"))
+    val apxAggs = cols.map(c =>
+      approx_count_distinct(col(c), 0.02).as(s"apx_$c"))
+    val wide = df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(df.agg(apxAggs.head, apxAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"${label(c)}, ${ref(s"dist_$c")}, ${ref(s"apx_$c")}").mkString(", ")
     wide.select(expr(

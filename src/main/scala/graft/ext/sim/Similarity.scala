@@ -701,18 +701,43 @@ object Similarity {
     * `x_knn_join` already proves at full radius).
     */
   def knnRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    val k = 5; val nBits = 4
     val sub = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
-    val exact = knnJoinOf(sub, k = 5, nBits = 4, radius = 4)
-      .select(col("q_id"), col("n_id")).cache()
+    // ONE all-pairs frame annotated with bucket hamming distance serves
+    // every radius: a neighbor is visible at radius r iff
+    // hamming(bucket_q, bucket_n) <= r, so each radius's result is a
+    // filter + top-k over the same cached pairs instead of its own join
+    // (4 joins -> 1 join + 4 O(k)-heap aggregates; the all-pairs join is
+    // the radius=nBits yardstick the report needs anyway)
+    val b = sub.withColumn("bucket",
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"),
+        nBits))
+    val a1 = b.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("bucket").as("q_bucket"))
+    val a2 = b.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("bucket").as("n_bucket"))
+    val pairs = a1.crossJoin(a2).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("n_vec"), col("q_vec")), 6).as("score"),
+        bit_count(col("q_bucket").bitwiseXOR(col("n_bucket"))).as("hamming"))
+      .cache()
+    def topkAt(r: Int) = pairs.filter(col("hamming") <= r)
+      .groupBy(col("q_id"))
+      .agg(top_k_by(struct(col("n_id"), col("score")),
+        struct(negate(col("score")), col("n_id")), k).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("e"))
+      .select(col("q_id"), col("e.n_id").as("n_id"))
+    val exact = topkAt(nBits).cache()
     val nExact = exact.count()
-    val rows = Seq(0, 1, 2, 4).map { r =>
-      val found = knnJoinOf(sub, k = 5, nBits = 4, radius = r)
-        .select(col("q_id"), col("n_id"))
-      val hits = exact.join(found, Seq("q_id", "n_id"), "left_semi").count()
+    val rows = Seq(0, 1, 2, nBits).map { r =>
+      val hits =
+        if (r == nBits) nExact
+        else exact.join(topkAt(r), Seq("q_id", "n_id"), "left_semi").count()
       (r, nExact, hits, if (nExact == 0) 0L else hits * 1000L / nExact)
     }
-    exact.unpersist()
+    exact.unpersist(); pairs.unpersist()
     import spark.implicits._
     rows.toDF("radius", "n_exact_pairs", "n_hits", "recall_permille")
   }
