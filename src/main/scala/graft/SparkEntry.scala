@@ -109,6 +109,9 @@ object SparkEntry {
     "x_split_leakage_safe" -> ((s, d) =>
       graft.ext.corpus.Corpus.leakageSafeSplit(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
+    "x_pack_sequences"   -> ((s, d) => graft.ext.corpus.Corpus.packSequences(s, d)),
+    "x_corpus_mixture"   -> ((s, d) =>
+      graft.ext.corpus.Corpus.temperatureMixture(s, d)),
     "q22_hopping_window" -> Analytics.q22HoppingWindow _,
     "q23_kmv_distinct"   -> ((s, d) => Analytics.q23KmvDistinct(s, d)),
     "x_ann_topk"         -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -611,6 +614,48 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
         |    17, 16)) AS UBIGINT) % 1000000 < thr
         |GROUP BY lang""".stripMargin,
+    // α=0.5 temperature: sqrt and division are correctly-rounded IEEE ops,
+    // so the integer thresholds agree bit-for-bit across engines
+    "x_corpus_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS min_n FROM c),
+        |t AS (SELECT lang, CAST(floor(1000000.0 *
+        |    sqrt(CAST(min_n AS DOUBLE) / CAST(n_lang AS DOUBLE)))
+        |    AS BIGINT) AS thr FROM c, m)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |    17, 16)) AS UBIGINT) % 1000000 < thr
+        |GROUP BY lang""".stripMargin,
+    // sequence packing: same chunk definition as x_text_chunk, same
+    // exclusive-cumsum offset rule as x_shard_pack, at chunk granularity;
+    // overflow = how far the last chunk spills past the 64-token boundary
+    "x_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_id
+        |  FROM toks),
+        |c2 AS (
+        |  SELECT d.source, ch.doc_id, ch.chunk_id,
+        |    least(32, len(ch.t) - ch.chunk_id * 24) AS n_tok
+        |  FROM ch JOIN documents d USING (doc_id)),
+        |o AS (
+        |  SELECT source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM c2)
+        |SELECT source, CAST(floor(off / 64.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+        |  CAST(greatest(0, min(off) + sum(n_tok) -
+        |    (CAST(floor(off / 64.0) AS BIGINT) + 1) * 64) AS BIGINT)
+        |    AS overflow_tokens
+        |FROM o
+        |GROUP BY source, CAST(floor(off / 64.0) AS BIGINT)""".stripMargin,
     // CSV round trip must be value-preserving, so the same oracle applies
     "p_csv_roundtrip" -> latestPerKeyOracle,
     "p_full_scan" ->

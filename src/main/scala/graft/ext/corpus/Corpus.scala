@@ -235,6 +235,75 @@ object Corpus {
     * Returns the per-language report (kept count + id checksum) so the
     * gate pins the exact selection, not just its size.
     */
+  /** Training-sequence packing with overshoot accounting — the
+    * context-window fill step after [[graft.ext.text.TextAnalysis
+    * .chunkTokens]]: chunks pack contiguously per source (doc_id,
+    * chunk_id order) into fixed `seqLen`-token sequences by the same
+    * exclusive-cumsum offset rule as [[packShards]] (`seq_id =
+    * floor(offset / seqLen)` — one window cumsum, no sequential greedy
+    * loop), at chunk granularity. The report carries each sequence's
+    * chunk count, token fill, and `overflow_tokens` — how far its last
+    * chunk spills past the seqLen boundary (≤ one chunk by
+    * construction) — the padding/truncation-waste accounting a training
+    * run reads before deciding chunk size vs context length. Exact
+    * greedy (reset per sequence) is inherently sequential; the offset
+    * rule is the distributed form, and the overflow column quantifies
+    * exactly what that approximation costs.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      seqLen: Long = 64L): DataFrame = {
+    val chunks = graft.ext.text.TextAnalysis.chunkTokens(docs(spark, dir))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks.join(src, "doc_id")
+      .withColumn("offset",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("offset") / lit(seqLen.toDouble)).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).cast("long").as("seq_tokens"),
+        min(col("offset")).as("first_offset"))
+      .select(col("source"), col("seq_id"), col("n_chunks"),
+        col("seq_tokens"),
+        greatest(lit(0L), col("first_offset") + col("seq_tokens") -
+          (col("seq_id") + 1) * seqLen).cast("long").as("overflow_tokens"))
+  }
+
+  /** Temperature-weighted mixture sampling — the pretraining language-mix
+    * knob between "natural" (keep everything) and "uniform"
+    * ([[rebalance]]): language l keeps rate (n_min/n_l)^(1−α). This
+    * operator fixes α = 0.5, so the rate is `sqrt(n_min/n_l)` — chosen
+    * deliberately because IEEE division and square root are both
+    * correctly-rounded operations, making the integer keep-thresholds
+    * bit-identical across engines (a libm `pow` for general α can differ
+    * by an ulp at a threshold boundary and flip a document's fate; the
+    * general-α form is the same code with `pow` and is NOT oracle-gated
+    * for that reason). Selection is the same content-addressed md5 draw
+    * as [[rebalance]]: retry/partition/engine-stable, corpus never
+    * shuffles, thresholds broadcast.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      grain: Long = 1000000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val thresholds = counts
+      .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
+      .select(col("lang"),
+        floor(lit(grain.toDouble) *
+          sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
+          .cast("long").as("thr"))
+    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
+    docs.join(broadcast(thresholds), "lang")
+      .filter(draw < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+  }
+
   def rebalance(spark: SparkSession, dir: String,
       grain: Long = 1000000L): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

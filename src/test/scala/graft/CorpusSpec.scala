@@ -80,6 +80,52 @@ class CorpusSpec extends SparkSpec {
     assert(packed == total)
   }
 
+  test("sequence packing: chunk conservation, overflow bounded by one chunk") {
+    val seqLen = 64L
+    val seqs = Corpus.packSequences(spark, dir, seqLen).collect()
+    assert(seqs.nonEmpty)
+    // every chunk lands in exactly one sequence: token totals must match
+    val chunkTotal = graft.ext.text.TextAnalysis
+      .chunkTokens(spark.read.parquet(s"$dir/documents.parquet"))
+      .agg(sum(col("n_chunk_tokens"))).collect().head.getLong(0)
+    assert(seqs.map(_.getAs[Long]("seq_tokens")).sum == chunkTotal)
+    // overflow is the last chunk's spill: strictly under one chunk size
+    seqs.foreach { r =>
+      val ov = r.getAs[Long]("overflow_tokens")
+      assert(ov >= 0 && ov < graft.ext.text.TextAnalysis.ChunkSize,
+        s"overflow out of bounds: $r")
+    }
+    // a sequence's fill can exceed seqLen only by its overflow
+    seqs.foreach { r =>
+      assert(r.getAs[Long]("seq_tokens") <=
+        seqLen + r.getAs[Long]("overflow_tokens"), s"overfull: $r")
+    }
+  }
+
+  test("temperature mixture sits between natural and uniform mixes") {
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val mix = Corpus.temperatureMixture(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    val uni = Corpus.rebalance(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    counts.foreach { case (lang, n) =>
+      val kept = mix(lang)
+      // expected sqrt-rate target with binomial slack
+      val target = math.sqrt(minN.toDouble / n) * n
+      assert(kept >= target / 2 && kept <= target * 2,
+        s"$lang kept $kept vs sqrt-target $target")
+      // alpha=0.5 keeps at least the uniform mix and at most the corpus
+      assert(kept >= uni(lang) - 2 && kept <= n, s"$lang out of band")
+    }
+    // monotone in size: bigger languages keep MORE than smaller ones
+    // under temperature (unlike uniform, which flattens them)
+    val sorted = counts.toSeq.sortBy(_._2).map { case (l, _) => mix(l) }
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b + 2 })
+  }
+
   test("tfidf top term prefers rare terms over common ones") {
     import spark.implicits._
     val tmp = tmpDir("tfidf")
