@@ -98,6 +98,8 @@ object SparkEntry {
     "x_dedup_clusters_lss" -> ((s, d) => TextDedup.dedupClusters(s, d,
       strategy = TextDedup.CcStrategy.LargeStarSmallStar)),
     "x_decontaminate"    -> ((s, d) => TextDedup.contaminationReport(s, d)),
+    "x_decontaminate_bloom" -> ((s, d) =>
+      TextDedup.contaminationReportBloom(s, d)),
     "x_dedup_incremental" -> ((s, d) => TextDedup.incrementalNearDups(s, d)),
     "x_text_redact"      -> TextAnalysis.redactionReport _,
     "x_text_chunk"       -> TextAnalysis.chunkReport _,
@@ -806,20 +808,10 @@ object SparkEntry {
     "x_dedup_clusters_lss" -> dedupClustersOracle,
     // the oracle joins on raw span strings where Spark joins on xxhash64 —
     // semantically identical barring a 64-bit collision
-    "x_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
-        |    i -> array_to_string(t[i:i+7], ' '))) AS spans
-        |  FROM toks WHERE len(t) >= 8),
-        |bench AS (
-        |  SELECT DISTINCT unnest(spans) AS s FROM sh WHERE doc_id % 10 = 0),
-        |train AS (
-        |  SELECT doc_id, unnest(spans) AS s FROM sh WHERE doc_id % 10 <> 0)
-        |SELECT doc_id, count(*) AS n_shared_spans
-        |FROM train JOIN bench USING (s)
-        |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
+    "x_decontaminate" -> decontaminateOracle,
+    // the bloom prefilter must lose nothing (no false negatives + exact
+    // verify join) -> identical oracle
+    "x_decontaminate_bloom" -> decontaminateOracle,
     "x_text_redact" ->
       """WITH aug AS (
         |  SELECT doc_id, text
@@ -1390,6 +1382,21 @@ object SparkEntry {
     * `(acc*31 + byte) mod 1e9+7` fold as [[graft.functions.PolyHash]]
     * (ASCII inputs: ord(char) == utf-8 byte).
     */
+  private val decontaminateOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+      |    i -> array_to_string(t[i:i+7], ' '))) AS spans
+      |  FROM toks WHERE len(t) >= 8),
+      |bench AS (
+      |  SELECT DISTINCT unnest(spans) AS s FROM sh WHERE doc_id % 10 = 0),
+      |train AS (
+      |  SELECT doc_id, unnest(spans) AS s FROM sh WHERE doc_id % 10 <> 0)
+      |SELECT doc_id, count(*) AS n_shared_spans
+      |FROM train JOIN bench USING (s)
+      |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin
+
   private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(1, length($expr) + 1),

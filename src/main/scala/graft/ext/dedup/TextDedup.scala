@@ -416,6 +416,47 @@ object TextDedup {
       d.filter(col("doc_id") % 10 === 0), n, minShared)
   }
 
+  /** [[contaminatedDocs]] with a Bloom prefilter — the shape that binds
+    * when the corpus is 100 TB and the benchmark suite is megabytes: the
+    * bench span-hash set folds into ONE Bloom bitset (a single tiny
+    * aggregate), the bits ride into a codegen'd
+    * [[graft.functions.BloomFilter.bloom_might_contain]] predicate on the
+    * train side's exploded span hashes, and only the ~fpp survivors enter
+    * the shuffle for the exact equi-join — the full train span stream
+    * never shuffles. Bloom filters have no false negatives and the exact
+    * join removes the false positives, so the output is IDENTICAL to the
+    * exact operator by construction; the gate states that equality
+    * against the same oracle.
+    */
+  def contaminatedDocsBloom(train: DataFrame, bench: DataFrame,
+      n: Int = 8, minShared: Int = 1, numBits: Int = 1 << 22,
+      numHashes: Int = 5): DataFrame = {
+    def spanHashes(df: DataFrame) = shingles(df, n)
+      .select(col("doc_id"), explode(col("shingles")).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+    val benchSpans = spanHashes(bench).select(col("h")).distinct()
+    import graft.functions.BloomFilter._
+    val bytes = benchSpans.agg(bloom_agg(col("h"), numBits, numHashes))
+      .collect()(0).getAs[Array[Byte]](0)
+    spanHashes(train).filter(bloom_might_contain(col("h"), bytes))
+      .join(benchSpans, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
+  }
+
+  /** Gated bloom-prefiltered contamination report — same split and same
+    * oracle as [[contaminationReport]]; green means the prefilter lost
+    * nothing.
+    */
+  def contaminationReportBloom(spark: SparkSession, dir: String,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    val d = docs(spark, dir)
+    contaminatedDocsBloom(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0), n, minShared)
+  }
+
   /** Update-rule strategies for [[connectedComponents]]. */
   sealed trait CcStrategy
   object CcStrategy {

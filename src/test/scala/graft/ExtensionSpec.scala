@@ -210,6 +210,22 @@ class TextDedupSpec extends SparkSpec {
   }
 }
 
+class DecontaminateBloomSpec extends SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("bloom prefilter loses nothing and filters before the shuffle") {
+    val exact = TextDedup.contaminationReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bloomed = TextDedup.contaminationReportBloom(spark, dir)
+    val got = bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(exact), "bloom variant must equal exact")
+    // the bloom predicate must sit in the train-side scan stage, below the
+    // join's exchange — that's the point: non-candidate spans never shuffle
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(1500))
+  }
+}
+
 class TopKBySpec extends SparkSpec {
   import graft.functions.TopKBy.top_k_by
 
