@@ -24,6 +24,43 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** (name, builder) for every SQL-exposed custom expression — the single
+    * source of truth shared by [[register]] (programmatic sessions) and
+    * [[graft.plans.GraftExtensions]] (the `spark.sql.extensions` config
+    * deployment path), so both surfaces always expose the same functions.
+    */
+  private[graft] val sqlFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "polyhash" -> (exprs => graft.functions.PolyHash(exprs.head)),
+    "simhash64" -> (exprs => graft.functions.SimHash64(exprs.head)),
+    "minhash_sig" -> (exprs => {
+      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+      graft.functions.MinHashSig(exprs.head, k)
+    }),
+    "shingle_array" -> (exprs => {
+      val n = exprs(1).eval(null).asInstanceOf[Number].intValue
+      graft.functions.ShingleArray(exprs.head, n)
+    }),
+    "kmv_sketch" -> (exprs => {
+      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+      graft.functions.KmvSketch(exprs.head, k)
+    }),
+    "freq_items" -> (exprs => {
+      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+      graft.functions.FreqItemsSketch(exprs.head, k)
+    }),
+    "bloom_agg" -> (exprs => {
+      val bits = exprs(1).eval(null).asInstanceOf[Number].intValue
+      val hashes = if (exprs.length > 2)
+        exprs(2).eval(null).asInstanceOf[Number].intValue else 5
+      graft.functions.BloomFilterAgg(exprs.head, bits, hashes)
+    }),
+    "zorder_code" -> (exprs => {
+      val bits = exprs(2).eval(null).asInstanceOf[Number].intValue
+      graft.functions.ZOrderCode(exprs.head, exprs(1), bits)
+    }))
+
   /** Register graft's custom expressions in the session's function registry
     * so they're callable from SQL:
     * {{{
@@ -33,42 +70,9 @@ object GraftSession {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("polyhash",
-      exprs => graft.functions.PolyHash(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => graft.functions.SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => {
-        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
-        graft.functions.MinHashSig(exprs.head, k)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_array",
-      exprs => {
-        val n = exprs(1).eval(null).asInstanceOf[Number].intValue
-        graft.functions.ShingleArray(exprs.head, n)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("kmv_sketch",
-      exprs => {
-        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
-        graft.functions.KmvSketch(exprs.head, k)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("freq_items",
-      exprs => {
-        val k = exprs(1).eval(null).asInstanceOf[Number].intValue
-        graft.functions.FreqItemsSketch(exprs.head, k)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("bloom_agg",
-      exprs => {
-        val bits = exprs(1).eval(null).asInstanceOf[Number].intValue
-        val hashes = if (exprs.length > 2)
-          exprs(2).eval(null).asInstanceOf[Number].intValue else 5
-        graft.functions.BloomFilterAgg(exprs.head, bits, hashes)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("zorder_code",
-      exprs => {
-        val bits = exprs(2).eval(null).asInstanceOf[Number].intValue
-        graft.functions.ZOrderCode(exprs.head, exprs(1), bits)
-      }, "scala_udf")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** Install graft's optimizer rules (e.g. the row_number→max_by top-1

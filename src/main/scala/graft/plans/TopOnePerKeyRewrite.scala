@@ -250,5 +250,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => TopOnePerKeyRewrite)
     e.injectOptimizerRule(_ => TopKPerKeyRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // the SQL function surface rides the same config switch: a cluster
+    // that sets spark.sql.extensions gets polyhash/simhash64/... in SQL
+    // without any programmatic GraftSession.register call
+    graft.GraftSession.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The `spark.sql.extensions=graft.plans.GraftExtensions` deployment path:
+  * a session built with only that config must get BOTH the optimizer
+  * rules and the SQL function surface — no programmatic
+  * GraftSession.register/installOptimizations calls.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("config-only deployment wires SQL functions and rewrite rules") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions(instance) exercises the same injector class the
+    // spark.sql.extensions config names — the config path only adds
+    // Spark's own reflective instantiation on top
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      // SQL functions injected: polyhash evaluates to the documented fold
+      val h = s2.sql("SELECT polyhash('abc') AS h").collect().head.getLong(0)
+      val expected = "abc".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      assert(h == expected, s"polyhash('abc') = $h, want $expected")
+      assert(s2.sql("SELECT simhash64(array('a','b')) AS s")
+        .collect().length == 1)
+      // optimizer rules injected: rn=1 window rewrites to max_by
+      val events = s2.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val top1 = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val optimized = top1.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("max_by") && !optimized.contains("row_number"),
+        optimized.take(800))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
