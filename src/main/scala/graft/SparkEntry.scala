@@ -101,6 +101,8 @@ object SparkEntry {
     "x_decontaminate_bloom" -> ((s, d) =>
       TextDedup.contaminationReportBloom(s, d)),
     "x_dedup_incremental" -> ((s, d) => TextDedup.incrementalNearDups(s, d)),
+    "x_dedup_clusters_inc" -> ((s, d) =>
+      TextDedup.dedupClustersIncremental(s, d)),
     "x_text_redact"      -> TextAnalysis.redactionReport _,
     "x_text_chunk"       -> TextAnalysis.chunkReport _,
     "x_text_repetition"  -> TextAnalysis.repetitionSignals _,
@@ -131,6 +133,7 @@ object SparkEntry {
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
+    "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
     // rows-only by construction: recall counts depend on xxhash64-seeded
     // hyperplane buckets DuckDB cannot reproduce (see knnRecallReport)
     "x_knn_recall"       -> ((s, d) => Similarity.knnRecallReport(s, d)),
@@ -806,6 +809,11 @@ object SparkEntry {
     // same component semantics through the O(log n) large-star/small-star
     // edge-rewrite rule — the oracle is identical to x_dedup_clusters
     "x_dedup_clusters_lss" -> dedupClustersOracle,
+    // incremental maintenance must reproduce the full recompute exactly:
+    // star edges of the old clusters carry index-index connectivity, the
+    // banding rule finds delta-delta/delta-index pairs identically, and
+    // components depend only on connectivity -> same oracle again
+    "x_dedup_clusters_inc" -> dedupClustersOracle,
     // the oracle joins on raw span strings where Spark joins on xxhash64 —
     // semantically identical barring a 64-bit collision
     "x_decontaminate" -> decontaminateOracle,
@@ -1089,6 +1097,17 @@ object SparkEntry {
          |  fp AS checksum, true AS ok
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin,
+    // resize keeps every 4th byte; the oracle rebuilds the decimated
+    // payload with substr and hash-pins it with the same checksum fold
+    "x_multimodal_resize" ->
+      s"""WITH r AS (
+         |  SELECT doc_id AS media_id,
+         |    array_to_string(list_transform(range(0, length(text) // 4),
+         |      i -> substr(text, CAST(i * 4 + 1 AS INTEGER), 1)), '') AS rt
+         |  FROM documents)
+         |SELECT media_id, length(rt) AS n_bytes,
+         |  ${duckPolyHash("rt")} AS checksum
+         |FROM r""".stripMargin,
     // frame sampling is integer stride math over ASCII payload bytes, so
     // the oracle reproduces the exact frame windows with substr and the
     // same polynomial checksum fold as x_multimodal

@@ -154,9 +154,15 @@ object TextDedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3): DataFrame =
+    minhashLshPairsOf(docs(spark, dir), threshold, numHashes, bands, n)
+
+  /** [[minhashLshPairs]] over an explicit (doc_id, text) frame. */
+  def minhashLshPairsOf(df: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingles(docs(spark, dir), n).cache()
+    val sh = shingles(df, n).cache()
     val banded = bandKeys(minhashSignatures(sh, numHashes), bands, rows)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
@@ -635,6 +641,61 @@ object TextDedup {
     clusterMemo.computeIfAbsent(key, _ =>
       dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
         .localCheckpoint(true))
+  }
+
+  /** Incremental cluster MAINTENANCE — the step after incremental pair
+    * detection: fold a delta into an existing cluster table without
+    * re-pairing the index against itself. Connectivity is fully carried
+    * by the old table's star edges (cluster_id ↔ member — a spanning
+    * star per component), so components over
+    *
+    *   star(old clusters) ∪ pairs(delta, delta) ∪ pairs(delta, index)
+    *
+    * equal components over the full corpus pair set: every index-index
+    * pair the full recompute would find is already inside some old
+    * component, the banding rule finds delta-delta and delta-index pairs
+    * identically on both paths, and connected components depend only on
+    * connectivity. Cost ∝ |delta|² banding + |old clusters| + the CC
+    * rounds — the corpus itself is touched only through the (already
+    * persisted at 100 TB) prepared index, never re-paired. The gate
+    * states the strong form: hash-equality with the full recompute's
+    * oracle.
+    */
+  def dedupClustersIncrementalOf(index: DataFrame, delta: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
+    val oldLabels = connectedComponents(
+      minhashLshPairsOf(index, threshold, numHashes, bands, n),
+      strategy = strategy)
+    val starEdges = oldLabels
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("label").as("d1"), col("doc_id").as("d2"))
+    val deltaPairs = minhashLshPairsOf(delta, threshold, numHashes, bands, n)
+      .select(col("d1"), col("d2"))
+    val crossPairs = minhashPairsAgainstIndex(delta, index,
+        threshold, numHashes, bands, n)
+      .select(col("d_new").as("d1"), col("d_index").as("d2"))
+    val labels = connectedComponents(
+      starEdges.unionAll(deltaPairs).unionAll(crossPairs),
+      strategy = strategy)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Gated incremental cluster maintenance: index = even doc_ids, delta =
+    * odd (the [[incrementalNearDups]] split); the result must HASH-EQUAL
+    * the full-corpus recompute's oracle.
+    */
+  def dedupClustersIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val d = docs(spark, dir)
+    dedupClustersIncrementalOf(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), threshold)
   }
 
   /** Keep-BEST survivor selection: one row per near-dup cluster naming the

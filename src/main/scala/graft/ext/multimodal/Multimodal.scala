@@ -93,6 +93,22 @@ object Multimodal {
     }
   }
 
+  /** Gate entry for [[resize]]: resized byte count + the [[StubDecoder]]
+    * checksum over the decimated payload. Byte decimation over the ASCII
+    * fixture is `substr` arithmetic, so the DuckDB oracle rebuilds the
+    * exact resized payload and hash-pins the transform (not just its
+    * length).
+    */
+  def resizeReport(spark: SparkSession, dir: String,
+      factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    resize(mediaFromDocuments(spark, dir), factor)
+      .map { r =>
+        val d = StubDecoder.decode(r)
+        (r.media_id, d.n_bytes, d.checksum)
+      }.toDF("media_id", "n_bytes", "checksum")
+  }
+
   /** Build a media table from the documents fixture: text bytes as payload —
     * exercising the exact binary plumbing a real image column would use.
     */
