@@ -140,6 +140,8 @@ object SparkEntry {
     "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
     "x_profile_approx"   -> ((s, d) =>
       graft.ext.profile.Profile.lineitemApproxProfile(s, d)),
+    "x_skew_report"      -> ((s, d) =>
+      graft.ext.profile.Profile.lineitemSkewReport(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -1039,6 +1041,29 @@ object SparkEntry {
         |  count(DISTINCT l_linestatus),
         |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+    // the power-of-two ladder is an integer CASE chain on both sides —
+    // no libm log whose ulp wobble could flip a bucket boundary
+    "x_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |  GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT CASE
+        |    WHEN cnt < 2 THEN 0 WHEN cnt < 4 THEN 1 WHEN cnt < 8 THEN 2
+        |    WHEN cnt < 16 THEN 3 WHEN cnt < 32 THEN 4 WHEN cnt < 64 THEN 5
+        |    WHEN cnt < 128 THEN 6 WHEN cnt < 256 THEN 7
+        |    WHEN cnt < 512 THEN 8 WHEN cnt < 1024 THEN 9
+        |    WHEN cnt < 2048 THEN 10 WHEN cnt < 4096 THEN 11
+        |    WHEN cnt < 8192 THEN 12 WHEN cnt < 16384 THEN 13
+        |    WHEN cnt < 32768 THEN 14 WHEN cnt < 65536 THEN 15
+        |    WHEN cnt < 131072 THEN 16 WHEN cnt < 262144 THEN 17
+        |    WHEN cnt < 524288 THEN 18 WHEN cnt < 1048576 THEN 19
+        |    WHEN cnt < 2097152 THEN 20 ELSE 21 END AS log2_bucket, cnt
+        |  FROM c)
+        |SELECT log2_bucket, count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_key_rows
+        |FROM b GROUP BY log2_bucket""".stripMargin,
     // HLL++ estimates are engine-specific, so the gate hashes the exact
     // anchor plus a within-5% boolean (the q20 sketch pattern): the
     // oracle asserts TRUE, Spark computes |approx-exact|/exact <= 0.05

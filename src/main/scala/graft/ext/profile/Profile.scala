@@ -93,4 +93,31 @@ object Profile {
   def lineitemApproxProfile(spark: SparkSession, dir: String): DataFrame =
     approxProfile(spark.read.parquet(s"$dir/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+
+  /** Key-skew diagnostic — the report you read BEFORE sizing a salted
+    * aggregate or expecting AQE's skew-join to save a shuffle: per-key row
+    * counts bucketed on a power-of-two ladder (how many keys carry 1 row,
+    * 2–3, 4–7, …), plus each bucket's row mass and its hottest key's
+    * count. One map-side-combined aggregate over (key) then a 21-row
+    * reduction — nothing driver-side, nothing ∝ distinct keys beyond the
+    * first aggregate's shuffle. The ladder is an integer CASE chain, not
+    * `floor(log2(...))`: libm logs are not correctly rounded and a
+    * one-ulp wobble at an exact power of two would flip a bucket — the
+    * CASE form is bit-deterministic on every engine.
+    */
+  def skewReport(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val ladder = (1 to 20).foldLeft(when(col("cnt") < 2L, 0)) {
+      case (acc, b) => acc.when(col("cnt") < (1L << (b + 1)), b)
+    }.otherwise(21)
+    counts
+      .select(ladder.as("log2_bucket"), col("cnt"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_key_rows"))
+  }
+
+  /** Gated skew report over the order-lines-per-order distribution. */
+  def lineitemSkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey")
 }

@@ -210,6 +210,39 @@ class TextDedupSpec extends SparkSpec {
   }
 }
 
+class IncrementalClusterSpec extends SparkSpec {
+
+  test("a delta twin joins its index cluster; a smaller delta id relabels it") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val index = Seq(
+      (10L, a), (11L, a),                            // cluster {10, 11}
+      (20L, b), (21L, b)                             // cluster {20, 21}
+    ).toDF("doc_id", "text")
+    // identical text -> identical bands -> the candidate pair is found
+    // deterministically, jaccard 1.0; id 5 < 10 must become the new label
+    val delta = Seq((30L, b), (5L, a)).toDF("doc_id", "text")
+    val merged = TextDedup.dedupClustersIncrementalOf(index, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(5L -> 5L, 10L -> 5L, 11L -> 5L,
+      20L -> 20L, 21L -> 20L, 30L -> 20L), merged.toString)
+  }
+
+  test("incremental maintenance equals the full recompute under a 1/3 split") {
+    // different split shape than the gate (%3, not %2): the index is 2/3
+    // of the corpus, the delta 1/3 — equality must hold regardless
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val inc = TextDedup.dedupClustersIncrementalOf(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val full = TextDedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(inc.sameElements(full))
+  }
+}
+
 class DecontaminateBloomSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
