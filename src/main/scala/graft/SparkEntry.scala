@@ -73,6 +73,8 @@ object SparkEntry {
     "p_stream_join"      -> EventOps.streamStreamJoin _,
     "p_compact_files"    -> EventOps.compactRoundTrip _,
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
+    "p_stream_join_full" -> EventOps.streamStreamJoinFullOuter _,
+    "p_dedup_within_wm"  -> EventOps.dedupWithinWatermarkStream _,
     "p_timeout_offline"  -> EventOps.offlineTimeoutStream _,
     "p_orc_roundtrip"    -> EventOps.orcRoundTrip _,
     "p_latest_tws"       -> EventOps.latestPerKeyTws _,
@@ -406,6 +408,29 @@ object SparkEntry {
       """SELECT user_id AS station_id, event_id AS s_no, event_type,
         |  round(value, 2) AS value
         |FROM events""".stripMargin,
+    // dropDuplicatesWithinWatermark: every replay is either a live-state
+    // hit or late data — both drop, leaving exactly the unique log
+    "p_dedup_within_wm" ->
+      """SELECT user_id AS station_id, event_id AS s_no, event_type,
+        |  round(value, 2) AS value
+        |FROM events""".stripMargin,
+    // FULL outer stream-stream join: unmatched rows on BOTH sides emit
+    // null-padded once the joint watermark finalizes them; the alert-side
+    // filter must live in the subquery (a post-filter would drop the
+    // unmatched context rows whose alert columns are null)
+    "p_stream_join_full" ->
+      """WITH al AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE value > 90),
+        |cx AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT coalesce(a.user_id, c.user_id) AS station_id,
+        |  a.event_id AS alert_sno, c.event_id AS ctx_sno
+        |FROM al a FULL JOIN cx c
+        |  ON c.user_id = a.user_id
+        | AND c.ts >= a.ts - INTERVAL 12 HOUR
+        | AND c.ts < a.ts""".stripMargin,
     // the grid-bucketed interval join must equal the naive inequality join
     // over the same arithmetically-derived incident windows
     "q24_interval_join" ->

@@ -740,6 +740,68 @@ object EventOps {
       .filter(col("station_id") =!= -1L)
   }
 
+  /** Stream-stream FULL OUTER join — the third and last join polarity
+    * ([[streamStreamJoin]] inner, [[streamStreamJoinOuter]] left):
+    * unmatched rows finalize on BOTH sides once the joint watermark
+    * proves no partner can arrive, so every context event without a
+    * following same-station alert ALSO emits null-padded. The sentinel
+    * rows would themselves emit as unmatched on either side (full outer
+    * keeps everything), so the post-drain filter keys on the COALESCED
+    * station id. Oracle = the batch FULL range self-join.
+    */
+  def streamStreamJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val severe = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .filter(col("value") > 90.0 || col("event_type") === "__flush__")
+      .select(col("user_id").as("station_id"),
+        col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
+      .withWatermark("alert_ts", "30 minutes")
+    val context = eventsStreamWithFlush(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("user_id").as("ctx_station"),
+        col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
+      .withWatermark("ctx_ts", "30 minutes")
+    val joined = severe.join(context,
+        col("station_id") === col("ctx_station") &&
+          col("ctx_ts") >= col("alert_ts") - expr("INTERVAL 12 hours") &&
+          col("ctx_ts") < col("alert_ts"),
+        "full_outer")
+      .select(coalesce(col("station_id"), col("ctx_station")).as("station_id"),
+        col("alert_sno"), col("ctx_sno"))
+    drainToMemory(spark, joined, "ss_full_outer_gate", OutputMode.Append())
+      .filter(col("station_id") =!= -1L)
+  }
+
+  /** A8 through `dropDuplicatesWithinWatermark` — the Spark 3.5+ dedup
+    * API for keys that REPEAT with drifting timestamps (retry storms,
+    * producer re-sends with fresh ingest times), where exact-(key, ts)
+    * dedup ([[dedupStream]]) would pass the replay through. State is
+    * keyed on the subset columns ONLY and evicted once the watermark
+    * passes each key's first-seen event time + delay; a replay arriving
+    * inside that window is a state hit, one arriving after it is late
+    * data — both drop, so the staged re-ingests must leave exactly the
+    * unique event log (same oracle as the exact-key gate).
+    */
+  def dedupWithinWatermarkStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = graft.util.Scratch.dir("graft_dedup_wm_src")
+    val base = System.currentTimeMillis()
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    stageParquetFile(raw.unionAll(raw.filter(col("event_id") % 2 === 1)),
+      stage, "batch1.parquet", base)
+    stageParquetFile(raw.filter(col("event_id") % 2 === 0),
+      stage, "batch2.parquet", base + 60000L)
+    val deduped = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("event_type"), round(col("value"), 2).as("value"))
+    drainToMemory(spark, deduped, "dedup_wm_gate", OutputMode.Append())
+  }
+
   /** [[graft.streaming.WindowedStats.offlineAlerts]] gated end to end —
     * the EVENT-TIME TIMER path: every station's timer is armed at its
     * latest ping + 24 h and re-armed by newer pings; the two far-future
