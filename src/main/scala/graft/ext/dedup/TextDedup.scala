@@ -661,23 +661,57 @@ object TextDedup {
     * states the strong form: hash-equality with the full recompute's
     * oracle.
     */
+  /** Near-dup pairs WITHIN a [[PreparedIndex]] (band-key self-join +
+    * exact verify over the prepared shingles) — lets a caller that
+    * already holds the prepared artifact derive intra-index pairs
+    * without recomputing shingles/signatures.
+    */
+  def pairsWithinPrepared(prepared: PreparedIndex,
+      threshold: Double = 0.8): DataFrame = {
+    val a = prepared.bandKeys.as("a"); val b = prepared.bandKeys.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = prepared.shingles.select(col("doc_id").as("d1"),
+      col("shingles").as("sh1"))
+    val s2 = prepared.shingles.select(col("doc_id").as("d2"),
+      col("shingles").as("sh2"))
+    candidates.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   def dedupClustersIncrementalOf(index: DataFrame, delta: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
+    // ONE prepared artifact serves both index-side jobs: the intra-index
+    // pair join and the delta-vs-index cross join — index shingles and
+    // signatures are computed once (in production the prepared index is
+    // the persisted artifact; here it's pinned for the call's lifetime)
+    val prepared = prepareIndex(index, numHashes, bands, n).persist()
     val oldLabels = connectedComponents(
-      minhashLshPairsOf(index, threshold, numHashes, bands, n),
-      strategy = strategy)
+      pairsWithinPrepared(prepared, threshold), strategy = strategy)
     val starEdges = oldLabels
       .filter(col("doc_id") =!= col("label"))
       .select(col("label").as("d1"), col("doc_id").as("d2"))
     val deltaPairs = minhashLshPairsOf(delta, threshold, numHashes, bands, n)
       .select(col("d1"), col("d2"))
-    val crossPairs = minhashPairsAgainstIndex(delta, index,
+    val crossPairs = pairsAgainstIndex(delta, prepared,
         threshold, numHashes, bands, n)
       .select(col("d_new").as("d1"), col("d_index").as("d2"))
+    // connectedComponents iterates eagerly and localCheckpoints its
+    // labels, so by the time it returns nothing downstream references the
+    // prepared frames — safe to release before building the report
     val labels = connectedComponents(
       starEdges.unionAll(deltaPairs).unionAll(crossPairs),
       strategy = strategy)
+    prepared.release()
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
