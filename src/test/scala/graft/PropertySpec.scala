@@ -103,6 +103,75 @@ class PropertySpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("skew ladder CASE chain equals floor(log2) for all counts up to 2^21") {
+    // the operator deliberately avoids libm log2; this proves the integer
+    // ladder IS floor(log2(cnt)) capped at 21, across every boundary
+    val counts = samples(Gen.choose(1L, (1L << 21) + 7), 200) ++
+      (0 to 21).map(b => 1L << b) ++ (1 to 21).map(b => (1L << b) - 1)
+    val df = counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("key", "reps")
+    // build a frame where key i appears reps_i times, then run skewReport
+    val expanded = df.select(col("key"),
+      explode(expr("sequence(1, reps)")).as("x"))
+    val rep = graft.ext.profile.Profile.skewReport(expanded, "key").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    def refBucket(c: Long): Int =
+      math.min(21, (63 - java.lang.Long.numberOfLeadingZeros(c)))
+    val expect = counts.groupBy(refBucket).map { case (b, cs) =>
+      b -> (cs.size.toLong, cs.max) }
+    assert(rep == expect, s"got $rep\nexpect $expect")
+  }
+
+  test("wire source partition slices reassemble the whole frame set exactly") {
+    // the station-range split must partition the survivors: the union of
+    // per-partition reads equals a single-partition read, bit for bit
+    def readAll(parts: Int): Seq[(String, String)] = {
+      val df = spark.readStream
+        .format(classOf[graft.sources.WireSourceProvider].getName)
+        .option("stations", 13).option("perStation", 9)
+        .option("ticksPerBatch", 9).option("numPartitions", parts)
+        .load()
+      val name = s"wire_prop_$parts"
+      val q = df.selectExpr("CAST(key AS STRING) AS k",
+          "CAST(value AS STRING) AS v")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getString(0), r.getString(1)))
+          .toSeq.sorted
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    val one = readAll(1)
+    assert(one.nonEmpty)
+    assert(readAll(5) == one)
+    assert(readAll(13) == one)
+  }
+
+  test("sequence packing conserves chunks and bounds overflow for random corpora") {
+    val docs = samples(for {
+      n <- Gen.choose(0, 120)
+      ws <- Gen.listOfN(n, Gen.identifier.map(_.take(4)))
+    } yield ws.mkString(" "), 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, if (t.trim.isEmpty) "x" else t) }
+    val df = docs.toDF("doc_id", "text").withColumn("source", lit("s"))
+    val chunks = graft.ext.text.TextAnalysis.chunkTokens(df)
+    val total = chunks.agg(sum(col("n_chunk_tokens"))).collect()
+      .head.getLong(0)
+    // packSequences reads documents.parquet via dir; use the Of-shape by
+    // writing a scratch table
+    val dir = tmpDir("pack_prop")
+    df.select("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val seqs = graft.ext.corpus.Corpus.packSequences(spark, dir, seqLen = 48L)
+      .collect()
+    assert(seqs.map(_.getAs[Long]("seq_tokens")).sum == total)
+    seqs.foreach { r =>
+      val ov = r.getAs[Long]("overflow_tokens")
+      assert(ov >= 0 && ov < graft.ext.text.TextAnalysis.ChunkSize)
+      assert(r.getAs[Long]("seq_tokens") <= 48L + ov)
+    }
+  }
+
   test("as-of forward on a reversed timeline equals backward on the original") {
     import graft.operators.AsOfJoin
     // negate every timestamp: at-or-before on t is at-or-after on -t, so
