@@ -47,6 +47,35 @@ class ScaleSpec extends SparkSpec {
       scan.take(600))
   }
 
+  test("mixture sampling broadcasts thresholds; the corpus never shuffles") {
+    val df = graft.ext.corpus.Corpus.temperatureMixture(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    // the only shuffles allowed are the tiny per-language aggregates and
+    // the final report aggregate — never a repartition of the documents
+    // scan itself (the keep-filter is a narrow broadcast-join + filter)
+    val phys = df.queryExecution.executedPlan
+    val exchanges = phys.toString.linesIterator
+      .count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"unexpected corpus shuffle:\n${plan.take(1500)}")
+  }
+
+  test("sequence packing plans ONE exchange (window + grouping share it)") {
+    val df = graft.ext.corpus.Corpus.packSequences(
+      spark, "/root/testdata/sf0.001")
+    // count textually: AdaptiveSparkPlanExec does not expose its input
+    // plan through children, so a collect() sees only the wrapper node
+    val plan = df.queryExecution.executedPlan.toString
+    val nShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    // hash(source) satisfies both the window's partitioning and the
+    // (source, seq_id) grouping, so the plan must not re-exchange
+    assert(nShuffles == 1, s"want 1 shuffle, got $nShuffles:\n" +
+      plan.take(1500))
+  }
+
   test("q5 never broadcasts a fact table (only nation/region dims)") {
     // turn off auto-broadcast so the ONLY BroadcastExchanges left are the
     // explicit hints — then assert those never cover a fact-table scan
