@@ -722,24 +722,29 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(cosine(col("n_vec"), col("q_vec")), 6).as("score"),
         bit_count(col("q_bucket").bitwiseXOR(col("n_bucket"))).as("hamming"))
-      .cache()
-    def topkAt(r: Int) = pairs.filter(col("hamming") <= r)
+    // recall needs no per-radius top-k: candidates at radius r are a
+    // SUBSET of the full set with unchanged scores, so an exact-top-k
+    // pair that is visible (hamming <= r) has fewer than k visible pairs
+    // above it and is ALWAYS in the radius-r top-k. Therefore
+    // hits(r) = |{exact top-k pairs with hamming <= r}| — one top-k with
+    // the hamming column carried through, then four conditional counts
+    // in a single 4-long aggregate row
+    val exact = pairs
       .groupBy(col("q_id"))
-      .agg(top_k_by(struct(col("n_id"), col("score")),
+      .agg(top_k_by(struct(col("n_id"), col("score"), col("hamming")),
         struct(negate(col("score")), col("n_id")), k).as("nn"))
-      .select(col("q_id"), explode(col("nn")).as("e"))
-      .select(col("q_id"), col("e.n_id").as("n_id"))
-    val exact = topkAt(nBits).cache()
-    val nExact = exact.count()
-    val rows = Seq(0, 1, 2, nBits).map { r =>
-      val hits =
-        if (r == nBits) nExact
-        else exact.join(topkAt(r), Seq("q_id", "n_id"), "left_semi").count()
-      (r, nExact, hits, if (nExact == 0) 0L else hits * 1000L / nExact)
-    }
-    exact.unpersist(); pairs.unpersist()
+      .select(explode(col("nn")).as("e"))
+      .select(col("e.hamming").as("hamming"))
+    val radii = Seq(0, 1, 2, nBits)
+    val hitAggs = radii.map(r =>
+      count(when(col("hamming") <= r, 1)).as(s"h$r"))
+    val row = exact.agg(hitAggs.head, hitAggs.tail: _*).collect().head
+    val nExact = row.getLong(radii.length - 1)
     import spark.implicits._
-    rows.toDF("radius", "n_exact_pairs", "n_hits", "recall_permille")
+    radii.zipWithIndex.map { case (r, i) =>
+      val hits = row.getLong(i)
+      (r, nExact, hits, if (nExact == 0) 0L else hits * 1000L / nExact)
+    }.toDF("radius", "n_exact_pairs", "n_hits", "recall_permille")
   }
 
   /** [[knnJoin]] over an explicit (vec_id, embedding) frame. */
