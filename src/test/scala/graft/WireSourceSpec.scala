@@ -40,6 +40,45 @@ class WireSourceSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart resumes from the committed offset, exactly once") {
+    val stations = 8; val per = 40
+    val ck = tmpDir("wire_ck"); val out = tmpDir("wire_out")
+    def start() = {
+      val raw = spark.readStream
+        .format(classOf[graft.sources.WireSourceProvider].getName)
+        .option("stations", stations).option("perStation", per)
+        .option("ticksPerBatch", 10)
+        .load()
+      raw.selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck).format("parquet")
+        .option("path", out).start()
+    }
+    // run until at least one data batch commits, then kill the query —
+    // the restart must resume from the committed offset, not tick zero
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = for {
+      t <- 1L to per.toLong; s <- 1L to stations.toLong
+      if !graft.sources.WireSource.dropped(s, t)
+    } yield (s.toString, graft.sources.WireSource.frameJson(s, t))
+    // exactly once: full set, no duplicates, and the restart actually had
+    // work left to do (the first run was killed mid-replay)
+    assert(rows.length == expected.size, s"${rows.length} vs ${expected.size}")
+    assert(rows.sorted.toSeq == expected.sorted)
+    assert(afterFirst < expected.size.toLong,
+      s"first run already finished ($afterFirst rows) — restart untested")
+  }
+
   test("malformed and invalid-enum frames are dropped by parse/normalize, not the source") {
     // the source must DELIVER the junk frames (transport doesn't validate);
     // the pipeline drops them — count raw vs parsed
