@@ -116,6 +116,7 @@ object SparkEntry {
       graft.ext.corpus.Corpus.leakageSafeSplit(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
     "x_pack_sequences"   -> ((s, d) => graft.ext.corpus.Corpus.packSequences(s, d)),
+    "x_pipeline_e2e"     -> ((s, d) => graft.ext.corpus.Corpus.pipelineReport(s, d)),
     "x_corpus_mixture"   -> ((s, d) =>
       graft.ext.corpus.Corpus.temperatureMixture(s, d)),
     "q22_hopping_window" -> Analytics.q22HoppingWindow _,
@@ -967,6 +968,69 @@ object SparkEntry {
           |  CASE WHEN bucket < 800 THEN 'train'
           |       WHEN bucket < 900 THEN 'dev' ELSE 'test' END AS split
           |FROM b""".stripMargin),
+    // the composed funnel: every stage reuses an already-oracled rule —
+    // quality (x_corpus_prepare), components (nearDupComponentsCte),
+    // 8-gram contamination (x_decontaminate), rep-hash split
+    // (x_split_leakage_safe), sqrt-temperature mixture (x_corpus_mixture)
+    "x_pipeline_e2e" ->
+      (nearDupComponentsCte + ",\n" +
+       s"""corpus AS (
+          |  SELECT doc_id, source, lang, text,
+          |    len(str_split(trim(text), ' ')) AS n_tokens,
+          |    1.0 - len(list_distinct(str_split(trim(text), ' '))) * 1.0
+          |      / len(str_split(trim(text), ' ')) AS dup_ratio
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |q AS (
+          |  SELECT * FROM corpus
+          |  WHERE n_tokens >= 20 AND dup_ratio <= 0.7),
+          |ded AS (
+          |  SELECT q.* FROM q
+          |  LEFT JOIN comp c
+          |    ON q.doc_id = c.doc_id AND c.doc_id <> c.cluster_id
+          |  WHERE c.doc_id IS NULL),
+          |toks8 AS (
+          |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+          |sh8 AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+          |    i -> array_to_string(t[i:i+7], ' '))) AS spans
+          |  FROM toks8 WHERE len(t) >= 8),
+          |bsp AS (
+          |  SELECT DISTINCT unnest(spans) AS s FROM sh8 WHERE doc_id % 10 = 0),
+          |contam AS (
+          |  SELECT DISTINCT tr.doc_id FROM (
+          |    SELECT doc_id, unnest(spans) AS s FROM sh8
+          |    WHERE doc_id % 10 <> 0) tr JOIN bsp USING (s)),
+          |clean AS (
+          |  SELECT d.* FROM ded d
+          |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+          |  WHERE ct.doc_id IS NULL),
+          |sp AS (
+          |  SELECT j.*, CASE WHEN bucket < 800 THEN 'train'
+          |    WHEN bucket < 900 THEN 'dev' ELSE 'test' END AS split
+          |  FROM (
+          |    SELECT cl.doc_id, cl.source, cl.lang, cl.n_tokens,
+          |      ${duckPolyHash(
+               "CAST(coalesce(cm.cluster_id, cl.doc_id) AS VARCHAR)")}
+          |        % 1000 AS bucket
+          |    FROM clean cl LEFT JOIN comp cm ON cl.doc_id = cm.doc_id) j),
+          |tc AS (
+          |  SELECT lang, count(*) AS n_lang FROM sp
+          |  WHERE split = 'train' GROUP BY lang),
+          |th AS (
+          |  SELECT lang, CAST(floor(1000000.0 *
+          |    sqrt(CAST(min_n AS DOUBLE) / n_lang)) AS BIGINT) AS thr
+          |  FROM tc, (SELECT min(n_lang) AS min_n FROM tc) m),
+          |kept AS (
+          |  SELECT sp.split, sp.source, sp.n_tokens
+          |  FROM sp JOIN th USING (lang)
+          |  WHERE sp.split = 'train'
+          |    AND CAST(concat('0x', substring(md5(CAST(sp.doc_id AS VARCHAR)),
+          |      17, 16)) AS UBIGINT) % 1000000 < th.thr
+          |  UNION ALL
+          |  SELECT split, source, n_tokens FROM sp WHERE split <> 'train')
+          |SELECT split, source, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM kept GROUP BY split, source""".stripMargin),
     "x_sample_stratified" ->
       s"""SELECT doc_id, source, bucket FROM (
          |  SELECT doc_id, source,

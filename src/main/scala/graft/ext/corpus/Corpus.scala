@@ -220,6 +220,76 @@ object Corpus {
         .cast("long").as("n_tokens_kept"))
   }
 
+  /** The WHOLE training-data pipeline composed as one job — the user
+    * story every stage-level gate builds toward: held-out benchmark →
+    * quality filter (length + repetition, [[prepare]]'s rules) →
+    * near-dup removal (corpus-wide shared cluster artifact, canonical
+    * survivors only) → benchmark decontamination (bloom-prefiltered
+    * 8-gram span overlap) → leakage-safe split (cluster-representative
+    * hashing) → α=0.5 temperature mixture over the TRAIN split's
+    * language counts — reported as per-(split, source) document and
+    * token accounting. Every stage is the already-gated operator, so
+    * this gate proves the column contracts COMPOSE and the DuckDB
+    * oracle replays the entire funnel end to end.
+    *
+    * Plan shape: one corpus scan with narrow flags, three left joins
+    * against artifacts that are each ∝ true duplication/contamination
+    * (cluster table, contaminated-id set, L thresholds — all
+    * AQE-broadcastable), one final partial aggregate. No stage
+    * re-scans the corpus.
+    */
+  def pipelineReport(spark: SparkSession, dir: String,
+      minTokens: Int = 20, maxDupRatio: Double = 0.7,
+      trainPerMille: Int = 800, devPerMille: Int = 100,
+      grain: Long = 1000000L): DataFrame = {
+    val all = docs(spark, dir)
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val t = tokens(col("text"))
+    val q = corpus
+      .withColumn("n_tokens", size(t))
+      .withColumn("dup_ratio", lit(1.0) -
+        size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .filter(col("n_tokens") >= minTokens && col("dup_ratio") <= maxDupRatio)
+    val clusters = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
+    val nonCanon = clusters.filter(!col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val deduped = q.join(nonCanon, Seq("doc_id"), "left")
+      .filter(col("is_dup").isNull)
+    val contaminated = graft.ext.dedup.TextDedup
+      .contaminatedDocsBloom(deduped, bench)
+      .select(col("doc_id"), lit(true).as("is_contam"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left")
+      .filter(col("is_contam").isNull)
+    val reps = clusters.select(col("doc_id"), col("cluster_id"))
+    val split = clean.join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(poly_hash(col("rep").cast("string")), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + devPerMille, "dev")
+          .otherwise("test"))
+    val train = split.filter(col("split") === "train")
+    val counts = train.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val thresholds = counts
+      .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
+      .select(col("lang"),
+        floor(lit(grain.toDouble) *
+          sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
+          .cast("long").as("thr"))
+    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
+    val sampledTrain = train.join(broadcast(thresholds), "lang")
+      .filter(draw < col("thr"))
+    sampledTrain.select(col("split"), col("source"), col("n_tokens"))
+      .unionAll(split.filter(col("split") =!= "train")
+        .select(col("split"), col("source"), col("n_tokens")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Rebalance the corpus to a uniform per-language mix (the pretraining
     * "don't let English drown everything" knob) by DETERMINISTIC hash
     * sampling: every language downsampled toward the smallest language's
