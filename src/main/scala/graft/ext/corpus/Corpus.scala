@@ -232,11 +232,15 @@ object Corpus {
     * this gate proves the column contracts COMPOSE and the DuckDB
     * oracle replays the entire funnel end to end.
     *
-    * Plan shape: one corpus scan with narrow flags, three left joins
-    * against artifacts that are each ∝ true duplication/contamination
-    * (cluster table, contaminated-id set, L thresholds — all
-    * AQE-broadcastable), one final partial aggregate. No stage
-    * re-scans the corpus.
+    * Plan shape: the quality/dedup/split/mixture chain is ONE corpus scan
+    * with narrow flags plus left joins against artifacts that are each ∝
+    * true duplication/contamination (cluster table, contaminated-id set,
+    * L thresholds — all AQE-broadcastable) and one final partial
+    * aggregate. The decontamination stage necessarily derives spans from
+    * the surviving docs — a second scan of the survivor set (spans are
+    * not a stored column); the cluster table itself comes from the
+    * shared artifact, already computed once per corpus snapshot. The
+    * corpus is never joined against itself.
     */
   def pipelineReport(spark: SparkSession, dir: String,
       minTokens: Int = 20, maxDupRatio: Double = 0.7,
