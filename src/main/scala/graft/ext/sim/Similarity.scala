@@ -15,6 +15,20 @@ import graft.functions.VectorFunctions._
   * At 100 TB the bucketed table is written partitioned by bucket id so a
   * probe is a partition-pruned scan (touching `probes/2^bits` of the data);
   * brute force stays the recall=1.0 yardstick.
+  *
+  * Deliberate omission — graph ANN (HNSW/NSG): best-in-class for
+  * low-latency serving, but its build is a sequential, pointer-chasing,
+  * whole-index-in-RAM algorithm with no natural shuffle/partition
+  * decomposition — on Spark it degenerates to "collect the corpus to one
+  * node", exactly the shape this engine exists to avoid. The Spark-native
+  * billion-scale layout is IVF-PQ ([[writeIvfPqIndex]]): list-partitioned
+  * codes give directory-pruned scans, codebooks/centroids are kilobyte
+  * broadcast artifacts, appends are partition writes, and recall is
+  * dialed by nProbe/rerank. A deployment that needs single-digit-ms graph
+  * serving exports the (Spark-built, Spark-maintained) vectors into an
+  * external HNSW store — the same division of labor as the reference's
+  * Elasticsearch indexing, and the `IndexSink` abstraction here is where
+  * that export plugs in.
   */
 object Similarity {
 
