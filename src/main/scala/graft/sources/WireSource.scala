@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -117,15 +117,36 @@ class WireMicroBatchStream(cfg: WireConfig)
 
   override def initialOffset(): Offset = WireOffset(0L)
 
+  // the per-station cadence is expressed as the source's DEFAULT read
+  // limit (ticksPerBatch ticks × stations rows), the same way the Kafka
+  // connector surfaces maxOffsetsPerTrigger — so an engine-supplied
+  // throttle composes instead of being ignored
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(cfg.ticksPerBatch.toLong * cfg.stations)
+
+  private def ticksFor(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows => math.max(1L, m.maxRows() / cfg.stations)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst {
+        case m: ReadMaxRows => math.max(1L, m.maxRows() / cfg.stations)
+      }.getOrElse(Long.MaxValue)
+    case _: ReadAllAvailable => Long.MaxValue
+    case _ => Long.MaxValue // minRows etc.: no upper bound implied
+  }
+
   // SupportsAdmissionControl form: admission is a pure function of the
-  // start offset — ticksPerBatch ticks per trigger (the per-station
-  // cadence), everything remaining under Trigger.AvailableNow. No mutable
-  // counter, so restart/recovery trivially never regresses.
+  // start offset and the engine's limit. No mutable counter, so
+  // restart/recovery trivially never regresses.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[WireOffset].tick
     val next =
       if (availableNow) cfg.perStation.toLong
-      else math.min(from + cfg.ticksPerBatch, cfg.perStation.toLong)
+      else {
+        val t = ticksFor(limit)
+        val bounded = if (t == Long.MaxValue) cfg.perStation.toLong
+                      else math.min(from + t, cfg.perStation.toLong)
+        bounded
+      }
     WireOffset(math.max(from, next))
   }
 
