@@ -98,4 +98,27 @@ object GraftSession {
     installOptimizations(spark)
     spark
   }
+
+  /** The driver-contract harness session shared by every runnable main
+    * (Verify, VerifySome, Bench, TimeOne): ONE definition of the config
+    * surface, so a targeted VerifySome or TimeOne run is guaranteed to
+    * execute under exactly the session the full Verify/Bench sweeps use —
+    * a config drift here would make targeted re-verification silently
+    * meaningless. `SPARK_GRAFT_CPUS` sizes both the master and the
+    * shuffle-partition count.
+    */
+  def harnessSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    register(spark)
+    installOptimizations(spark)
+    spark
+  }
 }

@@ -9,17 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    // mirror Bench's session exactly (cpus env, function registry,
-    // optimizer rules) so a TimeOne number predicts the Bench number
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // the shared harness session IS Bench's session, so a TimeOne number
+    // predicts the Bench number by construction
+    val spark = GraftSession.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
-    GraftSession.register(spark)
-    GraftSession.installOptimizations(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { name =>
       SparkEntry.queries(name)(spark, dir).count()

@@ -12,6 +12,28 @@ import graft.functions.PolyHash.poly_hash
   */
 object Corpus {
 
+  /** Portable content-addressed sampling draw shared by every mixture
+    * operator: the low 8 bytes of md5(doc_id), read as an unsigned
+    * big-endian integer modulo `grain` — bit-identical in DuckDB
+    * (`CAST(concat('0x', substring(md5(..), 17, 16)) AS UBIGINT)`), so
+    * the exact kept set is oracle-checkable.
+    */
+  private def md5Draw(grain: Long) =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
+
+  /** α=0.5 temperature keep-thresholds per language:
+    * floor(grain · sqrt(min_n / n_lang)) over a (lang, n_lang) counts
+    * frame — sqrt and division are correctly-rounded IEEE ops, so the
+    * integer thresholds agree bit-for-bit across engines.
+    */
+  private def sqrtThresholds(counts: DataFrame, grain: Long): DataFrame =
+    counts.crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
+      .select(col("lang"),
+        floor(lit(grain.toDouble) *
+          sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
+          .cast("long").as("thr"))
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -276,16 +298,9 @@ object Corpus {
           .otherwise("test"))
     val train = split.filter(col("split") === "train")
     val counts = train.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val thresholds = counts
-      .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
-      .select(col("lang"),
-        floor(lit(grain.toDouble) *
-          sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
-          .cast("long").as("thr"))
-    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
-    val sampledTrain = train.join(broadcast(thresholds), "lang")
-      .filter(draw < col("thr"))
+    val sampledTrain = train.join(broadcast(sqrtThresholds(counts, grain)),
+        "lang")
+      .filter(md5Draw(grain) < col("thr"))
     sampledTrain.select(col("split"), col("source"), col("n_tokens"))
       .unionAll(split.filter(col("split") =!= "train")
         .select(col("split"), col("source"), col("n_tokens")))
@@ -294,21 +309,6 @@ object Corpus {
         sum(col("n_tokens")).cast("long").as("n_tokens"))
   }
 
-  /** Rebalance the corpus to a uniform per-language mix (the pretraining
-    * "don't let English drown everything" knob) by DETERMINISTIC hash
-    * sampling: every language downsampled toward the smallest language's
-    * count — document kept iff a portable 64-bit MD5 draw (low 8 bytes of
-    * md5(doc_id), big-endian, modulo `grain`) falls below the language's
-    * integer threshold floor(min_n · grain / n_lang). Content-addressed
-    * selection is retry/partition/ENGINE stable (the DuckDB oracle
-    * reproduces the exact kept set — both sides integer arithmetic, no FP
-    * thresholds), unlike `df.sample`. At 100 TB: one tiny aggregate for
-    * the per-language counts, a broadcast of L thresholds, and a narrow
-    * filter — the corpus itself never shuffles. Kept counts concentrate
-    * at min_n ± O(sqrt) per language (threshold granularity 1/grain).
-    * Returns the per-language report (kept count + id checksum) so the
-    * gate pins the exact selection, not just its size.
-    */
   /** Training-sequence packing with overshoot accounting — the
     * context-window fill step after [[graft.ext.text.TextAnalysis
     * .chunkTokens]]: chunks pack contiguously per source (doc_id,
@@ -364,20 +364,27 @@ object Corpus {
       grain: Long = 1000000L): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val thresholds = counts
-      .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
-      .select(col("lang"),
-        floor(lit(grain.toDouble) *
-          sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
-          .cast("long").as("thr"))
-    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
-    docs.join(broadcast(thresholds), "lang")
-      .filter(draw < col("thr"))
+    docs.join(broadcast(sqrtThresholds(counts, grain)), "lang")
+      .filter(md5Draw(grain) < col("thr"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** Rebalance the corpus to a uniform per-language mix (the pretraining
+    * "don't let English drown everything" knob) by DETERMINISTIC hash
+    * sampling: every language downsampled toward the smallest language's
+    * count — document kept iff a portable 64-bit MD5 draw (low 8 bytes of
+    * md5(doc_id), big-endian, modulo `grain`) falls below the language's
+    * integer threshold floor(min_n · grain / n_lang). Content-addressed
+    * selection is retry/partition/ENGINE stable (the DuckDB oracle
+    * reproduces the exact kept set — both sides integer arithmetic, no FP
+    * thresholds), unlike `df.sample`. At 100 TB: one tiny aggregate for
+    * the per-language counts, a broadcast of L thresholds, and a narrow
+    * filter — the corpus itself never shuffles. Kept counts concentrate
+    * at min_n ± O(sqrt) per language (threshold granularity 1/grain).
+    * Returns the per-language report (kept count + id checksum) so the
+    * gate pins the exact selection, not just its size.
+    */
   def rebalance(spark: SparkSession, dir: String,
       grain: Long = 1000000L): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -386,10 +393,8 @@ object Corpus {
       .crossJoin(counts.agg(min(col("n_lang")).as("min_n")))
       .select(col("lang"),
         expr(s"CAST(min_n * $grain DIV n_lang AS BIGINT)").as("thr"))
-    val draw = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-      s"17, 16), 16, 10) AS DECIMAL(20,0)) % $grain")
     docs.join(broadcast(thresholds), "lang")
-      .filter(draw < col("thr"))
+      .filter(md5Draw(grain) < col("thr"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
   }

@@ -157,29 +157,17 @@ object TextDedup {
       n: Int = 3): DataFrame =
     minhashLshPairsOf(docs(spark, dir), threshold, numHashes, bands, n)
 
-  /** [[minhashLshPairs]] over an explicit (doc_id, text) frame. */
+  /** [[minhashLshPairs]] over an explicit (doc_id, text) frame — built as
+    * [[prepareIndex]] + [[pairsWithinPrepared]], so the band-join and
+    * exact-verify logic exists in exactly one place. The shingle table is
+    * cached here because it feeds the band keys AND both verify sides.
+    */
   def minhashLshPairsOf(df: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
-    val rows = numHashes / bands
-    val sh = shingles(df, n).cache()
-    val banded = bandKeys(minhashSignatures(sh, numHashes), bands, rows)
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    // exact verify: intersect shingle sets of candidate pairs only
-    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
-    candidates.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"), 3)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "jaccard")
+    val prepared = prepareIndex(df, numHashes, bands, n)
+    prepared.shingles.cache()
+    pairsWithinPrepared(prepared, threshold)
   }
 
   /** Exact duplicated-span detection: n-token shingles occurring in ≥ 2
@@ -631,36 +619,33 @@ object TextDedup {
     * corpus snapshot to scratch storage and reading it from every
     * consumer — same artifact, durable instead of in-memory. Keyed by
     * application id + all semantic parameters, so distinct sessions,
-    * corpora, or thresholds never share.
+    * corpora, or thresholds never share. The memo's footprint is one tiny
+    * checkpointed table per (corpus, params) the process touches — a
+    * handful for a driver session; a long-lived multi-tenant service
+    * would use the scratch-parquet form with TTL eviction instead.
     */
   def dedupClustersShared(spark: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
     val key = Seq(spark.sparkContext.applicationId, dir, threshold,
       numHashes, bands, n, strategy).mkString("|")
-    clusterMemo.computeIfAbsent(key, _ =>
-      dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
-        .localCheckpoint(true))
+    // get + putIfAbsent rather than computeIfAbsent: the cluster build is
+    // a minutes-scale multi-stage Spark job, and computeIfAbsent would
+    // run it under the map's bin lock, stalling any concurrent caller
+    // whose key hashes to the same bin. The rare racing duplicate
+    // computation is benign (both sides produce the same table; the
+    // loser's checkpoint blocks are garbage-collected with its frame).
+    val cached = clusterMemo.get(key)
+    if (cached != null) cached
+    else {
+      val computed =
+        dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
+          .localCheckpoint(true)
+      val prev = clusterMemo.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
   }
 
-  /** Incremental cluster MAINTENANCE — the step after incremental pair
-    * detection: fold a delta into an existing cluster table without
-    * re-pairing the index against itself. Connectivity is fully carried
-    * by the old table's star edges (cluster_id ↔ member — a spanning
-    * star per component), so components over
-    *
-    *   star(old clusters) ∪ pairs(delta, delta) ∪ pairs(delta, index)
-    *
-    * equal components over the full corpus pair set: every index-index
-    * pair the full recompute would find is already inside some old
-    * component, the banding rule finds delta-delta and delta-index pairs
-    * identically on both paths, and connected components depend only on
-    * connectivity. Cost ∝ |delta|² banding + |old clusters| + the CC
-    * rounds — the corpus itself is touched only through the (already
-    * persisted at 100 TB) prepared index, never re-paired. The gate
-    * states the strong form: hash-equality with the full recompute's
-    * oracle.
-    */
   /** Near-dup pairs WITHIN a [[PreparedIndex]] (band-key self-join +
     * exact verify over the prepared shingles) — lets a caller that
     * already holds the prepared artifact derive intra-index pairs
@@ -687,6 +672,24 @@ object TextDedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Incremental cluster MAINTENANCE — the step after incremental pair
+    * detection: fold a delta into an existing cluster table without
+    * re-pairing the index against itself. Connectivity is fully carried
+    * by the old table's star edges (cluster_id ↔ member — a spanning
+    * star per component), so components over
+    *
+    *   star(old clusters) ∪ pairs(delta, delta) ∪ pairs(delta, index)
+    *
+    * equal components over the full corpus pair set: every index-index
+    * pair the full recompute would find is already inside some old
+    * component, the banding rule finds delta-delta and delta-index pairs
+    * identically on both paths, and connected components depend only on
+    * connectivity. Cost ∝ |delta|² banding + |old clusters| + the CC
+    * rounds — the corpus itself is touched only through the (already
+    * persisted at 100 TB) prepared index, never re-paired. The gate
+    * states the strong form: hash-equality with the full recompute's
+    * oracle.
+    */
   def dedupClustersIncrementalOf(index: DataFrame, delta: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {

@@ -252,9 +252,13 @@ object TextAnalysis {
     * silently under-returning. The per-term cap check collects ≤ |terms|
     * index rows to the driver — bounded by the query, not the data.
     */
-  def termLookup(index: DataFrame, terms: Seq[String],
+  def termLookup(index: DataFrame, rawTerms: Seq[String],
       corpus: Option[DataFrame] = None): DataFrame = {
-    require(terms.nonEmpty, "termLookup needs at least one term")
+    require(rawTerms.nonEmpty, "termLookup needs at least one term")
+    // dedup the query: a repeated term would inflate the required hit
+    // count past what any document can reach (AND of a term with itself
+    // is the term)
+    val terms = rawTerms.distinct
     val rows = index.filter(col("term").isin(terms: _*))
       .select(col("term"), (col("df") > size(col("postings"))).as("capped"))
       .collect()

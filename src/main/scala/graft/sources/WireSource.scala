@@ -111,9 +111,12 @@ case class WireOffset(tick: Long) extends Offset {
 class WireMicroBatchStream(cfg: WireConfig)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  @volatile private var availableNow = false
-
-  override def prepareForTriggerAvailableNow(): Unit = { availableNow = true }
+  // AvailableNow freezes the replay target (already static here: the full
+  // perStation range). Admission stays limit-paced in that mode too — the
+  // wrapper keeps triggering until the target is reached, exactly how the
+  // Kafka connector honors maxOffsetsPerTrigger under AvailableNow —
+  // rather than collapsing the remainder into one unbounded batch.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): Offset = WireOffset(0L)
 
@@ -139,14 +142,9 @@ class WireMicroBatchStream(cfg: WireConfig)
   // restart/recovery trivially never regresses.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[WireOffset].tick
-    val next =
-      if (availableNow) cfg.perStation.toLong
-      else {
-        val t = ticksFor(limit)
-        val bounded = if (t == Long.MaxValue) cfg.perStation.toLong
-                      else math.min(from + t, cfg.perStation.toLong)
-        bounded
-      }
+    val t = ticksFor(limit)
+    val next = if (t == Long.MaxValue) cfg.perStation.toLong
+               else math.min(from + t, cfg.perStation.toLong)
     WireOffset(math.max(from, next))
   }
 

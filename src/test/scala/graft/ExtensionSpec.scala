@@ -714,6 +714,12 @@ class TextAnalysisSpec extends SparkSpec {
     // absent term -> empty (AND with a nowhere-term)
     assert(TextAnalysis
       .termLookup(capped, Seq("red", "nope"), corpus = Some(df)).count() == 0L)
+    // repeated query terms must not inflate the required hit count
+    val dup = TextAnalysis
+      .termLookup(TextAnalysis.invertedIndex(df, maxPostings = 100),
+        Seq("red", "red", "blue"))
+      .collect().map(_.getLong(0)).sorted
+    assert(dup.toList == List(2L, 3L))
   }
 
   test("chunking covers every token with the declared overlap") {
