@@ -47,6 +47,46 @@ class ScaleSpec extends SparkSpec {
       scan.take(600))
   }
 
+  test("no batch gate plans a CartesianProduct") {
+    // sweeping plan-smell guard: an accidental unconditioned join in any
+    // refactor shows up here before it ships. Streaming gates (which
+    // execute on construction) and the deliberate all-pairs yardsticks
+    // (x_knn_*: full-radius IS the cartesian problem) are out of scope;
+    // broadcast-1-row query frames plan as BroadcastNestedLoopJoin,
+    // which is fine and not matched.
+    val dir = "/root/testdata/sf0.001"
+    val batchGates = Seq(
+      "q1_pricing_summary", "q3_top_orders", "q4_segment_stats",
+      "q5_revenue_nation", "q6_supplier_rank", "q6_rank_topk_agg",
+      "q7_brand_parts", "q8_exists_semi", "q9_anti_join", "q10_set_ops",
+      "q11_scalar_subq", "q12_tumbling_window", "q13_rollup", "q14_pivot",
+      "q15_percentiles", "q15_percentiles_approx", "q16_session_window",
+      "q17_top_terms", "q18_string_funcs", "q19_correlated",
+      "q20_sketch_distinct", "q21_except", "q22_hopping_window",
+      "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
+      "q25_freq_items", "q26_window_suite",
+      "p_json_parse", "p_filter_alert", "p_normalize", "p_latest_per_key",
+      "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
+      "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
+      "p_asof_forward", "p_merge_upsert", "p_cdc_apply",
+      "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
+      "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
+      "x_text_tokens", "x_text_quality", "x_text_langid",
+      "x_text_fingerprint", "x_text_redact", "x_text_chunk",
+      "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
+      "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
+      "x_corpus_mixture", "x_corpus_rebalance", "x_embed_stats",
+      "x_embed_quantize", "x_embed_neardup", "x_profile",
+      "x_profile_approx", "x_skew_report", "x_tfidf_top",
+      "x_multimodal", "x_multimodal_frames", "x_multimodal_resize")
+    val offenders = batchGates.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("mixture sampling broadcasts thresholds; the corpus never shuffles") {
     val df = graft.ext.corpus.Corpus.temperatureMixture(
       spark, "/root/testdata/sf0.001")
