@@ -130,6 +130,7 @@ object SparkEntry {
     "x_ann_lsh_indexed"  -> ((s, d) => Similarity.lshIndexedReport(s, d)),
     "x_ann_lsh_append"   -> ((s, d) => Similarity.lshIndexAppendReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
+    "x_ann_ivf_append"   -> ((s, d) => Similarity.ivfIndexAppendReport(s, d)),
     "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
@@ -1101,6 +1102,9 @@ object SparkEntry {
     "x_ann_lsh_indexed" -> annTopkOracle,
     // persisted IVF index at nProbe = nLists -> equals brute force
     "x_ann_ivf_indexed" -> annTopkOracle,
+    // index built from even ids + appended odd-id generation under the
+    // SAME centroids, full-probe query over the union == brute force
+    "x_ann_ivf_append" -> annTopkOracle,
     // persisted IVF-PQ index (codes-only, list-partitioned) at full probes
     // + rerank covering the unsafe pool -> ADC pool contains the true
     // top-10, exact re-rank equals brute force

@@ -388,6 +388,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Append a delta of vectors to an existing [[writeIvfIndex]] index
+    * using the RESIDENT centroids — the IVF maintenance invariant: new
+    * vectors are assigned into the existing list partitioning (append
+    * mode lands them as new files inside the same list directories), the
+    * quantizer is NOT refit per delta (refitting would re-assign the
+    * resident corpus — a full rewrite; production refreshes centroids on
+    * a slow cadence with an explicit rebuild). Probes keep
+    * directory-pruning over old and new generations alike.
+    */
+  def appendIvfIndex(df: DataFrame, indexPath: String,
+      centroids: Array[Array[Double]]): Unit =
+    df.withColumn("ivf_list",
+        graft.functions.NearestCentroid.nearest_centroid(col("embedding"),
+          centroids))
+      .repartition(col("ivf_list"))
+      .write.mode("append")
+      .partitionBy("ivf_list").parquet(indexPath)
+
+  /** Gate for IVF incremental maintenance (the [[lshIndexAppendReport]]
+    * twin): centroids fit once, index built from the EVEN vec_ids, odd
+    * ids appended as a delta under the same centroids; a full-probe
+    * query over the union must equal brute force over the whole corpus.
+    */
+  def ivfIndexAppendReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_ivf_index_inc").toString
+    val e = emb(spark, dir)
+    val centroids = ivfFitCentroids(spark, dir, k = 16)
+    appendIvfIndex(e.filter(col("vec_id") % 2 === 0), indexPath, centroids)
+    appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), indexPath, centroids)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    ivfTopKIndexed(spark, indexPath, centroids, qVec, nProbe = 16,
+      excludeVecId = Some(0L))
+  }
+
   /** Gated indexed-IVF report: full-probe config ≡ brute force. */
   def ivfIndexedReport(spark: SparkSession, dir: String): DataFrame = {
     val indexPath = graft.util.Scratch.dir("graft_ivf_index").toString
