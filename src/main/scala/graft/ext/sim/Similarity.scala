@@ -599,8 +599,14 @@ object Similarity {
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val centroids = ivfFitCentroids(spark, dir, nLists)
     val cb = pqFitCodebooks(spark, dir, m, codes)
+    require(codes <= 128, s"tinyint code storage needs codes <= 128, got $codes")
+    // store codes as tinyint: PQ's whole point is byte codes, and the
+    // int-array form would quadruple the index's scan bytes (code values
+    // are < `codes` <= 128 by construction, so the cast is lossless; the
+    // ADC lookup arithmetic widens back to int transparently)
     pqEncodeDf(ivfAssign(spark, dir, centroids), cb)
-      .select(col("vec_id"), col("codes"), col("ivf_list"))
+      .select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"),
+        col("ivf_list"))
       .repartition(col("ivf_list"))
       .write.mode("overwrite").partitionBy("ivf_list").parquet(indexPath)
     (centroids, cb)
