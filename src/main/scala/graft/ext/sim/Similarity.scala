@@ -265,8 +265,16 @@ object Similarity {
     * typically √n and the sample covers it.
     */
   def ivfFitCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 8, sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] =
+    ivfFitCentroidsOf(emb(spark, dir), k, iters, sampleSize, seed)
+
+  /** [[ivfFitCentroids]] over an explicit (vec_id, embedding) frame —
+    * lets maintenance scenarios fit the quantizer on the RESIDENT corpus
+    * only, before any delta exists.
+    */
+  def ivfFitCentroidsOf(df: DataFrame, k: Int = 16,
       iters: Int = 8, sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = boundedSample(spark, dir, sampleSize, seed)
+    val sample = boundedSampleOf(df, sampleSize, seed)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     lloyd(sample, k, iters)
   }
@@ -276,8 +284,11 @@ object Similarity {
     */
   private def boundedSample(spark: SparkSession, dir: String,
       sampleSize: Int, seed: Long): Array[Array[Double]] =
-    emb(spark, dir)
-      .select(col("embedding")).orderBy(xxhash64(col("vec_id"), lit(seed)))
+    boundedSampleOf(emb(spark, dir), sampleSize, seed)
+
+  private def boundedSampleOf(df: DataFrame,
+      sampleSize: Int, seed: Long): Array[Array[Double]] =
+    df.select(col("embedding")).orderBy(xxhash64(col("vec_id"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
@@ -318,7 +329,14 @@ object Similarity {
     */
   def ivfAssign(spark: SparkSession, dir: String,
       centroids: Array[Array[Double]]): DataFrame =
-    emb(spark, dir).withColumn("ivf_list",
+    ivfAssignOf(emb(spark, dir), centroids)
+
+  /** [[ivfAssign]] over an explicit frame — the single definition of the
+    * assignment expression, shared by the build and append write paths.
+    */
+  def ivfAssignOf(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("ivf_list",
       graft.functions.NearestCentroid.nearest_centroid(col("embedding"), centroids))
 
   /** IVF top-k: search only the `nProbe` lists nearest to the query vector.
@@ -399,9 +417,7 @@ object Similarity {
     */
   def appendIvfIndex(df: DataFrame, indexPath: String,
       centroids: Array[Array[Double]]): Unit =
-    df.withColumn("ivf_list",
-        graft.functions.NearestCentroid.nearest_centroid(col("embedding"),
-          centroids))
+    ivfAssignOf(df, centroids)
       .repartition(col("ivf_list"))
       .write.mode("append")
       .partitionBy("ivf_list").parquet(indexPath)
@@ -414,7 +430,11 @@ object Similarity {
   def ivfIndexAppendReport(spark: SparkSession, dir: String): DataFrame = {
     val indexPath = graft.util.Scratch.dir("graft_ivf_index_inc").toString
     val e = emb(spark, dir)
-    val centroids = ivfFitCentroids(spark, dir, k = 16)
+    // fit on the RESIDENT (even) half only: the quantizer must never have
+    // seen the delta, or the gate wouldn't exercise stale-centroid
+    // assignment (full-probe correctness is partition-independent, so the
+    // oracle equality is unaffected — that's what makes this honest)
+    val centroids = ivfFitCentroidsOf(e.filter(col("vec_id") % 2 === 0), k = 16)
     appendIvfIndex(e.filter(col("vec_id") % 2 === 0), indexPath, centroids)
     appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0), indexPath, centroids)
     val qVec = e.filter(col("vec_id") === 0L)
@@ -597,9 +617,9 @@ object Similarity {
   def writeIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
       nLists: Int = 16, m: Int = 16, codes: Int = 128)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(codes <= 128, s"tinyint code storage needs codes <= 128, got $codes")
     val centroids = ivfFitCentroids(spark, dir, nLists)
     val cb = pqFitCodebooks(spark, dir, m, codes)
-    require(codes <= 128, s"tinyint code storage needs codes <= 128, got $codes")
     // store codes as tinyint: PQ's whole point is byte codes, and the
     // int-array form would quadruple the index's scan bytes (code values
     // are < `codes` <= 128 by construction, so the cast is lossless; the

@@ -493,6 +493,43 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.collect().length == 10)
   }
 
+  test("appended IVF index: mixed generations still prune and answer reduced probes") {
+    val indexPath = tmpDir("ivf_index_gen")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // resident-only centroid fit, two append generations (the maintenance
+    // layout: each list directory holds files from both writes)
+    val centroids = Similarity.ivfFitCentroidsOf(
+      e.filter(col("vec_id") % 2 === 0), k = 16)
+    Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      indexPath, centroids)
+    Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 =!= 0),
+      indexPath, centroids)
+    val qVec = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    // full probe over the union == brute force (both generations read)
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfTopKIndexed(spark, indexPath, centroids, qVec,
+      nProbe = 16, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    // reduced probe still directory-prunes across the mixed generations
+    val probed = Similarity.ivfTopKIndexed(spark, indexPath, centroids,
+      qVec, nProbe = 4)
+    val phys = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.selectedPartitions.partitionCount <= 4,
+      s"pruned=${scan.get.selectedPartitions.partitionCount}")
+    assert(probed.collect().length == 10)
+  }
+
   test("persisted IVF-PQ index: codes-only schema, pruned probes, brute-force equality") {
     val indexPath = tmpDir("ivfpq_index")
     val (centroids, cb) =
