@@ -684,11 +684,17 @@ object TextDedup {
     * pair the full recompute would find is already inside some old
     * component, the banding rule finds delta-delta and delta-index pairs
     * identically on both paths, and connected components depend only on
-    * connectivity. Cost ∝ |delta|² banding + |old clusters| + the CC
-    * rounds — the corpus itself is touched only through the (already
-    * persisted at 100 TB) prepared index, never re-paired. The gate
-    * states the strong form: hash-equality with the full recompute's
-    * oracle.
+    * connectivity. Refinement: only components REACHED by a cross pair
+    * can change (deltas bridge into the old graph solely through cross
+    * pairs' index endpoints), so the second CC runs over affected star
+    * edges + new pairs and every untouched component's labels pass
+    * through verbatim. Cost ∝ |delta| banding + |touched clusters| +
+    * the CC rounds over that subgraph — the corpus itself is touched
+    * only through the (already persisted at 100 TB) prepared index,
+    * never re-paired, and accumulated duplication the delta doesn't
+    * touch is never re-clustered. The gate states the strong form:
+    * hash-equality with the full recompute's oracle, under a 50 % delta
+    * that touches most components (the worst case).
     */
   def dedupClustersIncrementalOf(index: DataFrame, delta: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
@@ -700,21 +706,39 @@ object TextDedup {
     val prepared = prepareIndex(index, numHashes, bands, n).persist()
     val oldLabels = connectedComponents(
       pairsWithinPrepared(prepared, threshold), strategy = strategy)
-    val starEdges = oldLabels
-      .filter(col("doc_id") =!= col("label"))
-      .select(col("label").as("d1"), col("doc_id").as("d2"))
+      .localCheckpoint(true)
     val deltaPairs = minhashLshPairsOf(delta, threshold, numHashes, bands, n)
       .select(col("d1"), col("d2"))
     val crossPairs = pairsAgainstIndex(delta, prepared,
         threshold, numHashes, bands, n)
       .select(col("d_new").as("d1"), col("d_index").as("d2"))
+      .localCheckpoint(true)
+    // only components the delta actually TOUCHES get re-clustered: the
+    // delta can reach an old component solely through a cross pair's
+    // index endpoint, so components without one are provably unmergeable
+    // — their labels pass through untouched and the second CC runs over
+    // affected star edges + new pairs only. At a nightly-delta scale
+    // that's re-clustering ∝ touched duplication, not ∝ every cluster
+    // the corpus has ever accumulated. (The gate's 50 % delta touches
+    // most components — the worst case — and must still hash-equal the
+    // full recompute.)
+    val affected = oldLabels
+      .join(crossPairs.select(col("d2").as("doc_id")).distinct(), "doc_id")
+      .select(col("label")).distinct()
+    val affectedMembers = oldLabels.join(affected, "label")
+    val starEdges = affectedMembers
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("label").as("d1"), col("doc_id").as("d2"))
+    val untouched = oldLabels.join(affected, Seq("label"), "left_anti")
     // connectedComponents iterates eagerly and localCheckpoints its
     // labels, so by the time it returns nothing downstream references the
     // prepared frames — safe to release before building the report
-    val labels = connectedComponents(
+    val relabelled = connectedComponents(
       starEdges.unionAll(deltaPairs).unionAll(crossPairs),
       strategy = strategy)
     prepared.release()
+    val labels = relabelled
+      .unionAll(untouched.select(col("doc_id"), col("label")))
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))

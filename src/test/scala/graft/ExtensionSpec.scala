@@ -229,6 +229,21 @@ class IncrementalClusterSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 20L), merged.toString)
   }
 
+  test("components the delta never touches pass through untouched") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val index = Seq((10L, a), (11L, a), (20L, b), (21L, b))
+      .toDF("doc_id", "text")
+    // the delta touches ONLY cluster {10, 11}; {20, 21} must keep its
+    // labels via the pass-through path, not a re-cluster
+    val delta = Seq((30L, a)).toDF("doc_id", "text")
+    val merged = TextDedup.dedupClustersIncrementalOf(index, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(10L -> 10L, 11L -> 10L, 30L -> 10L,
+      20L -> 20L, 21L -> 20L), merged.toString)
+  }
+
   test("incremental maintenance equals the full recompute under a 1/3 split") {
     // different split shape than the gate (%3, not %2): the index is 2/3
     // of the corpus, the delta 1/3 — equality must hold regardless
