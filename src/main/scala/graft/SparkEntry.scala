@@ -95,6 +95,7 @@ object SparkEntry {
     "x_text_quality"     -> TextAnalysis.qualityScores _,
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
+    "x_sql_surface"      -> TextAnalysis.sqlSurfaceReport _,
     "x_dedup_spans"      -> ((s, d) => TextDedup.duplicatedSpans(s, d)),
     "x_dedup_clusters"   -> ((s, d) => TextDedup.dedupClustersShared(s, d)),
     "x_dedup_clusters_lss" -> ((s, d) => TextDedup.dedupClusters(s, d,
@@ -820,6 +821,13 @@ object SparkEntry {
          |  ${duckPolyHash("text")} AS fingerprint,
          |  ${duckPolyHash("lower(regexp_replace(text, '\\s+', ' ', 'g'))")}
          |    AS normalized_fingerprint
+         |FROM documents""".stripMargin,
+    // the SQL-registered polyhash must produce the same fold the Column
+    // API produces — certifying the function-registration surface
+    "x_sql_surface" ->
+      s"""SELECT doc_id,
+         |  ${duckPolyHash("text")} AS fp,
+         |  ${duckPolyHash("lower(text)")} AS fp_lower
          |FROM documents""".stripMargin,
     "x_dedup_spans" ->
       """WITH toks AS (

@@ -202,6 +202,25 @@ object TextAnalysis {
       poly_hash(lower(regexp_replace(col("text"), "\\s+", " ")))
         .as("normalized_fingerprint"))
 
+  /** Gate for the SQL registration surface: the same fingerprint query
+    * every other gate runs through the Column API, expressed as
+    * `spark.sql` text against a temp view using the REGISTERED custom
+    * function (`polyhash`) — proving the
+    * [[graft.GraftSession.register]]/`GraftExtensions` function path
+    * end-to-end through the driver's oracle, not just in a spec. The
+    * view is dropped after resolution (the resolved plan owns the scan).
+    */
+  def sqlSurfaceReport(spark: SparkSession, dir: String): DataFrame = {
+    val view = "graft_sql_docs_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT doc_id, polyhash(text) AS fp,
+         |  polyhash(lower(text)) AS fp_lower
+         |FROM $view""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
   /** Distributed inverted index: term → sorted posting list of doc ids —
     * the search-index build the reference delegates to Elasticsearch
     * (SURVEY §3.2), as a first-class batch operator. explode → distinct →
