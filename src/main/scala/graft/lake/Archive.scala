@@ -115,7 +115,7 @@ object Archive {
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "mergeUpsert needs at least one key column")
     base.join(delta, keys, "left_anti")
-      .unionByName(delta.select(base.columns.map(delta.col): _*))
+      .unionByName(delta.select(base.columns.toIndexedSeq.map(delta.col): _*))
   }
 
   /** CDC apply: advance a snapshot by a raw change FEED — multiple
