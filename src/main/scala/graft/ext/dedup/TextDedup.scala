@@ -159,15 +159,24 @@ object TextDedup {
 
   /** [[minhashLshPairs]] over an explicit (doc_id, text) frame — built as
     * [[prepareIndex]] + [[pairsWithinPrepared]], so the band-join and
-    * exact-verify logic exists in exactly one place. The shingle table is
-    * cached here because it feeds the band keys AND both verify sides.
+    * exact-verify logic exists in exactly one place. The prepared tables
+    * are pinned only for the duration of THIS call: the shingle table
+    * feeds the band keys and both verify sides, so it is persisted, the
+    * (tiny, ∝ true near-dups) pair table is materialized eagerly, and the
+    * wide shingle cache is released before returning — repeated calls in
+    * a long-lived session no longer accumulate resident shingle tables
+    * (the materialized pair blocks are reclaimed by the ContextCleaner
+    * when the returned frame goes unreachable, unlike CacheManager
+    * entries which pin forever). Callers that want lazy plans over a
+    * shared artifact should [[prepareIndex]]+persist themselves.
     */
   def minhashLshPairsOf(df: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
       n: Int = 3): DataFrame = {
-    val prepared = prepareIndex(df, numHashes, bands, n)
-    prepared.shingles.cache()
-    pairsWithinPrepared(prepared, threshold)
+    val prepared = prepareIndex(df, numHashes, bands, n).persist()
+    val pairs = pairsWithinPrepared(prepared, threshold).localCheckpoint(true)
+    prepared.release()
+    pairs
   }
 
   /** Exact duplicated-span detection: n-token shingles occurring in ≥ 2
@@ -243,19 +252,28 @@ object TextDedup {
     */
   def pairsAgainstIndex(delta: DataFrame, prepared: PreparedIndex,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      n: Int = 3): DataFrame = {
-    val shD = shingles(delta, n)
-    val bD = bandKeys(minhashSignatures(shD, numHashes), bands,
-      rows = numHashes / bands)
-    val candidates = bD.as("a").join(prepared.bandKeys.as("b"),
+      n: Int = 3): DataFrame =
+    pairsAgainstPrepared(prepareIndex(delta, numHashes, bands, n), prepared,
+      threshold)
+
+  /** Delta-vs-index pairs where BOTH sides are already prepared — the
+    * zero-recompute form for a caller that needs the delta's band keys
+    * and shingles for more than one job ([[dedupClustersIncrementalOf]]
+    * pairs the delta within itself AND against the index; preparing the
+    * delta once serves both).
+    */
+  def pairsAgainstPrepared(delta: PreparedIndex, index: PreparedIndex,
+      threshold: Double = 0.8): DataFrame = {
+    val candidates = delta.bandKeys.as("a").join(index.bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_index"))
       .distinct()
     candidates
-      .join(shD.select(col("doc_id").as("d_new"), col("shingles").as("sh1")),
+      .join(delta.shingles
+        .select(col("doc_id").as("d_new"), col("shingles").as("sh1")),
         "d_new")
-      .join(prepared.shingles
+      .join(index.shingles
         .select(col("doc_id").as("d_index"), col("shingles").as("sh2")),
         "d_index")
       .select(col("d_new"), col("d_index"),
@@ -606,6 +624,21 @@ object TextDedup {
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Hard bound on memoized cluster tables: a driver session touches a
+    * handful of (corpus, params) keys; past this the memo flushes rather
+    * than grow without bound (the dropped frames' checkpoint blocks are
+    * reclaimed once unreferenced). A long-lived service should use the
+    * scratch-parquet + TTL form the [[dedupClustersShared]] scaladoc
+    * prescribes instead of this in-memory memo.
+    */
+  private val ClusterMemoMaxEntries = 16
+
+  /** Drop every memoized cluster table (e.g. between tenants or after a
+    * corpus rewrite). Safe concurrently: in-flight readers keep their
+    * frames; only the memo's references are cleared.
+    */
+  def clearClusterMemo(): Unit = clusterMemo.clear()
+
   /** [[dedupClusters]] behind a per-process memo: the cluster table is the
     * single most expensive artifact in the suite (banded candidate join +
     * iterative connected components) and it feeds FOUR downstream
@@ -641,6 +674,7 @@ object TextDedup {
       val computed =
         dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
           .localCheckpoint(true)
+      if (clusterMemo.size >= ClusterMemoMaxEntries) clusterMemo.clear()
       val prev = clusterMemo.putIfAbsent(key, computed)
       if (prev != null) prev else computed
     }
@@ -704,13 +738,17 @@ object TextDedup {
     // signatures are computed once (in production the prepared index is
     // the persisted artifact; here it's pinned for the call's lifetime)
     val prepared = prepareIndex(index, numHashes, bands, n).persist()
+    // the delta is likewise prepared ONCE: its shingles/signatures feed
+    // three jobs (delta-delta band join, delta-vs-index band join, both
+    // exact verifies) — preparing per job would recompute the signature
+    // pass per consumer
+    val preparedDelta = prepareIndex(delta, numHashes, bands, n).persist()
     val oldLabels = connectedComponents(
       pairsWithinPrepared(prepared, threshold), strategy = strategy)
       .localCheckpoint(true)
-    val deltaPairs = minhashLshPairsOf(delta, threshold, numHashes, bands, n)
+    val deltaPairs = pairsWithinPrepared(preparedDelta, threshold)
       .select(col("d1"), col("d2"))
-    val crossPairs = pairsAgainstIndex(delta, prepared,
-        threshold, numHashes, bands, n)
+    val crossPairs = pairsAgainstPrepared(preparedDelta, prepared, threshold)
       .select(col("d_new").as("d1"), col("d_index").as("d2"))
       .localCheckpoint(true)
     // only components the delta actually TOUCHES get re-clustered: the
@@ -737,6 +775,7 @@ object TextDedup {
       starEdges.unionAll(deltaPairs).unionAll(crossPairs),
       strategy = strategy)
     prepared.release()
+    preparedDelta.release()
     val labels = relabelled
       .unionAll(untouched.select(col("doc_id"), col("label")))
     val sizes = labels.groupBy(col("label").as("cluster_id"))

@@ -83,8 +83,13 @@ object Profile {
     wide.select(expr(
         s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, apx)"))
       .select(col("col_name"), col("n_distinct"),
-        (abs(col("apx") - col("n_distinct")).cast("double") /
-          col("n_distinct").cast("double") <= 0.05).as("approx_within_5pct"))
+        // degenerate guard keeps the report total: an all-null/empty
+        // column has n_distinct = 0 and the ratio would be null — an
+        // estimator that also says 0 is exactly right, so say true
+        when(col("n_distinct") === 0L, col("apx") === 0L)
+          .otherwise(abs(col("apx") - col("n_distinct")).cast("double") /
+            col("n_distinct").cast("double") <= 0.05)
+          .as("approx_within_5pct"))
   }
 
   /** Gated approx profile over the same lineitem columns as

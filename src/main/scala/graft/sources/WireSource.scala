@@ -123,7 +123,11 @@ class WireMicroBatchStream(cfg: WireConfig)
   // the per-station cadence is expressed as the source's DEFAULT read
   // limit (ticksPerBatch ticks × stations rows), the same way the Kafka
   // connector surfaces maxOffsetsPerTrigger — so an engine-supplied
-  // throttle composes instead of being ignored
+  // throttle composes instead of being ignored. The limit is honored
+  // BEST-EFFORT at tick granularity (Kafka-style): offsets advance in
+  // whole ticks of `stations` rows, so an engine ReadMaxRows smaller
+  // than one tick still admits the floor of one full tick — a bounded
+  // overshoot of at most `stations - 1` rows, never an unbounded batch
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(cfg.ticksPerBatch.toLong * cfg.stations)
 

@@ -41,7 +41,12 @@ class WireSourceSpec extends SparkSpec {
   }
 
   test("checkpoint restart resumes from the committed offset, exactly once") {
-    val stations = 8; val per = 40
+    // 400 ticks at 10 per trigger = 40 micro-batches: q1.stop() lands some
+    // time after the first data batch is OBSERVED, so the run must carry
+    // enough batches that a fast-batch/slow-poll scheduler cannot finish
+    // all of them before the stop — with 4 batches this raced and the
+    // "restart had work left" assertion could flake
+    val stations = 8; val per = 400
     val ck = tmpDir("wire_ck"); val out = tmpDir("wire_out")
     def start() = {
       val raw = spark.readStream
