@@ -139,9 +139,11 @@ object SparkEntry {
     "x_multimodal"       -> Multimodal.mediaFeatures _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
-    // rows-only by construction: recall counts depend on xxhash64-seeded
-    // hyperplane buckets DuckDB cannot reproduce (see knnRecallReport)
-    "x_knn_recall"       -> ((s, d) => Similarity.knnRecallReport(s, d)),
+    // gate form uses literal integer hyperplanes (sign of an exact int64
+    // dot product) so bucket assignment — and therefore the whole recall
+    // report — is DuckDB-reproducible; production keeps hash-seeded
+    // planes (Similarity.knnRecallReport)
+    "x_knn_recall"       -> ((s, d) => Similarity.knnRecallGate(s, d)),
     "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
     "x_profile_approx"   -> ((s, d) =>
       graft.ext.profile.Profile.lineitemApproxProfile(s, d)),
@@ -1326,6 +1328,49 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
         |  FROM pairs) t
         |WHERE rn <= 5""".stripMargin,
+    // reduced-radius recall vs the exact top-5: buckets replayed from the
+    // gate's LITERAL integer hyperplanes — quantize floor(x*1024 + 0.5),
+    // bit b = sign of the exact integer dot with ((i*(b+1) + 7*b) % 5 - 2)
+    // (i 1-based) — so hamming and every recall count are integer-exact
+    // cross-engine; a radius-r hit is an exact-top-k pair whose buckets
+    // differ in <= r bits (subset-visibility argument in knnRecallReport)
+    "x_knn_recall" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |codes AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS c
+        |  FROM sub),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |    sum(c[CAST(i AS INT)] * ((i * (b + 1) + 7 * b) % 5 - 2)) AS dot
+        |  FROM codes, range(1, 65) t(i), range(0, 4) tb(b)
+        |  GROUP BY vec_id, b),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN 1 << CAST(b AS INT) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |pts AS (
+        |  SELECT s.vec_id, s.embedding, b.bucket
+        |  FROM sub s JOIN buckets b USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS score,
+        |    bit_count(xor(CAST(a.bucket AS BIGINT),
+        |      CAST(b.bucket AS BIGINT))) AS hamming
+        |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT hamming FROM (
+        |    SELECT hamming, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+        |    FROM pairs) t WHERE rn <= 5),
+        |tot AS (SELECT count(*) AS n_exact FROM topk)
+        |SELECT r.radius, tot.n_exact AS n_exact_pairs,
+        |  (SELECT count(*) FROM topk WHERE hamming <= r.radius) AS n_hits,
+        |  (SELECT count(*) FROM topk WHERE hamming <= r.radius) * 1000
+        |    // tot.n_exact AS recall_permille
+        |FROM (VALUES (0), (1), (2), (4)) r(radius), tot""".stripMargin,
     // directed containment |S(A) ∩ S(B)| / |S(A)| over the same 3-gram
     // shingle definition as the Jaccard oracle
     "x_dedup_containment" ->

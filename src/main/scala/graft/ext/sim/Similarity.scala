@@ -1,6 +1,6 @@
 package graft.ext.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -768,14 +768,51 @@ object Similarity {
     * [[knnJoinGate]]: one row per radius with integer hit counts and
     * recall in permille (integer division — run-stable). The
     * radius = nBits row is the built-in sanity anchor (full probing IS
-    * exact, so its recall must print 1000); the spec asserts it. Not
-    * DuckDB-oracled: bucket membership derives from xxhash64-seeded
-    * hyperplanes SQL cannot reproduce, so this gate is rows-only by
-    * construction — the point is a driver-recorded, deterministic
-    * recall/cost trade for the dial, not cross-engine equality (which
-    * `x_knn_join` already proves at full radius).
+    * exact, so its recall must print 1000); the spec asserts it. This
+    * production form (xxhash64-seeded hyperplanes) is not itself
+    * SQL-reproducible; the GATE runs [[knnRecallGate]], which swaps in
+    * [[integerPlaneBucket]]'s literal integer planes so the whole
+    * report — buckets, hamming, recall — is DuckDB-oracled end to end.
     */
-  def knnRecallReport(spark: SparkSession, dir: String): DataFrame = {
+  def knnRecallReport(spark: SparkSession, dir: String): DataFrame =
+    knnRecallReportWith(spark, dir, e =>
+      graft.functions.HyperplaneBucket.hyperplane_bucket(e, 4))
+
+  /** LSH bucket from LITERAL small-integer hyperplanes — the oracle-able
+    * GATE form of [[graft.functions.HyperplaneBucket]]. The embedding is
+    * first quantized portably (`floor(x * 1024 + 0.5)` — float→double
+    * cast, one correctly-rounded multiply/add, exact floor — the same
+    * cross-engine-stable rounding the int8 quantizer uses), then bit `b`
+    * is the sign of an EXACT int64 dot product with the plane
+    * `h_b[i] = ((i·(b+1) + 7b) mod 5) − 2` (i 1-based; multipliers 1..4
+    * are all coprime to 5, so every plane cycles through {−2..2} and
+    * none degenerates to a constant). Integer arithmetic end to end
+    * after the quantize, so DuckDB reproduces every bucket bit for bit —
+    * this is what lets the recall gate state a full cross-engine oracle.
+    * The production path keeps the hash-seeded planes (better spread,
+    * any nBits); this form exists for verifiability, same trick as the
+    * wire source's modular-arithmetic frames.
+    */
+  def integerPlaneBucket(e: Column, nBits: Int): Column = {
+    val codes = transform(e, x =>
+      floor(x.cast("double") * 1024.0 + 0.5).cast("long"))
+    (0 until nBits).map { b =>
+      val dot = aggregate(
+        transform(codes, (x, i) =>
+          x * (((i + lit(1)) * lit(b + 1) + lit(7 * b)) % 5 - 2).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** [[knnRecallReport]] with [[integerPlaneBucket]] — the gate entry,
+    * fully DuckDB-oracled (see `x_knn_recall` in SparkEntry.oracleSql).
+    */
+  def knnRecallGate(spark: SparkSession, dir: String): DataFrame =
+    knnRecallReportWith(spark, dir, e => integerPlaneBucket(e, 4))
+
+  private def knnRecallReportWith(spark: SparkSession, dir: String,
+      bucketOf: Column => Column): DataFrame = {
     import graft.functions.TopKBy.top_k_by
     val k = 5; val nBits = 4
     val sub = emb(spark, dir).filter(col("vec_id") % 5 === 0)
@@ -786,9 +823,7 @@ object Similarity {
     // filter + top-k over the same cached pairs instead of its own join
     // (4 joins -> 1 join + 4 O(k)-heap aggregates; the all-pairs join is
     // the radius=nBits yardstick the report needs anyway)
-    val b = sub.withColumn("bucket",
-      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"),
-        nBits))
+    val b = sub.withColumn("bucket", bucketOf(col("embedding")))
     val a1 = b.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       col("bucket").as("q_bucket"))
     val a2 = b.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),

@@ -710,15 +710,30 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("kNN recall report: full radius anchors at 1000, recall grows with radius") {
-    val rows = Similarity.knnRecallReport(spark, dir).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
-    assert(rows.map(_._1).toList == List(0, 1, 2, 4))
-    // radius = nBits probes every bucket -> exact by construction
-    assert(rows.last._2._3 == 1000L, s"full-radius recall ${rows.last._2._3}")
-    // wider probing can only add candidates -> hits monotone in radius
-    assert(rows.map(_._2._2).sliding(2).forall(p => p(0) <= p(1)))
-    assert(rows.map(_._2._1).distinct.length == 1, "exact pair count is fixed")
+    // both bucket families — production hash-seeded planes and the gate's
+    // oracle-able literal integer planes — must satisfy the same
+    // invariants (the gate form is additionally DuckDB-oracled per round)
+    for (report <- Seq(Similarity.knnRecallReport(spark, dir),
+        Similarity.knnRecallGate(spark, dir))) {
+      val rows = report.collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toList == List(0, 1, 2, 4))
+      // radius = nBits probes every bucket -> exact by construction
+      assert(rows.last._2._3 == 1000L, s"full-radius recall ${rows.last._2._3}")
+      // wider probing can only add candidates -> hits monotone in radius
+      assert(rows.map(_._2._2).sliding(2).forall(p => p(0) <= p(1)))
+      assert(rows.map(_._2._1).distinct.length == 1, "exact pair count is fixed")
+    }
+  }
+
+  test("integer-plane buckets spread vectors across the bucket space") {
+    // a degenerate plane set (e.g. a constant plane) would collapse the
+    // bucket histogram; the gate's planes must actually partition
+    val n = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(Similarity.integerPlaneBucket(col("embedding"), 4).as("b"))
+      .agg(countDistinct(col("b"))).collect().head.getLong(0)
+    assert(n >= 8, s"expected >= 8 of 16 buckets occupied, got $n")
   }
 }
 
