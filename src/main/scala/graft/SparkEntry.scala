@@ -67,6 +67,7 @@ object SparkEntry {
     "p_edge_alerts"      -> EventOps.edgeAlertStream _,
     "p_wire_decode"      -> EventOps.wireDecode _,
     "p_wire_source"      -> EventOps.wireSourceReplay _,
+    "p_wire_restart"     -> EventOps.wireSourceRestart _,
     "p_asof_state"       -> EventOps.asOfState _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
@@ -367,26 +368,11 @@ object SparkEntry {
     // the DSv2 wire source generates frames from integer modular
     // arithmetic: the oracle rebuilds the surviving rows (not dropped by
     // the channel, not malformed, valid enum) from generate_series
-    "p_wire_source" ->
-      """WITH g AS (
-        |  SELECT st.st AS station_id, sq.sq AS s_no
-        |  FROM (SELECT unnest(generate_series(1, 40)) AS st) st
-        |  CROSS JOIN (SELECT unnest(generate_series(1, 50)) AS sq) sq
-        |  WHERE (st.st * 7919 + sq.sq * 104729) % 10 <> 0
-        |    AND (st.st * 257 + sq.sq * 101) % 13 <> 0
-        |    AND (st.st * 37 + sq.sq * 61) % 17 <> 0)
-        |SELECT station_id, s_no,
-        |  CASE WHEN (station_id * 131 + s_no * 137) % 10 < 3 THEN 'low'
-        |       WHEN (station_id * 131 + s_no * 137) % 10 < 7 THEN 'medium'
-        |       ELSE 'high' END AS battery_status,
-        |  strftime(make_timestamp((1700000000 + (s_no - 1)) * 1000000),
-        |    '%Y-%m-%d %H:%M:%S.%g') AS ts,
-        |  CAST((station_id * 31 + s_no * 17) % 91 + 10 AS INTEGER)
-        |    AS humidity,
-        |  CAST((station_id * 13 + s_no * 7) % 79 + 32 AS INTEGER)
-        |    AS temperature,
-        |  CAST((station_id * 3 + s_no * 23) % 61 AS INTEGER) AS wind_speed
-        |FROM g""".stripMargin,
+    "p_wire_source" -> wireSourceOracle,
+    // kill + checkpoint restart must reassemble the IDENTICAL set —
+    // exactly-once across the restart is precisely what sharing the
+    // full-replay oracle asserts
+    "p_wire_restart" -> wireSourceOracle,
     // the as-of join: the oracle is the naive inequality-join + per-probe
     // top-1 formulation; the engine's union+window shape must equal it
     "p_asof_state" ->
@@ -1492,6 +1478,32 @@ object SparkEntry {
     * exact-verified 3-gram jaccard pairs; `comp` = per-doc component min),
     * reused by the clusters and leakage-safe-split oracles.
     */
+  /** Shared by `p_wire_source` and `p_wire_restart`: the surviving wire
+    * frame set rebuilt from the source's integer modular arithmetic —
+    * the restart gate must reassemble exactly this set across a kill +
+    * checkpoint resume.
+    */
+  private val wireSourceOracle =
+    """WITH g AS (
+      |  SELECT st.st AS station_id, sq.sq AS s_no
+      |  FROM (SELECT unnest(generate_series(1, 40)) AS st) st
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 50)) AS sq) sq
+      |  WHERE (st.st * 7919 + sq.sq * 104729) % 10 <> 0
+      |    AND (st.st * 257 + sq.sq * 101) % 13 <> 0
+      |    AND (st.st * 37 + sq.sq * 61) % 17 <> 0)
+      |SELECT station_id, s_no,
+      |  CASE WHEN (station_id * 131 + s_no * 137) % 10 < 3 THEN 'low'
+      |       WHEN (station_id * 131 + s_no * 137) % 10 < 7 THEN 'medium'
+      |       ELSE 'high' END AS battery_status,
+      |  strftime(make_timestamp((1700000000 + (s_no - 1)) * 1000000),
+      |    '%Y-%m-%d %H:%M:%S.%g') AS ts,
+      |  CAST((station_id * 31 + s_no * 17) % 91 + 10 AS INTEGER)
+      |    AS humidity,
+      |  CAST((station_id * 13 + s_no * 7) % 79 + 32 AS INTEGER)
+      |    AS temperature,
+      |  CAST((station_id * 3 + s_no * 23) % 61 AS INTEGER) AS wind_speed
+      |FROM g""".stripMargin
+
   private val nearDupComponentsCte =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),

@@ -975,7 +975,15 @@ object EventOps {
       .option("stations", 40).option("perStation", 50)
       .option("ticksPerBatch", 25)
       .load()
-    val archive = graft.core.Normalize.toArchive(graft.core.Normalize
+    drainToMemory(spark, wireArchiveProjection(raw), "wire_source_gate",
+      OutputMode.Append())
+  }
+
+  /** The decode → parse → normalize → flat-archive projection both wire
+    * gates drive — identical to the Kafka-path pipeline shape.
+    */
+  private def wireArchiveProjection(raw: DataFrame): DataFrame =
+    graft.core.Normalize.toArchive(graft.core.Normalize
         .parseWire(graft.streaming.WeatherPipeline.decodeWire(raw)))
       .select(col("station_id"), col("s_no"), col("battery_status"),
         date_format(col("status_timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")
@@ -983,7 +991,45 @@ object EventOps {
         col("weather.humidity").as("humidity"),
         col("weather.temperature").as("temperature"),
         col("weather.wind_speed").as("wind_speed"))
-    drainToMemory(spark, archive, "wire_source_gate", OutputMode.Append())
+
+  /** [[wireSourceReplay]] THROUGH a kill + checkpoint restart — the
+    * strongest transport-contract evidence a broker-less sandbox allows
+    * (reference semantics: at-least-once delivery + idempotent doc-id;
+    * SURVEY §2.6). The first run writes to an exactly-once parquet sink
+    * (file-sink manifest) behind a checkpoint and is STOPPED as soon as
+    * one data-carrying micro-batch has committed — a mid-replay kill;
+    * the second run resumes from the committed offset and drains the
+    * rest. The union must equal the full surviving frame set with no
+    * duplicates and no gaps REGARDLESS of where the kill lands, so the
+    * gate shares `p_wire_source`'s generate_series oracle: offsets-only
+    * recovery (no source rewind beyond the committed offset, no
+    * double-commit) is exactly what the hash equality proves. 10 ticks
+    * per trigger over 50 ticks = up to 10 micro-batches, so the kill
+    * virtually always lands with work left; the companion spec asserts
+    * that property explicitly ([[graft.WireSourceSpec]]).
+    */
+  def wireSourceRestart(spark: SparkSession, dir: String): DataFrame = {
+    val ck = graft.util.Scratch.dir("graft_wire_restart_ck").toString
+    val out = graft.util.Scratch.dir("graft_wire_restart_out").toString
+    def start() = {
+      val raw = spark.readStream
+        .format(classOf[graft.sources.WireSourceProvider].getName)
+        .option("stations", 40).option("perStation", 50)
+        .option("ticksPerBatch", 10)
+        .load()
+      wireArchiveProjection(raw).writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out).start()
+    }
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.parquet(out)
   }
 
   /** Forward as-of with tolerance — "the FIRST reading at-or-after minute
