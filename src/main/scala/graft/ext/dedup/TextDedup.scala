@@ -621,17 +621,19 @@ object TextDedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** Hard bound on memoized cluster tables: a driver session touches a
-    * handful of (corpus, params) keys; past this the memo flushes rather
-    * than grow without bound (the dropped frames' checkpoint blocks are
-    * reclaimed once unreferenced). A long-lived service should use the
-    * scratch-parquet + TTL form the [[dedupClustersShared]] scaladoc
-    * prescribes instead of this in-memory memo.
+    * handful of (corpus, params) keys; past this the memo evicts the
+    * least-recently-used entry rather than grow without bound (the
+    * dropped frame's checkpoint blocks are reclaimed once unreferenced),
+    * so a churning session re-pays at most ONE artifact's compute per
+    * overflow, never all consumers at once. A long-lived service should
+    * use the scratch-parquet + TTL form the [[dedupClustersShared]]
+    * scaladoc prescribes instead of this in-memory memo.
     */
   private val ClusterMemoMaxEntries = 16
+
+  private val clusterMemo =
+    new graft.util.LruMemo[DataFrame](ClusterMemoMaxEntries)
 
   /** Drop every memoized cluster table (e.g. between tenants or after a
     * corpus rewrite). Safe concurrently: in-flight readers keep their
@@ -662,21 +664,18 @@ object TextDedup {
       n: Int = 3, strategy: CcStrategy = CcStrategy.MinLabel): DataFrame = {
     val key = Seq(spark.sparkContext.applicationId, dir, threshold,
       numHashes, bands, n, strategy).mkString("|")
-    // get + putIfAbsent rather than computeIfAbsent: the cluster build is
-    // a minutes-scale multi-stage Spark job, and computeIfAbsent would
-    // run it under the map's bin lock, stalling any concurrent caller
-    // whose key hashes to the same bin. The rare racing duplicate
-    // computation is benign (both sides produce the same table; the
-    // loser's checkpoint blocks are garbage-collected with its frame).
-    val cached = clusterMemo.get(key)
-    if (cached != null) cached
-    else {
-      val computed =
-        dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
-          .localCheckpoint(true)
-      if (clusterMemo.size >= ClusterMemoMaxEntries) clusterMemo.clear()
-      val prev = clusterMemo.putIfAbsent(key, computed)
-      if (prev != null) prev else computed
+    // get + putIfAbsent rather than compute-under-lock: the cluster build
+    // is a minutes-scale multi-stage Spark job and must never run while
+    // holding the memo's monitor. The rare racing duplicate computation
+    // is benign (both sides produce the same table; the loser's
+    // checkpoint blocks are garbage-collected with its frame).
+    clusterMemo.get(key) match {
+      case Some(cached) => cached
+      case None =>
+        val computed =
+          dedupClusters(spark, dir, threshold, numHashes, bands, n, strategy)
+            .localCheckpoint(true)
+        clusterMemo.putIfAbsent(key, computed)
     }
   }
 

@@ -1025,7 +1025,15 @@ object EventOps {
     val deadline = System.currentTimeMillis() + 60000
     while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
         System.currentTimeMillis() < deadline) Thread.sleep(25)
+    // Fail loudly if the deadline fired before any data-carrying
+    // micro-batch committed: a kill with zero committed progress would
+    // silently degenerate this gate into a plain (restart-free) run.
+    val committedBatches = q1.recentProgress.count(_.numInputRows > 0)
     q1.stop()
+    require(committedBatches >= 1,
+      s"wireSourceRestart: no data-carrying micro-batch committed within " +
+        s"60 s before the kill (saw ${q1.recentProgress.length} progress " +
+        "events); the restart gate would not exercise checkpoint resume")
     val q2 = start()
     q2.processAllAvailable()
     q2.stop()
