@@ -28,6 +28,21 @@ class HttpShim(api: QueryApi, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+  // Without an explicit executor the JDK server dispatches every exchange on
+  // its single accept thread, serializing clients; the reference's Javalin
+  // server is pooled (ref: CentralStationServer.java:23 — Jetty QTP), so
+  // concurrent clients are part of the contract. Daemon threads: the shim
+  // must never pin a driver JVM open.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"http-shim-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    })
+  server.setExecutor(pool)
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
@@ -61,5 +76,5 @@ class HttpShim(api: QueryApi, port: Int = 0) {
   })
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -43,6 +43,33 @@ class HttpShimSpec extends SparkSpec {
       assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
     } finally shim.stop()
   }
+
+  test("shim serves concurrent clients: pooled dispatch, consistent payloads") {
+    val archive = Normalize.toArchive(
+      StationSource.messages(spark, nStations = 4, perStation = 20))
+    val api = new QueryApi(spark, LatestState.latest(archive))
+    val shim = new HttpShim(api)
+    val port = shim.start()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (0 until 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[(Int, String, Int)] {
+          override def call(): (Int, String, Int) = {
+            val (c1, scanBody) = get(s"http://localhost:$port/stations")
+            val (c2, _) = get(s"http://localhost:$port/station?id=2")
+            (c1, scanBody, c2)
+          }
+        })
+      }
+      pool.shutdown()
+      val runs = futures.map(_.get())
+      assert(runs.forall { case (c1, _, c2) => c1 == 200 && c2 == 200 },
+        s"every concurrent client must succeed: ${runs.map(r => (r._1, r._3))}")
+      assert(runs.map(_._2).distinct.size == 1,
+        "all concurrent scans must see the same latest-state payload")
+      assert(runs.head._2.split("\"station_id\"").length - 1 == 4)
+    } finally shim.stop()
+  }
 }
 
 class OpenMeteoAdapterSpec extends SparkSpec {
