@@ -116,6 +116,51 @@ class ScaleSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true replan)") {
+    // The engine's two skew answers: Scale.saltedJoin is the MANUAL shape
+    // (for skew AQE can't see, e.g. introduced mid-pipeline by a transform);
+    // this test pins the AUTOMATIC one — AQE's runtime skew-join split —
+    // so both paths stay exercised. Thresholds are lowered so local-scale
+    // data trips the same replan a 100 TB hot key would.
+    Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carries ~98% of the probe side — the classic hot-user
+      // shape; the build side is uniform and too big to broadcast (hint-free)
+      val big = spark.range(400000L).select(
+        when(col("id") % 100 < 98, lit(1L)).otherwise(col("id") % 1000)
+          .as("k"),
+        col("id").as("payload"))
+      val small = spark.range(1000L).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = big.join(small, "k")
+      // collect() (not count()) so THIS frame's own QueryExecution runs —
+      // count() builds a separate one and the inspected plan never executes
+      val n = joined.collect().length
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n${plan.take(2000)}")
+    } finally Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).foreach(spark.conf.unset)
+  }
+
   test("q5 never broadcasts a fact table (only nation/region dims)") {
     // turn off auto-broadcast so the ONLY BroadcastExchanges left are the
     // explicit hints — then assert those never cover a fact-table scan
