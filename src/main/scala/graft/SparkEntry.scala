@@ -138,6 +138,7 @@ object SparkEntry {
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
+    "x_multimodal_decode" -> Multimodal.decodeReport _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
     // gate form uses literal integer hyperplanes (sign of an exact int64
@@ -1211,6 +1212,24 @@ object SparkEntry {
          |  fp AS checksum, true AS ok
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin,
+    // the real-codec gate: Spark encodes genuine PNGs whose dimensions and
+    // pixels are integer functions of doc_id, then ImageIO decodes them;
+    // the oracle replays the same arithmetic (row-major pixel fold via
+    // list_reduce) WITHOUT decoding — hash equality proves a true image
+    // parse ran and returned exact pixel data
+    "x_multimodal_decode" ->
+      """SELECT doc_id AS media_id, 'image/png' AS kind,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 12 + 1 AS INTEGER) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      range(0, (doc_id % 16 + 1) * (doc_id % 12 + 1)),
+        |      i -> (doc_id * 1009
+        |            + (i % (doc_id % 16 + 1)) * 37
+        |            + (i // (doc_id % 16 + 1)) * 101) % 16777216)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |  true AS ok
+        |FROM documents""".stripMargin,
     // resize keeps every 4th byte; the oracle rebuilds the decimated
     // payload with substr and hash-pins it with the same checksum fold
     "x_multimodal_resize" ->

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of pandas-batch UDFs: amortize per-batch setup —
   * decoder init, model load — across a partition's rows).
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): [[StubDecoder.decode]] produces deterministic fake features
-  * from the payload bytes. Everything around it — schema, batch shape,
-  * partition sizing, null/corrupt handling — is real and tested; swapping in
-  * a real decoder changes only the function body.
+  * Media decode is pluggable. For formats the JDK itself can decode
+  * (PNG/JPEG/GIF/BMP/TIFF via `javax.imageio`, headless-safe), the REAL
+  * codec runs ([[ImageIoDecoder]], gated end to end by
+  * `x_multimodal_decode`); for everything the container lacks codecs for
+  * (audio, video), [[StubDecoder.decode]] stands in with deterministic fake
+  * features from the payload bytes. Everything around the decoder — schema,
+  * batch shape, partition sizing, null/corrupt handling — is identical for
+  * both; swapping decoders changes only the function body.
   */
 object Multimodal {
 
@@ -48,6 +51,40 @@ object Multimodal {
     }
   }
 
+  /** Real image decode through the JDK's own codec stack
+    * (`javax.imageio.ImageIO`, headless-safe, no external libs): parses
+    * the actual container format — PNG/JPEG/GIF/BMP/TIFF per
+    * `ImageIO.getReaderFormatNames` — and returns true dimensions plus a
+    * row-major fold over the decoded 24-bit pixels (same modulus as
+    * [[StubDecoder]]'s byte fold, so downstream schemas are shared).
+    * Undecodable payloads become `ok = false` rows, never task failures —
+    * the same sandboxing contract as the stub.
+    */
+  object ImageIoDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null)
+        MediaFeatures(r.media_id, r.kind, bytes.length, 0, 0, 0L, ok = false)
+      else {
+        var acc = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            acc = (acc * 31L + (img.getRGB(x, y) & 0xFFFFFF)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.media_id, r.kind, bytes.length,
+          img.getWidth, img.getHeight, acc, ok = true)
+      }
+    }
+  }
+
   /** Byte-budget repartitioning: media rows are size-skewed, so partition by
     * total payload bytes, not row count — the binding constraint for decode
     * memory (SCALE.md). One cheap aggregate estimates total bytes, then a
@@ -68,11 +105,18 @@ object Multimodal {
     * repartition by byte budget (`maxPartitionBytes` down, or
     * `repartition(n)` after size estimation), never by row count alone.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    extractFeaturesWith(media)(StubDecoder.decode)
+
+  /** [[extractFeatures]] with an explicit decoder — the same
+    * one-instantiation-per-partition batch shape for any codec.
+    */
+  def extractFeaturesWith(media: Dataset[MediaRow])(
+      decoder: MediaRow => MediaFeatures): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       // per-partition decoder setup would go here (codec contexts, buffers)
-      rows.map(StubDecoder.decode)
+      rows.map(decoder)
     }
   }
 
@@ -120,6 +164,56 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  /** Real-codec media table: each document row becomes an actual PNG,
+    * ENCODED executor-side with dimensions and 24-bit pixel values drawn
+    * from integer arithmetic on `doc_id` — so the bytes are a genuine
+    * container format (magic, chunks, CRCs, zlib streams) while every
+    * decoded property stays engine-independent. PNG + TYPE_INT_RGB is
+    * lossless, which is what lets [[decodeReport]]'s oracle predict the
+    * decoder's output without itself decoding.
+    */
+  def pngMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 16 + 1).toInt
+          val h = (id % 12 + 1).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                ((id * 1009L + x * 37L + y * 101L) % 16777216L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRow(id, "image/png", baos.toByteArray)
+        }
+      }
+  }
+
+  /** Gate entry for the REAL codec path: encode → [[ImageIoDecoder]] →
+    * features. Dimensions and the row-major pixel fold are pure integer
+    * functions of `doc_id` (see [[pngMediaFromDocuments]]), so the DuckDB
+    * oracle reproduces the full decoded output — an end-to-end proof that
+    * a true image parse (not the stub) ran on every executor. The PNG
+    * byte length is encoder-dependent and deliberately NOT projected.
+    */
+  def decodeReport(spark: SparkSession, dir: String): DataFrame =
+    extractFeaturesWith(pngMediaFromDocuments(spark, dir))(
+        ImageIoDecoder.decode)
+      .toDF()
+      .select("media_id", "kind", "width", "height", "checksum", "ok")
 
   /** A sampled "frame" from a media payload (the video-pipeline shape:
     * one input row explodes into `frame_idx` rows of fixed-size chunks).

@@ -874,6 +874,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.find(_.media_id == 1L).get.ok)
     assert(!out.find(_.media_id == 2L).get.ok)
   }
+
+  test("ImageIoDecoder decodes real PNG bytes: true dims, exact pixels") {
+    val feats = Multimodal.decodeReport(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(feats.length == n && feats.forall(_.getAs[Boolean]("ok")))
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 16 + 1).toInt)
+      assert(r.getAs[Int]("height") == (id % 12 + 1).toInt)
+      // replay the encode arithmetic: checksum must match the DECODED pixels
+      val (w, h) = ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = (acc * 31L + (id * 1009L + x * 37L + y * 101L) % 16777216L) %
+          1000000007L
+      assert(r.getAs[Long]("checksum") == acc, s"pixel fold drift for $id")
+    }
+  }
+
+  test("ImageIoDecoder sandboxes non-image bytes as ok=false") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png",
+        "definitely not a png".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image/png", Array.empty[Byte])
+    ).toDS()
+    val out = Multimodal.extractFeaturesWith(media)(
+      Multimodal.ImageIoDecoder.decode).collect()
+    assert(out.forall(!_.ok))
+  }
 }
 
 class ProfileSpec extends SparkSpec {
