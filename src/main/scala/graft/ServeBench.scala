@@ -99,16 +99,20 @@ object ServeBench {
           })
         }
         pool.shutdown()
-        pool.awaitTermination(120, TimeUnit.SECONDS)
+        require(pool.awaitTermination(120, TimeUnit.SECONDS),
+          s"serving clients still running after 120 s at fan-out $n")
         val runs = futures.map(_.get())
         val pointAll = runs.flatMap(_.pointSecs)
         val nPoints = n * pointsPerClient
+        val pointStats = // points_per_client=0 → a scans-only run, not a crash
+          if (pointAll.isEmpty) """"point_max_s":null,"point_mean_s":null}"""
+          else f""""point_max_s":${pointAll.max}%.3f,""" +
+            f""""point_mean_s":${pointAll.sum / pointAll.size}%.3f}"""
         n -> (f""""$n":{"scan_ok":"${runs.count(_.scanOk)}/$n",""" +
           f""""scan_max_s":${runs.map(_.scanSec).max}%.3f,""" +
           f""""scan_mean_s":${runs.map(_.scanSec).sum / n}%.3f,""" +
           f""""point_ok":"${runs.map(_.pointOks).sum}/$nPoints",""" +
-          f""""point_max_s":${pointAll.max}%.3f,""" +
-          f""""point_mean_s":${pointAll.sum / pointAll.size}%.3f}""")
+          pointStats)
       }
       println(s"""{"metric":"serve_concurrency","sf":"$dir","points_per_client":$pointsPerClient,"clients":{${results.map(_._2).mkString(",")}}}""")
     } finally {

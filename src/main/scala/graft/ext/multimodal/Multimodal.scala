@@ -115,7 +115,9 @@ object Multimodal {
       decoder: MediaRow => MediaFeatures): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // per-partition decoder setup would go here (codec contexts, buffers)
+      // per-partition decoder setup: in-memory streams only — the default
+      // ImageIO disk cache would pay a temp-file create/delete per image
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map(decoder)
     }
   }
@@ -180,6 +182,7 @@ object Multimodal {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file per encode
         ids.map { id =>
           val w = (id % 16 + 1).toInt
           val h = (id % 12 + 1).toInt

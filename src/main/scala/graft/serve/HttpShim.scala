@@ -30,10 +30,12 @@ class HttpShim(api: QueryApi, port: Int = 0) {
 
   // Without an explicit executor the JDK server dispatches every exchange on
   // its single accept thread, serializing clients; the reference's Javalin
-  // server is pooled (ref: CentralStationServer.java:23 — Jetty QTP), so
-  // concurrent clients are part of the contract. Daemon threads: the shim
+  // server is pooled (ref: CentralStationServer.java:23 — Jetty QTP, max
+  // 200), so concurrent clients are part of the contract. BOUNDED like QTP:
+  // every exchange runs a driver-side collect, so an unbounded pool would
+  // let a connection burst flood the scheduler. Daemon threads: the shim
   // must never pin a driver JVM open.
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(200,
     new java.util.concurrent.ThreadFactory {
       private val n = new java.util.concurrent.atomic.AtomicInteger()
       override def newThread(r: Runnable): Thread = {

@@ -27,7 +27,6 @@ class LruMemoSpec extends AnyFunSuite {
     memo.putIfAbsent("d", "D")
     assert(memo.get("a").contains("A"), "read entry was most-recent, kept")
     assert(memo.get("b").isEmpty, "unread oldest entry evicted instead")
-    assert(memo.keysByRecency.last == "a" || memo.get("d").contains("D"))
   }
 
   test("putIfAbsent keeps the first value and reports it to the loser") {
