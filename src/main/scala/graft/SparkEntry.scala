@@ -138,6 +138,7 @@ object SparkEntry {
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
+    "x_multimodal_audio" -> Multimodal.audioReport _,
     "x_multimodal_decode" -> Multimodal.decodeReport _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
@@ -1212,6 +1213,20 @@ object SparkEntry {
          |  fp AS checksum, true AS ok
          |FROM (SELECT doc_id, text, ${duckPolyHash("text")} AS fp
          |      FROM documents) q""".stripMargin,
+    // the real-audio gate: Spark encodes genuine RIFF/WAV files (8 kHz
+    // mono 16-bit PCM) whose sample count and values are integer functions
+    // of doc_id, then javax.sound parses them; the oracle replays the
+    // arithmetic without parsing — hash equality proves a true WAV parse
+    "x_multimodal_audio" ->
+      """SELECT doc_id AS media_id, 'audio/wav' AS kind,
+        |  CAST(doc_id % 96 + 8 AS INTEGER) AS n_samples,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, doc_id % 96 + 8),
+        |      i -> (doc_id * 131 + i * 17) % 65536)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |  true AS ok
+        |FROM documents""".stripMargin,
     // the real-codec gate: Spark encodes genuine PNGs whose dimensions and
     // pixels are integer functions of doc_id, then ImageIO decodes them;
     // the oracle replays the same arithmetic (row-major pixel fold via

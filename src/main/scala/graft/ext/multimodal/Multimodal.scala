@@ -218,6 +218,95 @@ object Multimodal {
       .toDF()
       .select("media_id", "kind", "width", "height", "checksum", "ok")
 
+  /** Decoded-audio features (the audio-decoder output contract). */
+  case class AudioFeatures(media_id: Long, kind: String, n_samples: Int,
+      sample_rate: Int, channels: Int, checksum: Long, ok: Boolean)
+
+  /** Real audio decode through the JDK's own parser
+    * (`javax.sound.sampled.AudioSystem` — WAV/AIFF/AU ship with the JDK):
+    * parses the actual container (RIFF chunks, format block), streams the
+    * PCM frames, and folds the 16-bit samples row-major into a checksum
+    * (same modulus as the other decoders). Unparseable payloads become
+    * `ok = false` rows, never task failures.
+    */
+  object WavDecoder {
+    def decode(r: MediaRow): AudioFeatures = {
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        in.close()
+        // 16-bit little-endian signed mono is the fixture contract; fold
+        // samples re-normalized to 0..65535 so the oracle needs no sign math
+        var acc = 0L
+        var i = 0
+        var n = 0
+        while (i + 1 < pcm.length) {
+          val sample = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)) + 32768
+          acc = (acc * 31L + sample) % 1000000007L
+          i += 2
+          n += 1
+        }
+        AudioFeatures(r.media_id, r.kind, n, fmt.getSampleRate.toInt,
+          fmt.getChannels, acc, ok = true)
+      } catch {
+        case _: Exception =>
+          AudioFeatures(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
+      }
+    }
+  }
+
+  /** Real-codec audio table: each document row becomes an actual RIFF/WAV
+    * file (8 kHz mono 16-bit PCM) whose sample count and sample values are
+    * integer arithmetic on `doc_id` — genuine container bytes, engine-
+    * independent decoded content, mirroring [[pngMediaFromDocuments]].
+    */
+  def wavMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false) // signed 16-bit little-endian mono
+        ids.map { id =>
+          val n = (id % 96 + 8).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val sample = ((id * 131L + i * 17L) % 65536L).toInt - 32768
+            pcm(i * 2) = (sample & 0xff).toByte
+            pcm(i * 2 + 1) = ((sample >> 8) & 0xff).toByte
+            i += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(stream,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          MediaRow(id, "audio/wav", baos.toByteArray)
+        }
+      }
+  }
+
+  /** Gate entry for the REAL audio path: encode → [[WavDecoder]] →
+    * features, the audio analog of [[decodeReport]]. Sample count, rate,
+    * channel count, and the sample fold are integer functions of `doc_id`,
+    * so the DuckDB oracle predicts the decoder's output without parsing
+    * RIFF — hash equality proves a true WAV parse ran.
+    */
+  def audioReport(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    wavMediaFromDocuments(spark, dir)
+      .mapPartitions(rows => rows.map(WavDecoder.decode))
+      .toDF()
+      .select("media_id", "kind", "n_samples", "sample_rate", "channels",
+        "checksum", "ok")
+  }
+
   /** A sampled "frame" from a media payload (the video-pipeline shape:
     * one input row explodes into `frame_idx` rows of fixed-size chunks).
     */

@@ -893,6 +893,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder parses real RIFF bytes: true sample count, rate, fold") {
+    val feats = Multimodal.audioReport(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(feats.length == n && feats.forall(_.getAs[Boolean]("ok")))
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val ns = (id % 96 + 8).toInt
+      assert(r.getAs[Int]("n_samples") == ns)
+      assert(r.getAs[Int]("sample_rate") == 8000 &&
+        r.getAs[Int]("channels") == 1)
+      var acc = 0L
+      for (i <- 0 until ns)
+        acc = (acc * 31L + (id * 131L + i * 17L) % 65536L) % 1000000007L
+      assert(r.getAs[Long]("checksum") == acc, s"sample fold drift for $id")
+    }
+  }
+
+  test("WavDecoder sandboxes non-audio bytes as ok=false") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", "not riff".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "audio/wav", Array.empty[Byte])
+    ).toDS()
+    val out = media.mapPartitions(rows =>
+      rows.map(Multimodal.WavDecoder.decode)).collect()
+    assert(out.forall(!_.ok))
+  }
+
   test("ImageIoDecoder sandboxes non-image bytes as ok=false") {
     import spark.implicits._
     val media = Seq(
