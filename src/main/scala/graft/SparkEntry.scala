@@ -142,6 +142,7 @@ object SparkEntry {
     "x_multimodal_decode" -> Multimodal.decodeReport _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
+    "x_multimodal_video" -> Multimodal.videoReport _,
     // gate form uses literal integer hyperplanes (sign of an exact int64
     // dot product) so bucket assignment — and therefore the whole recall
     // report — is DuckDB-reproducible; production keeps hash-seeded
@@ -1245,6 +1246,27 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
         |  true AS ok
         |FROM documents""".stripMargin,
+    // the video-pipeline gate: Spark demuxes a length-prefixed motion-PNG
+    // container and real-decodes every frame; the oracle unnests the frame
+    // range and replays the per-frame pixel arithmetic without decoding
+    "x_multimodal_video" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST((doc_id + fi * 7) % 12 + 1 AS INTEGER) AS width,
+        |  CAST((doc_id + fi * 5) % 8 + 1 AS INTEGER) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      range(0, ((doc_id + fi * 7) % 12 + 1)
+        |              * ((doc_id + fi * 5) % 8 + 1)),
+        |      i -> (doc_id * 1009 + fi * 499
+        |            + (i % ((doc_id + fi * 7) % 12 + 1)) * 37
+        |            + (i // ((doc_id + fi * 7) % 12 + 1)) * 101)
+        |           % 16777216)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |  true AS ok
+        |FROM f""".stripMargin,
     // resize keeps every 4th byte; the oracle rebuilds the decimated
     // payload with substr and hash-pins it with the same checksum fold
     "x_multimodal_resize" ->

@@ -307,6 +307,102 @@ object Multimodal {
         "checksum", "ok")
   }
 
+  /** Decoded video-frame features: one row per contained frame. */
+  case class VideoFrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, checksum: Long, ok: Boolean)
+
+  /** Real-container video table: each document row becomes a motion-PNG
+    * container — length-prefixed real PNG frames (the MJPEG layout with a
+    * lossless per-frame codec), each frame's dimensions and pixels integer
+    * arithmetic on `(doc_id, frame_idx)`. An honest boundary: the JDK
+    * ships no inter-frame video codec (H.264 etc. stay env-blocked), but
+    * the whole video PIPELINE — container parse, 1→N frame split,
+    * per-frame real decode — runs on genuine bytes.
+    */
+  def videoMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          val nFrames = (id % 3 + 2).toInt
+          var f = 0
+          while (f < nFrames) {
+            val w = ((id + f * 7) % 12 + 1).toInt
+            val h = ((id + f * 5) % 8 + 1).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 1009L + f * 499L + x * 37L + y * 101L)
+                    % 16777216L).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val frame = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", frame)
+            dos.writeInt(frame.size())
+            frame.writeTo(dos)
+            f += 1
+          }
+          dos.flush()
+          MediaRow(id, "video/x-motion-png", out.toByteArray)
+        }
+      }
+  }
+
+  /** The video-decode pipeline: parse the container's length-prefixed
+    * layout, explode 1→N frames, run the REAL image codec on each — the
+    * distributed shape of any video ingest (demux on one row, decode per
+    * frame). Truncated/corrupt containers yield the frames that parsed
+    * plus one `ok = false` row, never a task failure.
+    */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoFrameFeatures] = {
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val frames = scala.collection.mutable.ArrayBuffer[VideoFrameFeatures]()
+        var idx = 0
+        var corrupt = false
+        while (!corrupt && buf.remaining() >= 4) {
+          val len = buf.getInt
+          if (len < 0 || len > buf.remaining()) corrupt = true
+          else {
+            val frame = new Array[Byte](len)
+            buf.get(frame)
+            val d = ImageIoDecoder.decode(MediaRow(r.media_id, "frame", frame))
+            frames += VideoFrameFeatures(r.media_id, idx,
+              d.width, d.height, d.checksum, d.ok)
+            idx += 1
+          }
+        }
+        if (corrupt || buf.remaining() > 0)
+          frames += VideoFrameFeatures(r.media_id, idx, 0, 0, 0L, ok = false)
+        frames
+      }
+    }
+  }
+
+  /** Gate entry for the video pipeline: container demux + per-frame real
+    * decodes, oracle-predicted frame for frame from the same integer
+    * arithmetic as [[videoMediaFromDocuments]].
+    */
+  def videoReport(spark: SparkSession, dir: String): DataFrame =
+    decodeVideo(videoMediaFromDocuments(spark, dir)).toDF()
+      .select("media_id", "frame_idx", "width", "height", "checksum", "ok")
+
   /** A sampled "frame" from a media payload (the video-pipeline shape:
     * one input row explodes into `frame_idx` rows of fixed-size chunks).
     */

@@ -921,6 +921,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(!_.ok))
   }
 
+  test("video pipeline demuxes the container and real-decodes every frame") {
+    val frames = Multimodal.videoReport(spark, dir).collect()
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(frames.length == ids.map(id => (id % 3 + 2).toInt).sum)
+    assert(frames.forall(_.getAs[Boolean]("ok")))
+    frames.foreach { r =>
+      val (id, f) = (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))
+      assert(r.getAs[Int]("width") == ((id + f * 7) % 12 + 1).toInt)
+      assert(r.getAs[Int]("height") == ((id + f * 5) % 8 + 1).toInt)
+    }
+  }
+
+  test("truncated video containers keep parsed frames and flag the tail") {
+    import spark.implicits._
+    val whole = Multimodal.videoMediaFromDocuments(spark, dir)
+      .collect().head
+    val cut = Multimodal.MediaRow(whole.media_id, whole.kind,
+      whole.payload.dropRight(3)) // sever the last frame mid-bytes
+    val out = Multimodal.decodeVideo(Seq(cut).toDS()).collect()
+    assert(out.count(_.ok) == (whole.media_id % 3 + 2).toInt - 1,
+      "all but the severed frame decode")
+    assert(out.count(!_.ok) == 1, "severed tail flagged, not thrown")
+  }
+
   test("ImageIoDecoder sandboxes non-image bytes as ok=false") {
     import spark.implicits._
     val media = Seq(
