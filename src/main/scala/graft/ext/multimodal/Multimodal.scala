@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of pandas-batch UDFs: amortize per-batch setup —
   * decoder init, model load — across a partition's rows).
   *
-  * Media decode is pluggable. For formats the JDK itself can decode
-  * (PNG/JPEG/GIF/BMP/TIFF via `javax.imageio`, headless-safe), the REAL
-  * codec runs ([[ImageIoDecoder]], gated end to end by
-  * `x_multimodal_decode`); for everything the container lacks codecs for
-  * (audio, video), [[StubDecoder.decode]] stands in with deterministic fake
-  * features from the payload bytes. Everything around the decoder — schema,
+  * Media decode is pluggable, and REAL wherever the JDK ships a codec:
+  * images through `javax.imageio` ([[ImageIoDecoder]], PNG/JPEG/GIF/BMP/
+  * TIFF, gated by `x_multimodal_decode`), audio through
+  * `javax.sound.sampled` ([[WavDecoder]], gated by `x_multimodal_audio`),
+  * and video as container demux + per-frame real decodes ([[decodeVideo]],
+  * gated by `x_multimodal_video` — inter-frame codecs like H.264 are the
+  * one remaining env wall). [[StubDecoder.decode]] survives as the
+  * deterministic stand-in for env-blocked codecs and as the text-payload
+  * fixture the original plumbing gates (`x_multimodal`, `_frames`,
+  * `_resize`) are oracled against. Everything around a decoder — schema,
   * batch shape, partition sizing, null/corrupt handling — is identical for
-  * both; swapping decoders changes only the function body.
+  * all of them; swapping decoders changes only the function body.
   */
 object Multimodal {
 
@@ -186,23 +190,33 @@ object Multimodal {
         ids.map { id =>
           val w = (id % 16 + 1).toInt
           val h = (id % 12 + 1).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y,
-                ((id * 1009L + x * 37L + y * 101L) % 16777216L).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          MediaRow(id, "image/png", baos.toByteArray)
+          MediaRow(id, "image/png", encodePng(w, h,
+            (x, y) => ((id * 1009L + x * 37L + y * 101L) % 16777216L).toInt))
         }
       }
+  }
+
+  /** Encode one deterministic RGB image to real PNG bytes: the shared
+    * fixture builder behind the image and video gates (`pixel(x, y)` must
+    * return a 24-bit value; PNG + TYPE_INT_RGB round-trips it losslessly).
+    * Callers must have disabled the ImageIO disk cache for the partition.
+    */
+  private def encodePng(w: Int, h: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, pixel(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** Gate entry for the REAL codec path: encode → [[ImageIoDecoder]] →
@@ -236,21 +250,33 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = in.getFormat
-        val pcm = in.readAllBytes()
-        in.close()
-        // 16-bit little-endian signed mono is the fixture contract; fold
-        // samples re-normalized to 0..65535 so the oracle needs no sign math
-        var acc = 0L
-        var i = 0
-        var n = 0
-        while (i + 1 < pcm.length) {
-          val sample = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)) + 32768
-          acc = (acc * 31L + sample) % 1000000007L
-          i += 2
-          n += 1
+        // the fold below is only meaningful for 16-bit signed little-endian
+        // PCM; any other JDK-parseable layout (AIFF/AU big-endian, 8-bit,
+        // multi-channel) must downgrade to ok=false, never fold garbage
+        val supported =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getChannels == 1
+        if (!supported) {
+          in.close()
+          AudioFeatures(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
+        } else {
+          val pcm = in.readAllBytes()
+          in.close()
+          // fold samples re-normalized to 0..65535 so the oracle needs no
+          // sign math
+          var acc = 0L
+          var i = 0
+          var n = 0
+          while (i + 1 < pcm.length) {
+            val sample = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)) + 32768
+            acc = (acc * 31L + sample) % 1000000007L
+            i += 2
+            n += 1
+          }
+          AudioFeatures(r.media_id, r.kind, n, fmt.getSampleRate.toInt,
+            fmt.getChannels, acc, ok = true)
         }
-        AudioFeatures(r.media_id, r.kind, n, fmt.getSampleRate.toInt,
-          fmt.getChannels, acc, ok = true)
       } catch {
         case _: Exception =>
           AudioFeatures(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
@@ -335,23 +361,11 @@ object Multimodal {
           while (f < nFrames) {
             val w = ((id + f * 7) % 12 + 1).toInt
             val h = ((id + f * 5) % 8 + 1).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                img.setRGB(x, y,
-                  ((id * 1009L + f * 499L + x * 37L + y * 101L)
-                    % 16777216L).toInt)
-                x += 1
-              }
-              y += 1
-            }
-            val frame = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", frame)
-            dos.writeInt(frame.size())
-            frame.writeTo(dos)
+            val frame = encodePng(w, h, (x, y) =>
+              ((id * 1009L + f * 499L + x * 37L + y * 101L)
+                % 16777216L).toInt)
+            dos.writeInt(frame.length)
+            dos.write(frame)
             f += 1
           }
           dos.flush()
@@ -388,7 +402,10 @@ object Multimodal {
             idx += 1
           }
         }
-        if (corrupt || buf.remaining() > 0)
+        // emit the sandbox row for a severed tail AND for a null/empty
+        // payload — every media_id must appear in the output (the same
+        // contract as the scalar decoders' ok=false rows)
+        if (corrupt || buf.remaining() > 0 || frames.isEmpty)
           frames += VideoFrameFeatures(r.media_id, idx, 0, 0, 0L, ok = false)
         frames
       }

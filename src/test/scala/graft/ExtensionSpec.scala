@@ -934,6 +934,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("empty/null video payloads emit one ok=false row, never vanish") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/x-motion-png", Array.empty[Byte]),
+      Multimodal.MediaRow(2L, "video/x-motion-png", null)
+    ).toDS()
+    val out = Multimodal.decodeVideo(media).collect()
+    assert(out.map(_.media_id).sorted.toSeq == Seq(1L, 2L))
+    assert(out.forall(f => !f.ok && f.frame_idx == 0))
+  }
+
+  test("WavDecoder downgrades non-16-bit-LE-mono layouts to ok=false") {
+    // a genuine 8-bit WAV parses fine in the JDK but violates the fold's
+    // sample contract — it must come back ok=false, not a garbage checksum
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val out = Multimodal.WavDecoder.decode(
+      Multimodal.MediaRow(1L, "audio/wav", baos.toByteArray))
+    assert(!out.ok, s"8-bit WAV must be rejected, got $out")
+  }
+
   test("truncated video containers keep parsed frames and flag the tail") {
     import spark.implicits._
     val whole = Multimodal.videoMediaFromDocuments(spark, dir)
