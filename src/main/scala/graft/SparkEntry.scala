@@ -143,6 +143,7 @@ object SparkEntry {
     "x_multimodal_frames" -> Multimodal.frameReport _,
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
     "x_multimodal_video" -> Multimodal.videoReport _,
+    "x_multimodal_vstats" -> Multimodal.videoStats _,
     // gate form uses literal integer hyperplanes (sign of an exact int64
     // dot product) so bucket assignment — and therefore the whole recall
     // report — is DuckDB-reproducible; production keeps hash-seeded
@@ -1267,6 +1268,31 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
         |  true AS ok
         |FROM f""".stripMargin,
+    // decode → aggregate composition: per-media rollup of the real-decoded
+    // frames; the oracle aggregates the same per-frame arithmetic
+    "x_multimodal_vstats" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    (doc_id + fi * 7) % 12 + 1 AS w,
+        |    (doc_id + fi * 5) % 8 + 1 AS h,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        range(0, ((doc_id + fi * 7) % 12 + 1)
+        |                * ((doc_id + fi * 5) % 8 + 1)),
+        |        i -> (doc_id * 1009 + fi * 499
+        |              + (i % ((doc_id + fi * 7) % 12 + 1)) * 37
+        |              + (i // ((doc_id + fi * 7) % 12 + 1)) * 101)
+        |             % 16777216)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS cs
+        |  FROM f)
+        |SELECT doc_id AS media_id, count(*) AS n_frames,
+        |  CAST(sum(w * h) AS BIGINT) AS total_pixels,
+        |  CAST(max(w) AS INTEGER) AS max_width,
+        |  CAST(sum(cs) AS BIGINT) AS checksum_sum
+        |FROM p GROUP BY doc_id""".stripMargin,
     // resize keeps every 4th byte; the oracle rebuilds the decimated
     // payload with substr and hash-pins it with the same checksum fold
     "x_multimodal_resize" ->

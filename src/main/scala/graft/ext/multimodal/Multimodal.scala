@@ -420,6 +420,20 @@ object Multimodal {
     decodeVideo(videoMediaFromDocuments(spark, dir)).toDF()
       .select("media_id", "frame_idx", "width", "height", "checksum", "ok")
 
+  /** Per-media rollup of the REAL-decoded frames — the decode → aggregate
+    * composition every media pipeline ends in (dedup stats, size budgets,
+    * sampling decisions run on exactly this shape). One shuffle on
+    * `media_id` after the narrow demux+decode pass; order-free aggregates
+    * (count/sum/max) so the result is partitioning-independent.
+    */
+  def videoStats(spark: SparkSession, dir: String): DataFrame =
+    decodeVideo(videoMediaFromDocuments(spark, dir)).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        max(col("width")).as("max_width"),
+        sum(col("checksum")).as("checksum_sum"))
+
   /** A sampled "frame" from a media payload (the video-pipeline shape:
     * one input row explodes into `frame_idx` rows of fixed-size chunks).
     */
