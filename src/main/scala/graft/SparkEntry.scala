@@ -89,6 +89,7 @@ object SparkEntry {
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
+    "x_dedup_lines"      -> ((s, d) => TextDedup.removeRepeatedLines(s, d)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
@@ -766,6 +767,32 @@ object SparkEntry {
     // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
     // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
     // so the result equals the exhaustive n-gram join.
+    // corpus-level repeated-line removal (C4/RefinedWeb boilerplate step):
+    // 3-token windows, drop lines in >= 3 distinct docs, reassemble in order
+    "x_dedup_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 2) // 3)) AS line_idx
+        |  FROM toks),
+        |lines AS (
+        |  SELECT doc_id, line_idx,
+        |    array_to_string(t[line_idx*3+1 : line_idx*3+3], ' ') AS line
+        |  FROM idx),
+        |hot AS (
+        |  SELECT line FROM lines
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS kept_lines,
+        |    string_agg(line, ' ' ORDER BY line_idx) AS cleaned_text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+        |  GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "x_dedup_minhash" -> ngramJaccardOracle,
     // exhaustive odd(delta)-vs-even(index) join — banding recall is
     // complete at 0.8 (the symmetric yardstick covers every true pair)

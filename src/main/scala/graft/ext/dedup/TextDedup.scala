@@ -20,6 +20,53 @@ object TextDedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Corpus-level repeated-line removal — the C4/RefinedWeb boilerplate
+    * step: lines occurring in ≥ `minDocs` DISTINCT documents (nav bars,
+    * footers, licence blurbs) are dropped from every document, and each
+    * document is reassembled from its surviving lines in order. "Lines"
+    * here are fixed `lineTokens`-token windows (the fixture has no layout
+    * newlines; swapping the splitter for `split(text, '\n')` is the only
+    * change for real web text).
+    *
+    * Shape at 100 TB: one narrow explode (doc → lines, no shuffle), one
+    * aggregation on line content for document frequency, a left-anti join
+    * back, and one per-doc re-aggregation — the same two-shuffle budget as
+    * any groupBy+join. The gated form groups on the line STRING so the
+    * DuckDB oracle replays it exactly; production would group on
+    * `xxhash64(line)` to keep shuffle rows 8 bytes (SCALE.md skew notes
+    * apply — a boilerplate line IS a hot key, and the doc-frequency
+    * aggregate partial-combines it map-side).
+    */
+  def removeRepeatedLines(spark: SparkSession, dir: String,
+      lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
+    val lines = docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), // Column./ is float division; floor+cast for the
+          floor((size(col("t")) - 1) / lineTokens).cast("int")), // int seq
+        j => concat_ws(" ",
+          slice(col("t"), j * lineTokens + 1, lit(lineTokens))))))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s("line"))).as("cleaned_text"))
+    // left join from the per-doc line totals: a document whose every line
+    // is boilerplate must surface as (kept_lines = 0, ''), not vanish
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Exact dedup accounting by content hash, per source: documents vs unique
     * documents (md5 — portable to every oracle engine).
     */
