@@ -1318,7 +1318,8 @@ object SparkEntry {
         |SELECT doc_id AS media_id, count(*) AS n_frames,
         |  CAST(sum(w * h) AS BIGINT) AS total_pixels,
         |  CAST(max(w) AS INTEGER) AS max_width,
-        |  CAST(sum(cs) AS BIGINT) AS checksum_sum
+        |  CAST(sum(cs) AS BIGINT) AS checksum_sum,
+        |  CAST(0 AS BIGINT) AS n_corrupt
         |FROM p GROUP BY doc_id""".stripMargin,
     // resize keeps every 4th byte; the oracle rebuilds the decimated
     // payload with substr and hash-pins it with the same checksum fold

@@ -28,43 +28,44 @@ object TextDedup {
     * newlines; swapping the splitter for `split(text, '\n')` is the only
     * change for real web text).
     *
-    * Shape at 100 TB: one narrow explode (doc → lines, no shuffle), one
-    * aggregation on line content for document frequency, a left-anti join
-    * back, and one per-doc re-aggregation — the same two-shuffle budget as
-    * any groupBy+join. The gated form groups on the line STRING so the
-    * DuckDB oracle replays it exactly; production would group on
-    * `xxhash64(line)` to keep shuffle rows 8 bytes (SCALE.md skew notes
-    * apply — a boilerplate line IS a hot key, and the doc-frequency
-    * aggregate partial-combines it map-side).
+    * Shape at 100 TB: the canonical two-pass boilerplate budget — pass one
+    * aggregates line document-frequency, pass two rewrites each document
+    * with the (small, aggregated) hot-line set joined on as a marker; all
+    * per-doc outputs (totals, kept count, reassembled text) come from ONE
+    * final groupBy, so no third scan and no doc-vanishing edge. The gated
+    * form joins on the line STRING so the DuckDB oracle replays it
+    * exactly; production would use `xxhash64(line)` to keep shuffle rows
+    * 8 bytes (SCALE.md skew notes apply — a boilerplate line IS a hot
+    * key, and the doc-frequency aggregate partial-combines it map-side).
     */
   def removeRepeatedLines(spark: SparkSession, dir: String,
       lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
+    // posexplode_outer + count(col) semantics: a NULL/empty text yields a
+    // single null line that counts as zero lines — every doc_id surfaces
     val lines = docs(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
-      .select(col("doc_id"), posexplode(transform(
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode_outer(transform(
         sequence(lit(0), // Column./ is float division; floor+cast for the
           floor((size(col("t")) - 1) / lineTokens).cast("int")), // int seq
         j => concat_ws(" ",
           slice(col("t"), j * lineTokens + 1, lit(lineTokens))))))
       .withColumnRenamed("pos", "line_idx")
       .withColumnRenamed("col", "line")
-    val hot = lines.groupBy(col("line"))
+    val hot = lines.where(col("line").isNotNull)
+      .groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("line"))
-    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .select(col("line"), lit(true).as("hot"))
+    val keep = col("line").isNotNull && col("hot").isNull
+    lines.join(hot, Seq("line"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_lines"),
+      .agg(count(col("line")).as("n_lines"),
+        count(when(keep, lit(1))).as("kept_lines"),
+        // collect_list skips the nulls the `when` leaves for dropped lines
         concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          array_sort(collect_list(
+            when(keep, struct(col("line_idx"), col("line"))))),
           s => s("line"))).as("cleaned_text"))
-    // left join from the per-doc line totals: a document whose every line
-    // is boilerplate must surface as (kept_lines = 0, ''), not vanish
-    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** Exact dedup accounting by content hash, per source: documents vs unique

@@ -427,12 +427,23 @@ object Multimodal {
     * (count/sum/max) so the result is partitioning-independent.
     */
   def videoStats(spark: SparkSession, dir: String): DataFrame =
-    decodeVideo(videoMediaFromDocuments(spark, dir)).toDF()
+    videoStatsOf(decodeVideo(videoMediaFromDocuments(spark, dir)))
+
+  /** [[videoStats]] over an existing frame set — the rollup alone. */
+  def videoStatsOf(frames: Dataset[VideoFrameFeatures]): DataFrame =
+    frames.toDF()
       .groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(col("width").cast("long") * col("height")).as("total_pixels"),
-        max(col("width")).as("max_width"),
-        sum(col("checksum")).as("checksum_sum"))
+      // sentinel (ok=false) rows must never masquerade as frames: frame
+      // aggregates run over ok rows only, corruption gets its own column
+      .agg(count(when(col("ok"), lit(1))).as("n_frames"),
+        coalesce(sum(when(col("ok"),
+          col("width").cast("long") * col("height"))), lit(0L))
+          .as("total_pixels"),
+        coalesce(max(when(col("ok"), col("width"))), lit(0))
+          .as("max_width"),
+        coalesce(sum(when(col("ok"), col("checksum"))), lit(0L))
+          .as("checksum_sum"),
+        count(when(!col("ok"), lit(1))).as("n_corrupt"))
 
   /** A sampled "frame" from a media payload (the video-pipeline shape:
     * one input row explodes into `frame_idx` rows of fixed-size chunks).

@@ -960,6 +960,47 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.ok, s"8-bit WAV must be rejected, got $out")
   }
 
+  test("videoStats never counts sentinel rows as frames") {
+    import spark.implicits._
+    val frames = Seq(
+      Multimodal.VideoFrameFeatures(1L, 0, 4, 3, 10L, ok = true),
+      Multimodal.VideoFrameFeatures(1L, 1, 6, 2, 20L, ok = true),
+      Multimodal.VideoFrameFeatures(1L, 2, 0, 0, 0L, ok = false), // severed
+      Multimodal.VideoFrameFeatures(2L, 0, 0, 0, 0L, ok = false)  // empty
+    ).toDS()
+    val out = Multimodal.videoStatsOf(frames).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_frames") == 2 &&
+      out(1L).getAs[Long]("total_pixels") == 24 &&
+      out(1L).getAs[Int]("max_width") == 6 &&
+      out(1L).getAs[Long]("checksum_sum") == 30 &&
+      out(1L).getAs[Long]("n_corrupt") == 1)
+    assert(out(2L).getAs[Long]("n_frames") == 0 &&
+      out(2L).getAs[Long]("total_pixels") == 0 &&
+      out(2L).getAs[Long]("n_corrupt") == 1,
+      "all-corrupt media must report zero frames, not vanish or crash")
+  }
+
+  test("repeated-line removal surfaces null-text docs as zero-line rows") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_lines_null").toString
+    Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = graft.ext.dedup.TextDedup
+      .removeRepeatedLines(spark, scratch, lineTokens = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every doc_id surfaces")
+    // within-ONE-doc repetition is df=1, not boilerplate: both lines stay
+    assert(out(1L).getAs[Long]("n_lines") == 2 &&
+      out(1L).getAs[Long]("kept_lines") == 2 &&
+      out(1L).getAs[String]("cleaned_text") == "a b c a b c")
+    assert(out(2L).getAs[Long]("n_lines") == 0 &&
+      out(2L).getAs[Long]("kept_lines") == 0 &&
+      out(2L).getAs[String]("cleaned_text") == "",
+      "null-text doc surfaces as a zero-line row, never vanishes")
+  }
+
   test("truncated video containers keep parsed frames and flag the tail") {
     import spark.implicits._
     val whole = Multimodal.videoMediaFromDocuments(spark, dir)
