@@ -788,7 +788,12 @@ object SparkEntry {
         |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
         |  GROUP BY doc_id),
         |tot AS (
-        |  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |  -- rooted at documents, not lines: a NULL-text doc has no line
+        |  -- rows yet must still surface as a zero-line row (Spark side
+        |  -- pins this via posexplode_outer + count(line))
+        |  SELECT d.doc_id, count(l.line) AS n_lines
+        |  FROM documents d LEFT JOIN lines l USING (doc_id)
+        |  GROUP BY d.doc_id)
         |SELECT t.doc_id, t.n_lines,
         |  CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
         |  COALESCE(k.cleaned_text, '') AS cleaned_text
@@ -1278,49 +1283,20 @@ object SparkEntry {
     // container and real-decodes every frame; the oracle unnests the frame
     // range and replays the per-frame pixel arithmetic without decoding
     "x_multimodal_video" ->
-      """WITH f AS (
-        |  SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
-        |  FROM documents)
-        |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
-        |  CAST((doc_id + fi * 7) % 12 + 1 AS INTEGER) AS width,
-        |  CAST((doc_id + fi * 5) % 8 + 1 AS INTEGER) AS height,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(
-        |      range(0, ((doc_id + fi * 7) % 12 + 1)
-        |              * ((doc_id + fi * 5) % 8 + 1)),
-        |      i -> (doc_id * 1009 + fi * 499
-        |            + (i % ((doc_id + fi * 7) % 12 + 1)) * 37
-        |            + (i // ((doc_id + fi * 7) % 12 + 1)) * 101)
-        |           % 16777216)),
-        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
-        |  true AS ok
-        |FROM f""".stripMargin,
+      s"""WITH p AS ($videoFramesOracle)
+         |SELECT doc_id AS media_id, fi AS frame_idx, w AS width,
+         |  h AS height, cs AS checksum, true AS ok
+         |FROM p""".stripMargin,
     // decode → aggregate composition: per-media rollup of the real-decoded
     // frames; the oracle aggregates the same per-frame arithmetic
     "x_multimodal_vstats" ->
-      """WITH f AS (
-        |  SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id,
-        |    (doc_id + fi * 7) % 12 + 1 AS w,
-        |    (doc_id + fi * 5) % 8 + 1 AS h,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(
-        |        range(0, ((doc_id + fi * 7) % 12 + 1)
-        |                * ((doc_id + fi * 5) % 8 + 1)),
-        |        i -> (doc_id * 1009 + fi * 499
-        |              + (i % ((doc_id + fi * 7) % 12 + 1)) * 37
-        |              + (i // ((doc_id + fi * 7) % 12 + 1)) * 101)
-        |             % 16777216)),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS cs
-        |  FROM f)
-        |SELECT doc_id AS media_id, count(*) AS n_frames,
-        |  CAST(sum(w * h) AS BIGINT) AS total_pixels,
-        |  CAST(max(w) AS INTEGER) AS max_width,
-        |  CAST(sum(cs) AS BIGINT) AS checksum_sum,
-        |  CAST(0 AS BIGINT) AS n_corrupt
-        |FROM p GROUP BY doc_id""".stripMargin,
+      s"""WITH p AS ($videoFramesOracle)
+         |SELECT doc_id AS media_id, count(*) AS n_frames,
+         |  CAST(sum(w * h) AS BIGINT) AS total_pixels,
+         |  CAST(max(w) AS INTEGER) AS max_width,
+         |  CAST(sum(cs) AS BIGINT) AS checksum_sum,
+         |  CAST(0 AS BIGINT) AS n_corrupt
+         |FROM p GROUP BY doc_id""".stripMargin,
     // resize keeps every 4th byte; the oracle rebuilds the decimated
     // payload with substr and hash-pins it with the same checksum fold
     "x_multimodal_resize" ->
@@ -1613,6 +1589,27 @@ object SparkEntry {
       |    AS temperature,
       |  CAST((station_id * 3 + s_no * 23) % 61 AS INTEGER) AS wind_speed
       |FROM g""".stripMargin
+
+  /** Shared by `x_multimodal_video` and `x_multimodal_vstats`: the
+    * per-frame (doc_id, fi, w, h, cs) table replaying the motion-PNG
+    * fixture's integer pixel arithmetic — one definition so the frame
+    * formulae can never drift between the per-frame and rollup gates.
+    */
+  private val videoFramesOracle =
+    """SELECT doc_id, CAST(fi AS INTEGER) AS fi,
+      |  CAST((doc_id + fi * 7) % 12 + 1 AS INTEGER) AS w,
+      |  CAST((doc_id + fi * 5) % 8 + 1 AS INTEGER) AS h,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(
+      |      range(0, ((doc_id + fi * 7) % 12 + 1)
+      |              * ((doc_id + fi * 5) % 8 + 1)),
+      |      i -> (doc_id * 1009 + fi * 499
+      |            + (i % ((doc_id + fi * 7) % 12 + 1)) * 37
+      |            + (i // ((doc_id + fi * 7) % 12 + 1)) * 101)
+      |           % 16777216)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS cs
+      |FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
+      |      FROM documents)""".stripMargin
 
   private val nearDupComponentsCte =
     """WITH RECURSIVE toks AS (

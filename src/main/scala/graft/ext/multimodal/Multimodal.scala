@@ -412,12 +412,37 @@ object Multimodal {
     }
   }
 
+  private val frameMemo = new graft.util.LruMemo[DataFrame](4)
+
+  /** Drop memoized frame sets (e.g. after a corpus rewrite). */
+  def clearFrameMemo(): Unit = frameMemo.clear()
+
+  /** The decoded frame table behind a per-process memo: the PNG encode +
+    * demux + per-frame decode is the expensive part of both video gates
+    * (`x_multimodal_video` per-frame, `x_multimodal_vstats` rollup), so
+    * the first caller materializes it with an eager `localCheckpoint` and
+    * the second reads the checkpointed blocks — the same shared-artifact
+    * shape as `TextDedup.dedupClustersShared`. At 100 TB the analog is
+    * writing the frame table to scratch storage once per media snapshot.
+    */
+  def decodedVideoFramesShared(spark: SparkSession,
+      dir: String): DataFrame = {
+    val key = Seq(spark.sparkContext.applicationId, dir).mkString("|")
+    frameMemo.get(key) match {
+      case Some(cached) => cached
+      case None =>
+        val computed = decodeVideo(videoMediaFromDocuments(spark, dir))
+          .toDF().localCheckpoint(true)
+        frameMemo.putIfAbsent(key, computed)
+    }
+  }
+
   /** Gate entry for the video pipeline: container demux + per-frame real
     * decodes, oracle-predicted frame for frame from the same integer
     * arithmetic as [[videoMediaFromDocuments]].
     */
   def videoReport(spark: SparkSession, dir: String): DataFrame =
-    decodeVideo(videoMediaFromDocuments(spark, dir)).toDF()
+    decodedVideoFramesShared(spark, dir)
       .select("media_id", "frame_idx", "width", "height", "checksum", "ok")
 
   /** Per-media rollup of the REAL-decoded frames — the decode → aggregate
@@ -427,11 +452,14 @@ object Multimodal {
     * (count/sum/max) so the result is partitioning-independent.
     */
   def videoStats(spark: SparkSession, dir: String): DataFrame =
-    videoStatsOf(decodeVideo(videoMediaFromDocuments(spark, dir)))
+    videoStatsDf(decodedVideoFramesShared(spark, dir))
 
   /** [[videoStats]] over an existing frame set — the rollup alone. */
   def videoStatsOf(frames: Dataset[VideoFrameFeatures]): DataFrame =
-    frames.toDF()
+    videoStatsDf(frames.toDF())
+
+  private def videoStatsDf(frames: DataFrame): DataFrame =
+    frames
       .groupBy(col("media_id"))
       // sentinel (ok=false) rows must never masquerade as frames: frame
       // aggregates run over ok rows only, corruption gets its own column

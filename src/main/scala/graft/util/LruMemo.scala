@@ -15,7 +15,7 @@ private[graft] final class LruMemo[V <: AnyRef](maxEntries: Int) {
   private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
     override def removeEldestEntry(
         eldest: java.util.Map.Entry[String, V]): Boolean =
-      size > maxEntries
+      this.size > maxEntries
   }
 
   def get(key: String): Option[V] = map.synchronized(Option(map.get(key)))

@@ -208,6 +208,26 @@ class TextDedupSpec extends SparkSpec {
       assert(members.map(_.getLong(0)).min == cid)
     }
   }
+
+  test("repeated-line removal surfaces null-text docs as zero-line rows") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_lines_null").toString
+    Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextDedup
+      .removeRepeatedLines(spark, scratch, lineTokens = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every doc_id surfaces")
+    // within-ONE-doc repetition is df=1, not boilerplate: both lines stay
+    assert(out(1L).getAs[Long]("n_lines") == 2 &&
+      out(1L).getAs[Long]("kept_lines") == 2 &&
+      out(1L).getAs[String]("cleaned_text") == "a b c a b c")
+    assert(out(2L).getAs[Long]("n_lines") == 0 &&
+      out(2L).getAs[Long]("kept_lines") == 0 &&
+      out(2L).getAs[String]("cleaned_text") == "",
+      "null-text doc surfaces as a zero-line row, never vanishes")
+  }
 }
 
 class IncrementalClusterSpec extends SparkSpec {
@@ -979,26 +999,6 @@ class MultimodalSpec extends SparkSpec {
       out(2L).getAs[Long]("total_pixels") == 0 &&
       out(2L).getAs[Long]("n_corrupt") == 1,
       "all-corrupt media must report zero frames, not vanish or crash")
-  }
-
-  test("repeated-line removal surfaces null-text docs as zero-line rows") {
-    import spark.implicits._
-    val scratch = graft.util.Scratch.dir("graft_lines_null").toString
-    Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]), (3L, ""))
-      .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
-    val out = graft.ext.dedup.TextDedup
-      .removeRepeatedLines(spark, scratch, lineTokens = 3, minDocs = 2)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(out.keySet == Set(1L, 2L, 3L), "every doc_id surfaces")
-    // within-ONE-doc repetition is df=1, not boilerplate: both lines stay
-    assert(out(1L).getAs[Long]("n_lines") == 2 &&
-      out(1L).getAs[Long]("kept_lines") == 2 &&
-      out(1L).getAs[String]("cleaned_text") == "a b c a b c")
-    assert(out(2L).getAs[Long]("n_lines") == 0 &&
-      out(2L).getAs[Long]("kept_lines") == 0 &&
-      out(2L).getAs[String]("cleaned_text") == "",
-      "null-text doc surfaces as a zero-line row, never vanishes")
   }
 
   test("truncated video containers keep parsed frames and flag the tail") {
