@@ -90,6 +90,11 @@ object SparkEntry {
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
     "x_dedup_lines"      -> ((s, d) => TextDedup.removeRepeatedLines(s, d)),
+    // same operator keyed on xxhash64(line) — the 8-byte-shuffle
+    // production shape; the string-keyed oracle verifies it because the
+    // results are hash-collision-free by construction
+    "x_dedup_lines_hashed" -> ((s, d) =>
+      TextDedup.removeRepeatedLines(s, d, hashKeys = true)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
@@ -138,6 +143,9 @@ object SparkEntry {
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
+    // SemDeDup (cluster -> within-cluster lower-id prune) with literal
+    // integer hyperplane clusters + planted twins, fully DuckDB-oracled
+    "x_embed_semdedup"   -> ((s, d) => Similarity.semDedupGate(s, d)),
     "x_multimodal"       -> Multimodal.mediaFeatures _,
     "x_multimodal_audio" -> Multimodal.audioReport _,
     "x_multimodal_decode" -> Multimodal.decodeReport _,
@@ -769,35 +777,10 @@ object SparkEntry {
     // so the result equals the exhaustive n-gram join.
     // corpus-level repeated-line removal (C4/RefinedWeb boilerplate step):
     // 3-token windows, drop lines in >= 3 distinct docs, reassemble in order
-    "x_dedup_lines" ->
-      """WITH toks AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
-        |idx AS (
-        |  SELECT doc_id, t, unnest(range(0, (len(t) + 2) // 3)) AS line_idx
-        |  FROM toks),
-        |lines AS (
-        |  SELECT doc_id, line_idx,
-        |    array_to_string(t[line_idx*3+1 : line_idx*3+3], ' ') AS line
-        |  FROM idx),
-        |hot AS (
-        |  SELECT line FROM lines
-        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
-        |kept AS (
-        |  SELECT doc_id, count(*) AS kept_lines,
-        |    string_agg(line, ' ' ORDER BY line_idx) AS cleaned_text
-        |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
-        |  GROUP BY doc_id),
-        |tot AS (
-        |  -- rooted at documents, not lines: a NULL-text doc has no line
-        |  -- rows yet must still surface as a zero-line row (Spark side
-        |  -- pins this via posexplode_outer + count(line))
-        |  SELECT d.doc_id, count(l.line) AS n_lines
-        |  FROM documents d LEFT JOIN lines l USING (doc_id)
-        |  GROUP BY d.doc_id)
-        |SELECT t.doc_id, t.n_lines,
-        |  CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
-        |  COALESCE(k.cleaned_text, '') AS cleaned_text
-        |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "x_dedup_lines" -> repeatedLinesOracle,
+    // the xxhash64-keyed production shape computes the identical result
+    // (hash collisions aside), so the same string-keyed SQL verifies it
+    "x_dedup_lines_hashed" -> repeatedLinesOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
     // exhaustive odd(delta)-vs-even(index) join — banding recall is
     // complete at 0.8 (the symmetric yardstick covers every true pair)
@@ -1117,6 +1100,39 @@ object SparkEntry {
         |FROM un a JOIN un b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.8""".stripMargin,
+    // SemDeDup: literal-integer-plane clusters (the x_knn_recall bucket
+    // replay) over the twin-planted corpus, then within-cluster
+    // "lower-id dup neighbor" pruning — every flag replayed exactly
+    "x_embed_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |codes AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS c
+        |  FROM corpus),
+        |dots AS (
+        |  SELECT vec_id, b,
+        |    sum(c[CAST(i AS INT)] * ((i * (b + 1) + 7 * b) % 5 - 2)) AS dot
+        |  FROM codes, range(1, 65) t(i), range(0, 4) tb(b)
+        |  GROUP BY vec_id, b),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0
+        |    THEN 1 << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS cluster_id
+        |  FROM dots GROUP BY vec_id),
+        |pts AS (
+        |  SELECT c.vec_id, c.embedding, b.cluster_id
+        |  FROM corpus c JOIN buckets b USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM pts a JOIN pts b
+        |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.8)
+        |SELECT p.vec_id, p.cluster_id, d.vec_id IS NULL AS kept
+        |FROM pts p LEFT JOIN dropped d ON p.vec_id = d.vec_id""".stripMargin,
     // probes=256 covers all 2^8 buckets -> LSH degrades to exact brute force
     "x_ann_lsh" -> annTopkOracle,
     // nProbe = nLists -> IVF searches every list -> exact (reduced-probe
@@ -1589,6 +1605,41 @@ object SparkEntry {
       |    AS temperature,
       |  CAST((station_id * 3 + s_no * 23) % 61 AS INTEGER) AS wind_speed
       |FROM g""".stripMargin
+
+  /** Shared by `x_dedup_lines` (string-keyed) and `x_dedup_lines_hashed`
+    * (xxhash64-keyed): both compute the same boilerplate removal — the
+    * hash only narrows the shuffled key, never the answer — so one
+    * string-keyed replay verifies both.
+    */
+  private val repeatedLinesOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) + 2) // 3)) AS line_idx
+      |  FROM toks),
+      |lines AS (
+      |  SELECT doc_id, line_idx,
+      |    array_to_string(t[line_idx*3+1 : line_idx*3+3], ' ') AS line
+      |  FROM idx),
+      |hot AS (
+      |  SELECT line FROM lines
+      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+      |kept AS (
+      |  SELECT doc_id, count(*) AS kept_lines,
+      |    string_agg(line, ' ' ORDER BY line_idx) AS cleaned_text
+      |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+      |  GROUP BY doc_id),
+      |tot AS (
+      |  -- rooted at documents, not lines: a NULL-text doc has no line
+      |  -- rows yet must still surface as a zero-line row (Spark side
+      |  -- pins this via posexplode_outer + count(line))
+      |  SELECT d.doc_id, count(l.line) AS n_lines
+      |  FROM documents d LEFT JOIN lines l USING (doc_id)
+      |  GROUP BY d.doc_id)
+      |SELECT t.doc_id, t.n_lines,
+      |  CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+      |  COALESCE(k.cleaned_text, '') AS cleaned_text
+      |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin
 
   /** Shared by `x_multimodal_video` and `x_multimodal_vstats`: the
     * per-frame (doc_id, fi, w, h, cs) table replaying the motion-PNG

@@ -32,14 +32,20 @@ object TextDedup {
     * aggregates line document-frequency, pass two rewrites each document
     * with the (small, aggregated) hot-line set joined on as a marker; all
     * per-doc outputs (totals, kept count, reassembled text) come from ONE
-    * final groupBy, so no third scan and no doc-vanishing edge. The gated
-    * form joins on the line STRING so the DuckDB oracle replays it
-    * exactly; production would use `xxhash64(line)` to keep shuffle rows
-    * 8 bytes (SCALE.md skew notes apply — a boilerplate line IS a hot
-    * key, and the doc-frequency aggregate partial-combines it map-side).
+    * final groupBy, so no third scan and no doc-vanishing edge. With
+    * `hashKeys = false` the doc-frequency aggregate and marker join key on
+    * the line STRING, which the DuckDB oracle replays exactly; with
+    * `hashKeys = true` (the production shape, gated as
+    * `x_dedup_lines_hashed`) they key on `xxhash64(line)` so every
+    * shuffled key is 8 bytes regardless of line length — results are
+    * identical modulo 64-bit hash collisions, which is why the
+    * string-keyed oracle still verifies it (SCALE.md skew notes apply —
+    * a boilerplate line IS a hot key, and the doc-frequency aggregate
+    * partial-combines it map-side).
     */
   def removeRepeatedLines(spark: SparkSession, dir: String,
-      lineTokens: Int = 3, minDocs: Int = 3): DataFrame = {
+      lineTokens: Int = 3, minDocs: Int = 3,
+      hashKeys: Boolean = false): DataFrame = {
     // posexplode_outer + count(col) semantics: a NULL/empty text yields a
     // single null line that counts as zero lines — every doc_id surfaces
     val lines = docs(spark, dir)
@@ -51,13 +57,18 @@ object TextDedup {
           slice(col("t"), j * lineTokens + 1, lit(lineTokens))))))
       .withColumnRenamed("pos", "line_idx")
       .withColumnRenamed("col", "line")
+      // the join/agg key: the line itself, or its 64-bit hash (guarded so
+      // a null line keeps a NULL key and can never meet a hot marker)
+      .withColumn("k",
+        if (hashKeys) when(col("line").isNotNull, xxhash64(col("line")))
+        else col("line"))
     val hot = lines.where(col("line").isNotNull)
-      .groupBy(col("line"))
+      .groupBy(col("k"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("line"), lit(true).as("hot"))
+      .select(col("k"), lit(true).as("hot"))
     val keep = col("line").isNotNull && col("hot").isNull
-    lines.join(hot, Seq("line"), "left")
+    lines.join(hot, Seq("k"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("line")).as("n_lines"),
         count(when(keep, lit(1))).as("kept_lines"),

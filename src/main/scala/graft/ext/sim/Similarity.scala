@@ -245,6 +245,67 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): partition the embedding space into clusters, then
+    * within each cluster drop every vector that has a LOWER-id
+    * near-duplicate (cosine ≥ `threshold`) — one deterministic survivor
+    * per duplicate group. The paper clusters with k-means; here the
+    * cluster is the LSH hyperplane bucket (identical/near-identical
+    * vectors share a bucket structurally, and the bucket count is a pure
+    * dial), which keeps the within-cluster candidate join at SemDeDup's
+    * own O(Σ cluster²) cost model — `nBits` is the granularity knob that
+    * holds cells small at 100 TB, exactly like the paper's k ∝ n. Single
+    * pass, no iteration: "drop if ANY lower-id dup neighbor" equals
+    * keep-min-per-component when duplication is transitive inside a
+    * cluster (exact/near twins — the common case), and on a chain
+    * a~b~c (a≁c) it prunes b AND c, the deliberately aggressive end;
+    * transitive-closure survivors are [[graft.ext.dedup.TextDedup.dedupClusters]]'s
+    * contract. Returns every input row flagged, never a filtered corpus:
+    * (vec_id, cluster_id, kept) — the downstream filter is one
+    * `where(kept)`, and the flag table doubles as the audit artifact.
+    */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      nBits: Int = 8): DataFrame =
+    semDedupOf(emb(spark, dir), threshold,
+      e => graft.functions.HyperplaneBucket.hyperplane_bucket(e, nBits))
+
+  /** [[semDedup]] over any (vec_id, embedding) frame with a caller-chosen
+    * cluster assignment (k-means cell id, LSH bucket, …).
+    */
+  def semDedupOf(df: DataFrame, threshold: Double,
+      clusterOf: Column => Column): DataFrame = {
+    val b = df.select(col("vec_id"), col("embedding"))
+      .withColumn("cluster_id", clusterOf(col("embedding")))
+    val dropped = b.select(col("cluster_id"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(b.select(col("cluster_id"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cluster_id"))
+      .filter(col("v1") < col("v2") &&
+        round(cosine(col("e1"), col("e2")), 6) >= threshold)
+      .select(col("v2").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    b.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
+  /** Gate entry for [[semDedup]]: the natural corpus has no pair above
+    * cosine 0.8 (max ≈ 0.60), so — like [[embedNearDupGate]] — the gate
+    * PLANTS exact twins (`vec_id % 50 == 0` re-appears at
+    * `vec_id + 1_000_000`) and swaps the hash-seeded production buckets
+    * for [[integerPlaneBucket]]'s literal integer planes, making every
+    * cluster id, pair score, and keep decision DuckDB-replayable. The
+    * expected picture: every original vector kept, every planted twin
+    * pruned by its lower-id original (identical vectors share a bucket
+    * structurally, so the prune is certain, not probabilistic).
+    */
+  def semDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    semDedupOf(e.unionAll(twins), 0.8, c => integerPlaneBucket(c, 4))
+  }
+
   /** Exhaustive cosine pair join (yardstick for recall testing — O(n²)). */
   def cosineNearDupPairsExhaustive(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {

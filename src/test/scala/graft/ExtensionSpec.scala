@@ -228,6 +228,19 @@ class TextDedupSpec extends SparkSpec {
       out(2L).getAs[String]("cleaned_text") == "",
       "null-text doc surfaces as a zero-line row, never vanishes")
   }
+
+  test("hash-keyed repeated-line removal equals the string-keyed form") {
+    // the production shape shuffles 8-byte xxhash64 keys instead of line
+    // strings; the answer must be identical (collisions aside)
+    val byString = TextDedup.removeRepeatedLines(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val byHash = TextDedup.removeRepeatedLines(spark, dir, hashKeys = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(byHash == byString)
+    assert(byString.nonEmpty)
+  }
 }
 
 class IncrementalClusterSpec extends SparkSpec {
@@ -754,6 +767,46 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.integerPlaneBucket(col("embedding"), 4).as("b"))
       .agg(countDistinct(col("b"))).collect().head.getLong(0)
     assert(n >= 8, s"expected >= 8 of 16 buckets occupied, got $n")
+  }
+
+  test("semDedup keeps the lowest id per dup group and prunes chains hard") {
+    import spark.implicits._
+    // a~b and b~c near-dup (cos ≈ 0.9), a≁c (cos ≈ 0.62); d is far from
+    // all. One cluster for everyone → the pure prune rule is under test.
+    val df = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (20L, Seq(0.9f, 0.436f)),
+      (30L, Seq(0.62f, 0.785f)),
+      (40L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupOf(df, 0.8, _ => lit(0L)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // chain semantics: b pruned by a, c pruned by b (even though c≁a) —
+    // the documented aggressive end; transitive-closure keep is
+    // dedupClusters' contract, not this operator's
+    assert(out == Map(10L -> true, 20L -> false, 30L -> false, 40L -> true))
+  }
+
+  test("semDedup cluster boundaries shield cross-cluster near-dups") {
+    import spark.implicits._
+    // identical vectors in DIFFERENT caller-assigned clusters are not
+    // compared — cluster granularity is the recall dial, by design
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val split = Similarity.semDedupOf(df, 0.8, _ => col("vec_id") % 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(split == Map(1L -> true, 2L -> true))
+    val joined = Similarity.semDedupOf(df, 0.8, _ => lit(0L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(joined == Map(1L -> true, 2L -> false))
+  }
+
+  test("semDedup gate prunes exactly the planted twins") {
+    val out = Similarity.semDedupGate(spark, dir).collect()
+    val (twins, originals) = out.partition(_.getLong(0) >= 1000000L)
+    assert(twins.nonEmpty && twins.forall(!_.getBoolean(2)),
+      "every planted twin has a lower-id identical original in its bucket")
+    assert(originals.forall(_.getBoolean(2)),
+      "no natural pair reaches cosine 0.8 on this corpus")
   }
 }
 
