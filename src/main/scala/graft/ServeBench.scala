@@ -60,7 +60,7 @@ object ServeBench {
     val nStations = spark.read.parquet(s"$dir/events.parquet")
       .agg(org.apache.spark.sql.functions.countDistinct(
         org.apache.spark.sql.functions.col("user_id")))
-      .head.getLong(0).toInt
+      .head().getLong(0).toInt
     val latest = graft.core.LatestState.latest(
         graft.core.Normalize.toArchive(graft.gen.StationSource.messages(
           spark, nStations = nStations, perStation = 100)))

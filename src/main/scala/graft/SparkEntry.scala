@@ -136,6 +136,10 @@ object SparkEntry {
     "x_ann_ivfpq"        -> ((s, d) =>
       Similarity.ivfPqTopK(s, d, nLists = 16, nProbe = 16, rerank = 400)),
     "x_ann_lsh_indexed"  -> ((s, d) => Similarity.lshIndexedReport(s, d)),
+    // hybrid search: the same shared index probed WITH a metadata
+    // predicate (label = 3) pushed inside the pruned scan; full probes
+    // -> exact over the qualifying subset
+    "x_ann_filtered"     -> ((s, d) => Similarity.filteredAnnReport(s, d)),
     "x_ann_lsh_append"   -> ((s, d) => Similarity.lshIndexAppendReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_ann_ivf_append"   -> ((s, d) => Similarity.ivfIndexAppendReport(s, d)),
@@ -1148,6 +1152,15 @@ object SparkEntry {
     // the persisted partition-pruned index at probes=256 covers every
     // bucket directory -> equals brute force
     "x_ann_lsh_indexed" -> annTopkOracle,
+    // the filtered top-k is exact over the label = 3 subset at full
+    // probes, so the oracle is the brute-force filtered scan
+    "x_ann_filtered" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings WHERE vec_id <> 0 AND label = 3
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // persisted IVF index at nProbe = nLists -> equals brute force
     "x_ann_ivf_indexed" -> annTopkOracle,
     // index built from even ids + appended odd-id generation under the

@@ -114,11 +114,21 @@ object Similarity {
     * enumerated driver-side, and the literal `isin` lands in the scan's
     * PartitionFilters — only the probed bucket directories are listed and
     * read. `excludeVecId` drops a known corpus id from the result (for
-    * self-query comparisons against brute force).
+    * self-query comparisons against brute force). `labelEq` is the hybrid
+    * (filtered) search form: the metadata predicate is applied INSIDE the
+    * pruned index scan — parquet row-group pushdown on the label column,
+    * composing with the bucket partition pruning — so the top-k heap sees
+    * only qualifying rows and k results are guaranteed whenever ≥ k rows
+    * qualify. Post-filtering a plain top-k would return fewer than k
+    * under a selective predicate; pre-filtering thins each probed bucket
+    * instead, which is why a SELECTIVE filter should widen `probes` to
+    * hold recall (full probes stay exact by construction — the gate
+    * config).
     */
   def lshTopKIndexed(spark: SparkSession, indexPath: String,
       qVec: Array[Float], k: Int = 10, nBits: Int = 8, probes: Int = 32,
-      excludeVecId: Option[Long] = None): DataFrame = {
+      excludeVecId: Option[Long] = None,
+      labelEq: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
     val qb = qDf.select(
@@ -129,7 +139,9 @@ object Similarity {
       .take(probes)
     val idx = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(keep: _*))
-    val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    val labeled = labelEq.fold(idx)(l => idx.filter(col("label") === l))
+    val probed =
+      excludeVecId.fold(labeled)(id => labeled.filter(col("vec_id") =!= id))
     probed
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
@@ -138,20 +150,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** Gated indexed-ANN report: builds the index in a scratch dir, probes
-    * all buckets (exactness config) with vec 0's embedding — must equal
-    * brute force; the partition-pruned reduced-probe path is plan-asserted
-    * in SimilaritySpec. The gate uses nBits=6 (64 directories) to keep the
-    * index-write cost proportionate at bench scale; the operator default
-    * stays 8 bits.
+  private val indexMemo = new graft.util.LruMemo[String](4)
+
+  /** The gate-config LSH index (nBits = 6), built at most once per
+    * (session, corpus): both indexed-ANN gates probe the SAME immutable
+    * artifact, so the second gate reads the directories the first one
+    * wrote — the real serving topology (one index, many queries) instead
+    * of one build per query. Append/maintenance gates keep their own
+    * private paths because they mutate. A racing duplicate build lands in
+    * a second scratch dir; the loser is swept by the Scratch shutdown
+    * hook.
+    */
+  private def sharedLshIndex(spark: SparkSession, dir: String,
+      nBits: Int): String = {
+    val key = Seq(spark.sparkContext.applicationId, dir, nBits).mkString("|")
+    indexMemo.get(key) match {
+      case Some(p) => p
+      case None =>
+        val p = graft.util.Scratch.dir("graft_lsh_index_shared").toString
+        writeLshIndex(spark, dir, p, nBits)
+        indexMemo.putIfAbsent(key, p)
+    }
+  }
+
+  /** Gated indexed-ANN report: builds (or reuses) the shared scratch
+    * index, probes all buckets (exactness config) with vec 0's embedding —
+    * must equal brute force; the partition-pruned reduced-probe path is
+    * plan-asserted in SimilaritySpec. The gate uses nBits=6 (64
+    * directories) to keep the index-write cost proportionate at bench
+    * scale; the operator default stays 8 bits.
     */
   def lshIndexedReport(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = graft.util.Scratch.dir("graft_lsh_index").toString
-    writeLshIndex(spark, dir, indexPath, nBits = 6)
+    val indexPath = sharedLshIndex(spark, dir, nBits = 6)
     val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
       excludeVecId = Some(0L))
+  }
+
+  /** Gated filtered (hybrid) ANN: vector top-k restricted to a metadata
+    * predicate (`label = 3`) over the SAME shared index — the serving
+    * shape where every vector query carries a structured filter. Full
+    * probes make it exact over the qualifying subset, so the oracle is a
+    * brute-force filtered scan; the pushdown of the label predicate into
+    * the index scan is plan-asserted in SimilaritySpec.
+    */
+  def filteredAnnReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = sharedLshIndex(spark, dir, nBits = 6)
+    val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
+      excludeVecId = Some(0L), labelEq = Some(3))
   }
 
   /** Append a delta of vectors to an existing [[writeLshIndex]] index —

@@ -510,6 +510,39 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.collect().length == 10)
   }
 
+  test("filtered ANN: label predicate pushes into the index scan, exact at full probes") {
+    val indexPath = tmpDir("lsh_index_filtered")
+    Similarity.writeLshIndex(spark, dir, indexPath)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qVec = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    // brute-force filtered scan: the exact answer over the label-3 subset
+    val brute = e.filter(col("label") === 3 && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedLit(qVec.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val filtered = Similarity.lshTopKIndexed(spark, indexPath, qVec,
+      probes = 256, excludeVecId = Some(0L), labelEq = Some(3))
+    val got = filtered.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(brute), "full probes must be exact on the subset")
+    assert(got.nonEmpty)
+    // the predicate must reach the parquet scan (row-group pushdown), not
+    // run as a post-scan filter only — that's what makes pre-filtering
+    // cheaper than post-filtering at scale
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(label,3)"),
+      plan.take(1500))
+    // a selective filter with FEW probes can come up short of k — the
+    // documented reason the probe dial widens under selective predicates
+    val narrow = Similarity.lshTopKIndexed(spark, indexPath, qVec,
+      probes = 1, excludeVecId = Some(0L), labelEq = Some(3))
+      .collect().length
+    assert(narrow <= got.length)
+  }
+
   test("persisted IVF index prunes list directories and matches brute force") {
     val indexPath = tmpDir("ivf_index")
     val centroids = Similarity.writeIvfIndex(spark, dir, indexPath, nLists = 16)
