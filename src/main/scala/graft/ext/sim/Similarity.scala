@@ -152,6 +152,13 @@ object Similarity {
 
   private val indexMemo = new graft.util.LruMemo[String](4)
 
+  /** Drop memoized shared-index paths (e.g. after an in-session corpus
+    * rewrite at the same directory — the memo key is the PATH, not the
+    * content, so a rewritten corpus must invalidate explicitly; same
+    * contract as `TextDedup.clearClusterMemo`).
+    */
+  def clearIndexMemo(): Unit = indexMemo.clear()
+
   /** The gate-config LSH index (nBits = 6), built at most once per
     * (session, corpus): both indexed-ANN gates probe the SAME immutable
     * artifact, so the second gate reads the directories the first one
@@ -180,13 +187,8 @@ object Similarity {
     * directories) to keep the index-write cost proportionate at bench
     * scale; the operator default stays 8 bits.
     */
-  def lshIndexedReport(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = sharedLshIndex(spark, dir, nBits = 6)
-    val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
-      excludeVecId = Some(0L))
-  }
+  def lshIndexedReport(spark: SparkSession, dir: String): DataFrame =
+    sharedIndexReport(spark, dir, labelEq = None)
 
   /** Gated filtered (hybrid) ANN: vector top-k restricted to a metadata
     * predicate (`label = 3`) over the SAME shared index — the serving
@@ -195,12 +197,16 @@ object Similarity {
     * brute-force filtered scan; the pushdown of the label predicate into
     * the index scan is plan-asserted in SimilaritySpec.
     */
-  def filteredAnnReport(spark: SparkSession, dir: String): DataFrame = {
+  def filteredAnnReport(spark: SparkSession, dir: String): DataFrame =
+    sharedIndexReport(spark, dir, labelEq = Some(3))
+
+  private def sharedIndexReport(spark: SparkSession, dir: String,
+      labelEq: Option[Int]): DataFrame = {
     val indexPath = sharedLshIndex(spark, dir, nBits = 6)
     val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
-      excludeVecId = Some(0L), labelEq = Some(3))
+      excludeVecId = Some(0L), labelEq = labelEq)
   }
 
   /** Append a delta of vectors to an existing [[writeLshIndex]] index —
@@ -264,11 +270,19 @@ object Similarity {
     * `EmbedNearDupSpec`, which this gate complements rather than
     * replaces.
     */
-  def embedNearDupGate(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val twins = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    cosineNearDupPairsOf(e.unionAll(twins))
+  def embedNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairsOf(plantTwins(emb(spark, dir)))
+
+  /** The twin-planting convention shared by the embedding dedup gates
+    * (`x_embed_neardup`, `x_embed_semdedup`): every `vec_id % 50 == 0`
+    * vector re-appears under `vec_id + 1_000_000` with the same
+    * embedding. Both gates' DuckDB oracles replay exactly this union —
+    * one definition so the modulus/offset can never drift between them.
+    */
+  private def plantTwins(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    base.unionAll(base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
   }
 
   /** [[cosineNearDupPairs]] over any frame with (vec_id, embedding). */
@@ -323,8 +337,13 @@ object Similarity {
     */
   def semDedupOf(df: DataFrame, threshold: Double,
       clusterOf: Column => Column): DataFrame = {
+    // the clustered frame feeds both self-join sides and the final
+    // flag select; checkpoint it so the scan + cluster assignment (a
+    // nontrivial per-row expression) runs ONCE, not once per consumer —
+    // the 100 TB analog is writing the clustered corpus to scratch once
     val b = df.select(col("vec_id"), col("embedding"))
       .withColumn("cluster_id", clusterOf(col("embedding")))
+      .localCheckpoint(true)
     val dropped = b.select(col("cluster_id"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
       .join(b.select(col("cluster_id"), col("vec_id").as("v2"),
@@ -348,12 +367,9 @@ object Similarity {
     * pruned by its lower-id original (identical vectors share a bucket
     * structurally, so the prune is certain, not probabilistic).
     */
-  def semDedupGate(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val twins = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    semDedupOf(e.unionAll(twins), 0.8, c => integerPlaneBucket(c, 4))
-  }
+  def semDedupGate(spark: SparkSession, dir: String): DataFrame =
+    semDedupOf(plantTwins(emb(spark, dir)), 0.8,
+      c => integerPlaneBucket(c, 4))
 
   /** Exhaustive cosine pair join (yardstick for recall testing — O(n²)). */
   def cosineNearDupPairsExhaustive(spark: SparkSession, dir: String,

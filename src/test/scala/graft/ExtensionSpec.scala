@@ -535,12 +535,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
       plan.replaceAll("\\s", "").contains("EqualTo(label,3)"),
       plan.take(1500))
-    // a selective filter with FEW probes can come up short of k — the
-    // documented reason the probe dial widens under selective predicates
+    // a selective filter with FEW probes comes up short of k — the
+    // documented reason the probe dial widens under selective predicates:
+    // label=3 keeps ~1/selectivity of each probed bucket, so one bucket
+    // cannot fill the heap on this fixture (deterministic: fixed corpus,
+    // fixed hash planes)
     val narrow = Similarity.lshTopKIndexed(spark, indexPath, qVec,
       probes = 1, excludeVecId = Some(0L), labelEq = Some(3))
-      .collect().length
-    assert(narrow <= got.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(narrow.length < got.length,
+      s"probes=1 returned ${narrow.length} of ${got.length} — the probe " +
+        "dial no longer bites under the filter")
+    // every narrow-probe hit is a qualifying row (the filter held inside
+    // the pruned scan); NOT necessarily in the global top-k — a single
+    // bucket's best can rank below it, which is exactly the recall loss
+    val qualifying = e.filter(col("label") === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(narrow.forall(p => qualifying.contains(p._1)),
+      "a narrow-probe hit escaped the label predicate")
   }
 
   test("persisted IVF index prunes list directories and matches brute force") {
