@@ -357,6 +357,23 @@ object Similarity {
         (!coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** The paper-faithful SemDeDup form: clusters come from the SAME
+    * bounded-sample k-means the IVF family uses (one ≤`sampleSize`-row
+    * seeded driver fit, then distributed codegen assignment via
+    * `nearest_centroid`) instead of LSH buckets. Same downstream prune;
+    * k is the cell-size dial (the paper's k ∝ n). Spec-verified, not
+    * gated: learned float centroids aren't SQL-replayable — the gate
+    * form ([[semDedupGate]]) covers the oracle with literal planes.
+    */
+  def semDedupKmeans(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, k: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = ivfFitCentroidsOf(e, k)
+    semDedupOf(e, threshold,
+      c => graft.functions.NearestCentroid.nearest_centroid(c, centroids)
+        .cast("long"))
+  }
+
   /** Gate entry for [[semDedup]]: the natural corpus has no pair above
     * cosine 0.8 (max ≈ 0.60), so — like [[embedNearDupGate]] — the gate
     * PLANTS exact twins (`vec_id % 50 == 0` re-appears at

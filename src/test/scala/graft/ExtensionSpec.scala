@@ -845,6 +845,25 @@ class SimilaritySpec extends SparkSpec {
     assert(joined == Map(1L -> true, 2L -> false))
   }
 
+  test("k-means semDedup prunes planted twins under learned clusters") {
+    import spark.implicits._
+    // identical vectors land on the identical nearest centroid whatever
+    // the fit produced, so twin pruning is structural under k-means too
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val planted = e.unionAll(twins)
+    val centroids = Similarity.ivfFitCentroidsOf(planted, k = 8)
+    val out = Similarity.semDedupOf(planted, 0.8,
+        c => graft.functions.NearestCentroid.nearest_centroid(c, centroids)
+          .cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val twinIds = out.keySet.filter(_ >= 1000000L)
+    assert(twinIds.nonEmpty && twinIds.forall(!out(_)))
+    assert(out.keySet.filter(_ < 1000000L).forall(out(_)))
+  }
+
   test("semDedup gate prunes exactly the planted twins") {
     val out = Similarity.semDedupGate(spark, dir).collect()
     val (twins, originals) = out.partition(_.getLong(0) >= 1000000L)
