@@ -99,6 +99,9 @@ object SparkEntry {
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
     "x_text_tokens"      -> TextAnalysis.tokenCounts _,
+    // hashed-feature linear classifier (the fastText-shaped model filter):
+    // poly_hash buckets -> integer weight lookup -> per-token threshold
+    "x_text_classify"    -> ((s, d) => TextAnalysis.classifyQuality(s, d)),
     "x_text_quality"     -> TextAnalysis.qualityScores _,
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
@@ -798,6 +801,21 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
         |    AS n_lexer_tokens
         |FROM documents""".stripMargin,
+    // the classifier is integer end to end (hash bucket -> weight formula
+    // -> sum -> threshold), so DuckDB replays every score exactly
+    "x_text_classify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(len(t), 0) AS INTEGER) AS n_tokens,
+         |    CAST(COALESCE(list_sum(list_transform(t, s ->
+         |      ((${duckPolyHash("s")} % 64) * 37 + 11) % 21 - 10)), 0)
+         |      AS BIGINT) AS raw_score
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, raw_score,
+         |  raw_score * 4 > n_tokens AS keep
+         |FROM sc""".stripMargin,
     "x_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_actual, len(t) AS n_tokens,
         |  round(len(list_filter(t, x -> list_contains(

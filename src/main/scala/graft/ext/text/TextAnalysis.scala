@@ -30,6 +30,35 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(LexerPattern), lit(0)))
         .as("n_lexer_tokens"))
 
+  /** Model-based quality classification — the fastText-shaped filter
+    * every pretraining pipeline runs after the heuristic scores: hash
+    * each token into one of `nBuckets` feature buckets
+    * (`poly_hash(token) mod nBuckets` — the hashing trick), look up the
+    * bucket's weight, and keep the document when the summed score clears
+    * a per-token threshold (`raw_score·4 > n_tokens`, i.e. mean weight
+    * > 0.25 — integer arithmetic end to end, no FP drift). The weight
+    * table here is a fixed integer formula standing in for trained
+    * weights (`w(b) = ((b·37 + 11) mod 21) − 10` ∈ [−10, 10]); the
+    * production path broadcasts a trained `Array[Int]` — same plan
+    * shape, a literal array lookup inside codegen either way. Null-text
+    * docs surface as (0 tokens, score 0, keep = false), never vanish.
+    * Narrow projection, no shuffle: runs at scan speed at 100 TB like
+    * every other operator in this file.
+    */
+  def classifyQuality(spark: SparkSession, dir: String,
+      nBuckets: Int = 64): DataFrame = {
+    val t = tokens(col("text"))
+    val w = aggregate(
+      transform(t, tok =>
+        ((poly_hash(tok) % nBuckets) * 37 + 11) % 21 - 10),
+      lit(0L), (acc, v) => acc + v)
+    docs(spark, dir).select(
+      col("doc_id"),
+      coalesce(size(t), lit(0)).as("n_tokens"),
+      coalesce(w, lit(0L)).as("raw_score"))
+      .withColumn("keep", col("raw_score") * 4 > col("n_tokens"))
+  }
+
   /** Quality scoring: length, token stats, stopword ratio, uppercase/punct
     * ratios, distinct-token ratio — the usual pretraining-filter features.
     * Ratios rounded to 4 for cross-engine hash stability.

@@ -877,6 +877,26 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("hashed linear classifier: null docs surface, plan stays narrow") {
+    val scratch = graft.util.Scratch.dir("graft_classify").toString
+    import spark.implicits._
+    Seq((1L, "good words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextAnalysis.classifyQuality(spark, scratch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L).getAs[Int]("n_tokens") == 0 &&
+      out(2L).getAs[Long]("raw_score") == 0L &&
+      !out(2L).getAs[Boolean]("keep"),
+      "null-text doc must surface as (0, 0, false), never vanish or NPE")
+    assert(out(1L).getAs[Int]("n_tokens") == 3)
+    // a per-row projection must not shuffle — scan-speed at 100 TB
+    val plan = TextAnalysis.classifyQuality(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("inverted index: df counts, sorted capped postings, AND lookup") {
     import spark.implicits._
     val df = Seq((3L, "red blue"), (1L, "red green"), (2L, "red blue red"))
