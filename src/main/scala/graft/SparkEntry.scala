@@ -1020,7 +1020,10 @@ object SparkEntry {
           |  FROM documents WHERE doc_id % 10 <> 0),
           |q AS (
           |  SELECT * FROM corpus
-          |  WHERE n_tokens >= 20 AND dup_ratio <= 0.7),
+          |  WHERE n_tokens >= 20 AND dup_ratio <= 0.7
+          |    AND COALESCE(list_sum(list_transform(str_split(trim(text), ' '),
+          |      s -> ((${duckPolyHash("s")} % 64) * 37 + 11) % 21 - 10)), 0)
+          |      * 4 > n_tokens),
           |ded AS (
           |  SELECT q.* FROM q
           |  LEFT JOIN comp c

@@ -244,7 +244,9 @@ object Corpus {
 
   /** The WHOLE training-data pipeline composed as one job — the user
     * story every stage-level gate builds toward: held-out benchmark →
-    * quality filter (length + repetition, [[prepare]]'s rules) →
+    * quality filter (length + repetition, [[prepare]]'s rules, stacked
+    * with the hashed-feature model classifier of
+    * [[graft.ext.text.TextAnalysis.classifyQuality]], inline — no join) →
     * near-dup removal (corpus-wide shared cluster artifact, canonical
     * survivors only) → benchmark decontamination (bloom-prefiltered
     * 8-gram span overlap) → leakage-safe split (cluster-representative
@@ -277,6 +279,10 @@ object Corpus {
       .withColumn("dup_ratio", lit(1.0) -
         size(array_distinct(t)).cast("double") / size(t).cast("double"))
       .filter(col("n_tokens") >= minTokens && col("dup_ratio") <= maxDupRatio)
+      // the model-based filter stacks on the heuristics — same inline
+      // integer score as x_text_classify, no join, still one narrow pass
+      .filter(graft.ext.text.TextAnalysis.classifierScore(col("text")) * 4 >
+        col("n_tokens"))
     val clusters = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
     val nonCanon = clusters.filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("is_dup"))

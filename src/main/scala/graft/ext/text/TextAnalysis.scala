@@ -48,16 +48,23 @@ object TextAnalysis {
   def classifyQuality(spark: SparkSession, dir: String,
       nBuckets: Int = 64): DataFrame = {
     val t = tokens(col("text"))
-    val w = aggregate(
-      transform(t, tok =>
-        ((poly_hash(tok) % nBuckets) * 37 + 11) % 21 - 10),
-      lit(0L), (acc, v) => acc + v)
     docs(spark, dir).select(
       col("doc_id"),
       coalesce(size(t), lit(0)).as("n_tokens"),
-      coalesce(w, lit(0L)).as("raw_score"))
+      coalesce(classifierScore(col("text"), nBuckets), lit(0L))
+        .as("raw_score"))
       .withColumn("keep", col("raw_score") * 4 > col("n_tokens"))
   }
+
+  /** The classifier's summed-weight column alone (null for null text) —
+    * lets composed pipelines ([[graft.ext.corpus.Corpus.pipelineReport]])
+    * apply the model filter inline without a join.
+    */
+  def classifierScore(text: Column, nBuckets: Int = 64): Column =
+    aggregate(
+      transform(tokens(text), tok =>
+        ((poly_hash(tok) % nBuckets) * 37 + 11) % 21 - 10),
+      lit(0L), (acc, v) => acc + v)
 
   /** Quality scoring: length, token stats, stopword ratio, uppercase/punct
     * ratios, distinct-token ratio — the usual pretraining-filter features.
