@@ -810,7 +810,7 @@ object SparkEntry {
          |  SELECT doc_id,
          |    CAST(COALESCE(len(t), 0) AS INTEGER) AS n_tokens,
          |    CAST(COALESCE(list_sum(list_transform(t, s ->
-         |      ((${duckPolyHash("s")} % 64) * 37 + 11) % 21 - 10)), 0)
+         |      ${duckClassifierWeight("s")})), 0)
          |      AS BIGINT) AS raw_score
          |  FROM toks)
          |SELECT doc_id, n_tokens, raw_score,
@@ -1022,7 +1022,7 @@ object SparkEntry {
           |  SELECT * FROM corpus
           |  WHERE n_tokens >= 20 AND dup_ratio <= 0.7
           |    AND COALESCE(list_sum(list_transform(str_split(trim(text), ' '),
-          |      s -> ((${duckPolyHash("s")} % 64) * 37 + 11) % 21 - 10)), 0)
+          |      s -> ${duckClassifierWeight("s")})), 0)
           |      * 4 > n_tokens),
           |ded AS (
           |  SELECT q.* FROM q
@@ -1790,6 +1790,14 @@ object SparkEntry {
       |SELECT doc_id, count(*) AS n_shared_spans
       |FROM train JOIN bench USING (s)
       |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin
+
+  /** The classifier's per-token weight lookup (hash bucket → integer
+    * weight), shared by the `x_text_classify` oracle and the funnel's
+    * quality stage in `x_pipeline_e2e` so the formula can never drift
+    * between the unit gate and the composition.
+    */
+  private def duckClassifierWeight(tokenExpr: String): String =
+    s"((${duckPolyHash(tokenExpr)} % 64) * 37 + 11) % 21 - 10"
 
   private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

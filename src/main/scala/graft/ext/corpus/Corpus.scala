@@ -280,9 +280,12 @@ object Corpus {
         size(array_distinct(t)).cast("double") / size(t).cast("double"))
       .filter(col("n_tokens") >= minTokens && col("dup_ratio") <= maxDupRatio)
       // the model-based filter stacks on the heuristics — same inline
-      // integer score as x_text_classify, no join, still one narrow pass
-      .filter(graft.ext.text.TextAnalysis.classifierScore(col("text")) * 4 >
-        col("n_tokens"))
+      // integer score and keep rule as x_text_classify, no join, still
+      // one narrow pass
+      .filter(graft.ext.text.TextAnalysis.classifierKeep(
+        coalesce(graft.ext.text.TextAnalysis.classifierScore(col("text")),
+          lit(0L)),
+        col("n_tokens")))
     val clusters = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
     val nonCanon = clusters.filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("is_dup"))

@@ -366,10 +366,16 @@ object Similarity {
     * form ([[semDedupGate]]) covers the oracle with literal planes.
     */
   def semDedupKmeans(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, k: Int = 16): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = ivfFitCentroidsOf(e, k)
-    semDedupOf(e, threshold,
+      threshold: Double = 0.8, k: Int = 16): DataFrame =
+    semDedupKmeansOf(emb(spark, dir), threshold, k)
+
+  /** [[semDedupKmeans]] over an explicit (vec_id, embedding) frame — the
+    * form the spec exercises directly.
+    */
+  def semDedupKmeansOf(df: DataFrame, threshold: Double,
+      k: Int): DataFrame = {
+    val centroids = ivfFitCentroidsOf(df, k)
+    semDedupOf(df, threshold,
       c => graft.functions.NearestCentroid.nearest_centroid(c, centroids)
         .cast("long"))
   }

@@ -47,24 +47,38 @@ object TextAnalysis {
     */
   def classifyQuality(spark: SparkSession, dir: String,
       nBuckets: Int = 64): DataFrame = {
+    // explicit null guard rather than leaning on size(null)'s
+    // ANSI-dependent value (null under ANSI, -1 legacy — the latter
+    // would flip keep to true for null docs)
     val t = tokens(col("text"))
     docs(spark, dir).select(
       col("doc_id"),
-      coalesce(size(t), lit(0)).as("n_tokens"),
+      when(col("text").isNull, lit(0)).otherwise(size(t)).as("n_tokens"),
       coalesce(classifierScore(col("text"), nBuckets), lit(0L))
         .as("raw_score"))
-      .withColumn("keep", col("raw_score") * 4 > col("n_tokens"))
+      .withColumn("keep",
+        classifierKeep(col("raw_score"), col("n_tokens")))
   }
 
   /** The classifier's summed-weight column alone (null for null text) —
     * lets composed pipelines ([[graft.ext.corpus.Corpus.pipelineReport]])
     * apply the model filter inline without a join.
     */
-  def classifierScore(text: Column, nBuckets: Int = 64): Column =
+  def classifierScore(text: Column, nBuckets: Int = 64): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     aggregate(
       transform(tokens(text), tok =>
         ((poly_hash(tok) % nBuckets) * 37 + 11) % 21 - 10),
       lit(0L), (acc, v) => acc + v)
+  }
+
+  /** The classifier's keep rule — ONE definition of the threshold
+    * (mean weight > 0.25, i.e. score·4 > tokens) shared by
+    * [[classifyQuality]] and the composed funnel, so the two sites can
+    * never drift.
+    */
+  def classifierKeep(score: Column, nTokens: Column): Column =
+    score * 4 > nTokens
 
   /** Quality scoring: length, token stats, stopword ratio, uppercase/punct
     * ratios, distinct-token ratio — the usual pretraining-filter features.

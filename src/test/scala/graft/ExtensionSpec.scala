@@ -854,10 +854,7 @@ class SimilaritySpec extends SparkSpec {
     val twins = e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val planted = e.unionAll(twins)
-    val centroids = Similarity.ivfFitCentroidsOf(planted, k = 8)
-    val out = Similarity.semDedupOf(planted, 0.8,
-        c => graft.functions.NearestCentroid.nearest_centroid(c, centroids)
-          .cast("long")).collect()
+    val out = Similarity.semDedupKmeansOf(planted, 0.8, k = 8).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     val twinIds = out.keySet.filter(_ >= 1000000L)
     assert(twinIds.nonEmpty && twinIds.forall(!out(_)))
