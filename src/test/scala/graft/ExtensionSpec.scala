@@ -861,6 +861,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.keySet.filter(_ < 1000000L).forall(out(_)))
   }
 
+  test("clearIndexMemo invalidates the shared index after a corpus rewrite") {
+    import spark.implicits._
+    val corpus = graft.util.Scratch.dir("graft_memo_corpus").toString
+    def writeCorpus(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Seq.tabulate(4)(d => (i + d + 1).toFloat / 10f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    writeCorpus(0L to 9L)
+    val before = Similarity.lshIndexedReport(spark, corpus).collect()
+      .map(_.getLong(0)).toSet
+    assert(before.nonEmpty && before.subsetOf((1L to 9L).toSet))
+    // rewrite the corpus at the SAME path: the memo key is the path, so
+    // without invalidation the stale index would still answer
+    writeCorpus(Seq(0L) ++ (100L to 108L))
+    Similarity.clearIndexMemo()
+    val after = Similarity.lshIndexedReport(spark, corpus).collect()
+      .map(_.getLong(0)).toSet
+    assert(after.nonEmpty && after.subsetOf((100L to 108L).toSet),
+      s"stale index answered after clearIndexMemo: $after")
+  }
+
   test("semDedup gate prunes exactly the planted twins") {
     val out = Similarity.semDedupGate(spark, dir).collect()
     val (twins, originals) = out.partition(_.getLong(0) >= 1000000L)
