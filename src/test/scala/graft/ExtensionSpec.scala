@@ -913,6 +913,14 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = TextAnalysis.classifyQuality(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(800))
+    // the model must DISCRIMINATE on the fixture — if every doc landed on
+    // one side, the gate and the funnel's classifier stage would be
+    // vacuously green
+    val byKeep = TextAnalysis.classifyQuality(spark, dir)
+      .groupBy(col("keep")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byKeep.getOrElse(true, 0L) > 0 && byKeep.getOrElse(false, 0L) > 0,
+      s"classifier is vacuous on the fixture: $byKeep")
   }
 
   test("inverted index: df counts, sorted capped postings, AND lookup") {
