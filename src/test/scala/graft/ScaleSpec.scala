@@ -89,6 +89,19 @@ class ScaleSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("shuffle audit measures group-proportional exchange volume") {
+    // q1 aggregates ~60k lineitems (sf0.001) into 6 groups: the measured
+    // shuffle must be a handful of partial-aggregate records, never the
+    // input rows — the map-side-combine claim, measured
+    val (rows, bytes, records) =
+      graft.ShuffleAudit.audit(spark, "/root/testdata/sf0.001",
+        "q1_pricing_summary")
+    assert(rows == 6)
+    assert(records > 0 && records <= 64,
+      s"expected per-group partials, got $records shuffle records")
+    assert(bytes > 0 && bytes < 64 * 1024, s"$bytes bytes")
+  }
+
   test("mixture sampling broadcasts thresholds; the corpus never shuffles") {
     val df = graft.ext.corpus.Corpus.temperatureMixture(
       spark, "/root/testdata/sf0.001")
