@@ -102,6 +102,35 @@ class ScaleSpec extends SparkSpec {
     assert(bytes > 0 && bytes < 64 * 1024, s"$bytes bytes")
   }
 
+  test("banded dedup shuffles candidate hashes, never document bodies") {
+    // 500 docs at sf0.001, avg text ~306 bytes: if documents crossed the
+    // exchange, bytes/record would be in the hundreds. The banded path
+    // must move only band keys + id pairs: a few dozen compact records
+    // (~= true near-dup candidates), each well under a text body.
+    val (rows, bytes, records) =
+      graft.ShuffleAudit.audit(spark, "/root/testdata/sf0.001",
+        "x_dedup_minhash")
+    assert(rows > 0)
+    assert(records > 0 && records <= 4 * rows + 16,
+      s"candidate-proportional shuffle expected, got $records records " +
+        s"for $rows pairs")
+    val perRecord = bytes.toDouble / records
+    assert(perRecord < 64,
+      f"$perRecord%.1f B/record — document bodies leaked into the shuffle")
+  }
+
+  test("bounded-heap kNN shuffles one heap per query, not the cross product") {
+    // 100 query vectors (vec_id % 5 == 0 of 500) x 500 candidates: the
+    // naive cross product is 50 000 rows. The per-partition bounded heap
+    // must reduce that to ~one record per query group before the exchange.
+    val (rows, bytes, records) =
+      graft.ShuffleAudit.audit(spark, "/root/testdata/sf0.001", "x_knn_join")
+    assert(rows == 500, s"100 queries x k=5 expected, got $rows")
+    assert(records > 0 && records <= 200,
+      s"per-query heaps expected (~101), got $records shuffle records")
+    assert(bytes < 128 * 1024, s"$bytes bytes")
+  }
+
   test("mixture sampling broadcasts thresholds; the corpus never shuffles") {
     val df = graft.ext.corpus.Corpus.temperatureMixture(
       spark, "/root/testdata/sf0.001")
