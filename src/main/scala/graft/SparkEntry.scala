@@ -157,6 +157,10 @@ object SparkEntry {
     "x_multimodal_audio" -> Multimodal.audioReport _,
     "x_multimodal_decode" -> Multimodal.decodeReport _,
     "x_multimodal_frames" -> Multimodal.frameReport _,
+    // perceptual near-dup over REAL decodes: aHash from grid-sampled luma
+    // of ImageIO-decoded planted families, banded hamming join (complete
+    // for dist <= 3 by pigeonhole over 4 disjoint 16-bit bands)
+    "x_multimodal_phash" -> ((s, d) => Multimodal.phashNearDup(s, d)),
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
     "x_multimodal_video" -> Multimodal.videoReport _,
     "x_multimodal_vstats" -> Multimodal.videoStats _,
@@ -1329,6 +1333,58 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
         |  true AS ok
         |FROM documents""".stripMargin,
+    // the perceptual image near-dup gate: Spark encodes planted PNG
+    // families, real-decodes them, grid-samples an average-hash, and
+    // band-joins on 16-bit hash slices; the oracle replays the whole
+    // chain — sampled coordinates, blue-channel perturbation, luma mean
+    // split, banding, exact hamming — from the same integer arithmetic
+    // without ever decoding a PNG
+    "x_multimodal_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, (d.doc_id - d.doc_id % 5) AS base, t.i AS gi,
+        |    ((t.i % 8) * ((d.doc_id - d.doc_id % 5) % 16 + 1)) // 8 AS x,
+        |    ((t.i // 8) * ((d.doc_id - d.doc_id % 5) % 12 + 1)) // 8 AS y
+        |  FROM documents d, range(0, 64) t(i)),
+        |pix AS (
+        |  SELECT id, gi, x, y,
+        |    CAST((base * 1009 + x * 37 + y * 101) % 16777216 AS BIGINT) AS raw
+        |  FROM px),
+        |pert AS (
+        |  SELECT id, gi,
+        |    CASE WHEN x = 0 AND y = 0
+        |      THEN (raw - raw % 256) + LEAST(255, raw % 256 + id % 5)
+        |      ELSE raw END AS p
+        |  FROM pix),
+        |luma AS (
+        |  SELECT id, gi,
+        |    ((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587
+        |      + (p & 255) * 114 AS g
+        |  FROM pert),
+        |tot AS (SELECT id, CAST(sum(g) AS BIGINT) AS total
+        |        FROM luma GROUP BY id),
+        |hashes AS (
+        |  SELECT l.id,
+        |    CAST(coalesce(sum(CASE WHEN l.g * 64 > t.total AND l.gi < 32
+        |      THEN (CAST(1 AS BIGINT) << l.gi) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN l.g * 64 > t.total AND l.gi >= 32
+        |      THEN (CAST(1 AS BIGINT) << (l.gi - 32)) END), 0) AS BIGINT) AS lo
+        |  FROM luma l JOIN tot t ON l.id = t.id
+        |  GROUP BY l.id),
+        |bands AS (
+        |  SELECT id, hi, lo, b.bi,
+        |    CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+        |              WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        |  FROM hashes, range(0, 4) b(bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+        |    AS dist
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
     // the video-pipeline gate: Spark demuxes a length-prefixed motion-PNG
     // container and real-decodes every frame; the oracle unnests the frame
     // range and replays the per-frame pixel arithmetic without decoding

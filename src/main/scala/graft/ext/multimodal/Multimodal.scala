@@ -232,6 +232,133 @@ object Multimodal {
       .toDF()
       .select("media_id", "kind", "width", "height", "checksum", "ok")
 
+  /** Per-image perceptual hash: an 8×8 grid-sampled luma average-hash over
+    * the REAL-decoded pixels, carried as two non-negative 32-bit halves so
+    * every downstream comparison stays in exact signed-64 arithmetic on
+    * both engines.
+    */
+  case class ImageHash(media_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long, ok: Boolean)
+
+  /** Average-hash decoder (aHash): decode through ImageIO, sample an 8×8
+    * grid at `x = gx·w/8` (nearest-lower integer sampling — no resample
+    * kernel, so an oracle can replay the exact coordinates), take integer
+    * luma `299·r + 587·g + 114·b`, and set bit `i = gy·8+gx` when
+    * `luma·64 > total` (the mean comparison with the division cleared).
+    * Undecodable payloads become `ok = false` rows, never task failures.
+    */
+  object PHashDecoder {
+    def decode(r: MediaRow): ImageHash = {
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) ImageHash(r.media_id, 0, 0, 0L, 0L, ok = false)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val luma = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB(i % 8 * w / 8, i / 8 * h / 8) & 0xFFFFFF
+          luma(i) = ((p >> 16) & 255) * 299L + ((p >> 8) & 255) * 587L +
+            (p & 255) * 114L
+          total += luma(i)
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (luma(i) * 64L > total) {
+            if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        ImageHash(r.media_id, w, h, hi, lo, ok = true)
+      }
+    }
+  }
+
+  /** Near-dup image fixture: five-image families share one base pattern
+    * (dimensions and pixels drawn from `base = id - id % 5`), and the
+    * non-canonical members perturb ONLY the blue channel of pixel (0, 0)
+    * by `id % 5`, saturating at 255 (no byte wrap, no carry into green) —
+    * true perceptual near-duplicates a real image-dedup pass must catch.
+    */
+  def pngNearDupMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val base = id - id % 5
+          val w = (base % 16 + 1).toInt
+          val h = (base % 12 + 1).toInt
+          MediaRow(id, "image/png", encodePng(w, h, { (x, y) =>
+            val raw = ((base * 1009L + x * 37L + y * 101L) % 16777216L).toInt
+            if (x == 0 && y == 0)
+              (raw & 0xFFFF00) | math.min(255, (raw & 0xFF) + (id % 5).toInt)
+            else raw
+          }))
+        }
+      }
+  }
+
+  /** Perceptual image near-dup over REAL decodes: encode the planted
+    * fixture, [[PHashDecoder]] every image, band the 64-bit hash into four
+    * 16-bit keys, candidate-join on band agreement, verify with exact
+    * hamming ≤ `maxDist`. For maxDist ≤ 3 banding is COMPLETE by
+    * pigeonhole (four disjoint bands — a pair within distance 3 must agree
+    * on at least one), so the result is the exact near-dup set while the
+    * shuffle carries only (band key, id, two hash halves) — never pixels
+    * or payloads: the `x_dedup_simhash` banding shape applied to images.
+    * At 100 TB the decode cost dominates and is embarrassingly parallel;
+    * the join side scales with candidate pairs, not the corpus.
+    */
+  def phashNearDup(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    implicit val enc = Encoders.product[ImageHash]
+    val hashes = pngNearDupMediaFromDocuments(spark, dir)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(PHashDecoder.decode)
+      }.toDF().filter(col("ok"))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+    val bands = hashes.select(col("media_id"), col("hash_hi"),
+      col("hash_lo"), explode(array(
+        struct(lit(0).as("band_idx"),
+          shiftright(col("hash_hi"), 16).as("band_val")),
+        struct(lit(1).as("band_idx"),
+          col("hash_hi").bitwiseAND(lit(65535L)).as("band_val")),
+        struct(lit(2).as("band_idx"),
+          shiftright(col("hash_lo"), 16).as("band_val")),
+        struct(lit(3).as("band_idx"),
+          col("hash_lo").bitwiseAND(lit(65535L)).as("band_val"))
+      )).as("band"))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+    val left = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_a"), col("hash_hi").as("ha"),
+      col("hash_lo").as("la"))
+    val right = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_b"), col("hash_hi").as("hb"),
+      col("hash_lo").as("lb"))
+    left.join(right, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+      .withColumn("dist",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Decoded-audio features (the audio-decoder output contract). */
   case class AudioFeatures(media_id: Long, kind: String, n_samples: Int,
       sample_rate: Int, channels: Int, checksum: Long, ok: Boolean)

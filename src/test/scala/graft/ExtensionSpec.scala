@@ -1076,6 +1076,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hash catches every planted near-dup image family") {
+    val pairs = Multimodal.phashNearDup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(r => r.getAs[Int]("dist") <= 3))
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .distinct.length == pairs.length)
+    // the fixture plants 100 five-image families (base = id - id % 5); a
+    // perceptual dedup pass must surface every family, and for almost all
+    // of them the single-pixel blue perturbation keeps all C(5,2) = 10
+    // member pairs within hamming 3 (a few tiny-image families lose pairs
+    // when the perturbed pixel dominates the sampled grid)
+    val within = pairs.filter(r =>
+      r.getAs[Long]("id_a") / 5 == r.getAs[Long]("id_b") / 5)
+    val byFamily = within.groupBy(_.getAs[Long]("id_a") / 5)
+    assert(byFamily.size == 100, s"families detected: ${byFamily.size}")
+    assert(byFamily.count(_._2.length == 10) >= 90,
+      "most families must keep all 10 member pairs")
+  }
+
+  test("PHashDecoder sandboxes non-image bytes; identical images hash equal") {
+    val junk = Multimodal.PHashDecoder.decode(
+      Multimodal.MediaRow(9L, "image/png", "not a png".getBytes("UTF-8")))
+    assert(!junk.ok)
+    // two decodes of the same payload agree bit for bit, and the halves
+    // stay non-negative 32-bit (the banded join and the oracle rely on it)
+    val img = Multimodal.pngNearDupMediaFromDocuments(spark, dir)
+      .filter(col("media_id") === 7L).collect().head
+    val a = Multimodal.PHashDecoder.decode(img)
+    val b = Multimodal.PHashDecoder.decode(img)
+    assert(a.ok && a == b)
+    assert(a.hash_hi >= 0L && a.hash_hi < (1L << 32) &&
+      a.hash_lo >= 0L && a.hash_lo < (1L << 32))
+  }
+
   test("WavDecoder parses real RIFF bytes: true sample count, rate, fold") {
     val feats = Multimodal.audioReport(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()

@@ -80,7 +80,8 @@ class ScaleSpec extends SparkSpec {
       "x_corpus_mixture", "x_corpus_rebalance", "x_embed_stats",
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
-      "x_multimodal", "x_multimodal_frames", "x_multimodal_resize")
+      "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
+      "x_multimodal_phash")
     val offenders = batchGates.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
