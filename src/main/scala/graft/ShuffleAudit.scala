@@ -2,6 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.LongAdder
 
+import org.apache.spark.GraftListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Measured-shuffle probe: `sbt "runMain graft.ShuffleAudit <name>..."`
@@ -29,28 +30,40 @@ object ShuffleAudit {
 
   /** Run one registered gate warm and return
     * (result rows, shuffle bytes written, shuffle records written).
+    *
+    * Two measurement traps are handled explicitly. The run executes via
+    * `queryExecution.toRdd` — a `count()` on top would let Catalyst prune
+    * columns through the final aggregate and understate the bytes the
+    * gate's real output shuffles. And the listener bus is drained (a true
+    * barrier, not a sleep-poll) both before attaching — so the warm run's
+    * still-queued stage events cannot leak into the tally — and after the
+    * measured run, so every stage event has arrived before reading it.
     */
   def audit(spark: org.apache.spark.sql.SparkSession, dir: String,
       name: String): (Long, Long, Long) = {
-    SparkEntry.queries(name)(spark, dir).count() // warm
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name'; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count() // warm
+    GraftListenerBridge.drain(spark.sparkContext)
     val tally = new Tally
     spark.sparkContext.addSparkListener(tally)
-    val rows = SparkEntry.queries(name)(spark, dir).count()
-    // listener events arrive asynchronously (the bus's drain method is
-    // private[spark]); poll until two consecutive reads agree
-    var prev = -1L
-    var settled = tally.bytes.sum() + tally.records.sum()
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    while (settled != prev && System.nanoTime() < deadline) {
-      prev = settled
-      Thread.sleep(100)
-      settled = tally.bytes.sum() + tally.records.sum()
-    }
-    spark.sparkContext.removeSparkListener(tally)
-    (rows, tally.bytes.sum(), tally.records.sum())
+    try {
+      val rows =
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      GraftListenerBridge.drain(spark.sparkContext)
+      (rows, tally.bytes.sum(), tally.records.sum())
+    } finally spark.sparkContext.removeSparkListener(tally)
   }
 
   def main(args: Array[String]): Unit = {
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}; known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     val spark = GraftSession.harnessSession()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

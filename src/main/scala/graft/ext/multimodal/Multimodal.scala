@@ -329,6 +329,11 @@ object Multimodal {
         rows.map(PHashDecoder.decode)
       }.toDF().filter(col("ok"))
       .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      // decode-once guarantee: the band self-join consumes this frame on
+      // BOTH sides, and a broadcast strategy would otherwise re-run the
+      // whole encode+decode pipeline to build the broadcast table. The
+      // checkpointed frame is one small row per image.
+      .localCheckpoint()
     val bands = hashes.select(col("media_id"), col("hash_hi"),
       col("hash_lo"), explode(array(
         struct(lit(0).as("band_idx"),

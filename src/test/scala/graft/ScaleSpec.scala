@@ -91,7 +91,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("shuffle audit measures group-proportional exchange volume") {
-    // q1 aggregates ~60k lineitems (sf0.001) into 6 groups: the measured
+    // q1 aggregates ~6k lineitems (sf0.001) into 6 groups: the measured
     // shuffle must be a handful of partial-aggregate records, never the
     // input rows — the map-side-combine claim, measured
     val (rows, bytes, records) =
