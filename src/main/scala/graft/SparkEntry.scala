@@ -80,6 +80,10 @@ object SparkEntry {
     "p_orc_roundtrip"    -> EventOps.orcRoundTrip _,
     "p_latest_tws"       -> EventOps.latestPerKeyTws _,
     "x_corpus_rebalance" -> ((s, d) => graft.ext.corpus.Corpus.rebalance(s, d)),
+    // exact global curriculum shards assembled histogram-first (no global
+    // sort); sum_ids pins every shard's exact membership
+    "x_corpus_curriculum" -> ((s, d) =>
+      graft.ext.corpus.Corpus.curriculumShards(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -661,6 +665,21 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
         |    17, 16)) AS UBIGINT) % 1000000 < thr
         |GROUP BY lang""".stripMargin,
+    // curriculum shards: the oracle uses the straightforward global
+    // row_number (fine at oracle scale); Spark assembles the SAME rank
+    // histogram-first — hash equality proves the decomposition exact
+    "x_corpus_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, coalesce(n_chars, -1) AS score,
+        |    row_number() OVER (ORDER BY coalesce(n_chars, -1), doc_id)
+        |      AS rn,
+        |    count(*) OVER () AS n_total
+        |  FROM documents)
+        |SELECT CAST((rn - 1) * 16 // n_total AS INTEGER) AS shard,
+        |  count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY 1""".stripMargin,
     // α=0.5 temperature: sqrt and division are correctly-rounded IEEE ops,
     // so the integer thresholds agree bit-for-bit across engines
     "x_corpus_mixture" ->

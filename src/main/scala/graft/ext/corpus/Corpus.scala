@@ -407,4 +407,44 @@ object Corpus {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
   }
+
+  /** Exact curriculum sharding WITHOUT a global sort: documents are
+    * globally ordered by (score, doc_id) — score = n_chars here, the
+    * classic short-to-long length curriculum — and cut into `k`
+    * contiguous shards via `shard = rank·k div n` (0-based rank). A naive
+    * `ntile`/`row_number` over an unpartitioned window funnels the whole
+    * corpus through ONE partition; instead the global rank is assembled
+    * from two scale-safe pieces: (1) a score histogram (shuffle ∝
+    * distinct scores) whose running sum — windowed over the TINY
+    * histogram only — gives each score's global offset, broadcast back;
+    * (2) a per-score `row_number` (window partitioned BY SCORE: the
+    * corpus moves once as narrow (score, id) records, and only a
+    * degenerate near-single-score distribution would skew a partition).
+    * `offset + within-score rank` IS the exact global (score, doc_id)
+    * rank. The report aggregates per shard; `sum_ids` pins the exact
+    * membership of every shard, not just its size.
+    */
+  def curriculumShards(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      coalesce(col("n_chars").cast("long"), lit(-1L)).as("score"))
+    val hist = d.groupBy(col("score")).agg(count(lit(1)).as("n_score"))
+    val offsets = hist
+      .withColumn("offset",
+        coalesce(sum(col("n_score")).over(
+          Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(hist.agg(sum(col("n_score")).as("n_total")))
+      .select(col("score"), col("offset"), col("n_total"))
+    d.join(broadcast(offsets), "score")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      .withColumn("shard",
+        expr(s"CAST((offset + rn - 1) * $k DIV n_total AS INT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
 }

@@ -179,4 +179,39 @@ class CorpusSpec extends SparkSpec {
         s"$lang kept $n, expected near $minN")
     }
   }
+
+  test("curriculum shards: histogram-first rank equals the global sort") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val out = Corpus.curriculumShards(spark, dir, k).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_score"), r.getAs[Long]("max_score"),
+        r.getAs[Long]("sum_ids"))).sortBy(_._1)
+    // the naive form the decomposition must reproduce exactly: one
+    // global row_number (fine at test scale, a one-partition funnel at
+    // 100 TB — which is the whole point of the histogram-first shape)
+    val naive = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .crossJoin(spark.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)).as("n_total")))
+      .withColumn("shard", expr(s"CAST((rn - 1) * $k DIV n_total AS INT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"), sum(col("doc_id")).as("sum_ids"))
+      .collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_score"), r.getAs[Long]("max_score"),
+        r.getAs[Long]("sum_ids"))).sortBy(_._1)
+    assert(out.sameElements(naive))
+    // k balanced shards over contiguous, non-overlapping score ranges
+    assert(out.length == k)
+    assert(out.map(_._2).max - out.map(_._2).min <= 1,
+      "shard sizes must differ by at most one")
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"shard ${lo._1} overlaps ${hi._1}")
+    case _ => ()
+    }
+  }
 }
