@@ -84,6 +84,10 @@ object SparkEntry {
     // sort); sum_ids pins every shard's exact membership
     "x_corpus_curriculum" -> ((s, d) =>
       graft.ext.corpus.Corpus.curriculumShards(s, d)),
+    // corpus-level MinHash overlap sketch + exact-Jaccard yardstick in
+    // one row, integer permille end to end
+    "x_corpus_overlap" -> ((s, d) =>
+      graft.ext.corpus.Corpus.corpusOverlap(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -665,6 +669,43 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
         |    17, 16)) AS UBIGINT) % 1000000 < thr
         |GROUP BY lang""".stripMargin,
+    // corpus overlap: the oracle replays the per-slot salted MinHash
+    // sketch AND the exact distinct-hash Jaccard — hash equality pins
+    // the estimator itself, not just its inputs
+    "x_corpus_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id % 2 AS side,
+         |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |salted AS (
+         |  SELECT side, r.j, CAST(r.j AS VARCHAR) || '|' || s AS js
+         |  FROM sh, range(0, 64) r(j)),
+         |slots AS (
+         |  SELECT side, j, min(${duckPolyHash("js")}) AS mn
+         |  FROM salted GROUP BY side, j),
+         |agree AS (
+         |  SELECT sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)
+         |    AS slot_matches
+         |  FROM slots a JOIN slots b ON a.j = b.j
+         |  WHERE a.side = 0 AND b.side = 1),
+         |hx AS (SELECT DISTINCT side, ${duckPolyHash("s")} AS h FROM sh),
+         |sizes AS (
+         |  SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+         |         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+         |  FROM hx),
+         |inter AS (
+         |  SELECT count(*) AS n_shared
+         |  FROM hx a JOIN hx b ON a.h = b.h AND a.side = 0 AND b.side = 1)
+         |SELECT 64 AS m, CAST(slot_matches AS BIGINT) AS slot_matches,
+         |  CAST(1000 * slot_matches // 64 AS BIGINT) AS est_permille,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(1000 * n_shared // (n_a + n_b - n_shared) AS BIGINT)
+         |    AS exact_permille
+         |FROM agree, sizes, inter""".stripMargin,
     // curriculum shards: the oracle uses the straightforward global
     // row_number (fine at oracle scale); Spark assembles the SAME rank
     // histogram-first — hash equality proves the decomposition exact

@@ -408,6 +408,55 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** Corpus-level overlap estimation — the train/eval contamination
+    * DIAL, where [[graft.ext.dedup.TextDedup.decontaminate]] is the
+    * per-document trigger: how similar are two corpora as shingle SETS?
+    * Side A = even doc_id, side B = odd. Two answers in one row: a
+    * per-slot MinHash sketch estimate (slot j keeps min over
+    * `poly_hash(j + '|' + shingle)`; the fraction of slots where both
+    * sides agree estimates Jaccard — Broder's classic estimator), and
+    * the exact Jaccard over distinct 8-byte shingle hashes as the
+    * yardstick. Integer permille end to end. At 100 TB only the sketch
+    * survives: it reduces each corpus to `m` longs with map-side min
+    * partials (shuffle ∝ m × partitions, nothing content-sized), and
+    * sketches of immutable shards fold associatively — compute once per
+    * shard, min-merge forever; the exact columns are the oracle
+    * yardstick, priced like the dedup yardsticks (one distinct + one
+    * join on 8-byte hashes).
+    */
+  def corpusOverlap(spark: SparkSession, dir: String,
+      m: Int = 64): DataFrame = {
+    val sh = graft.ext.dedup.TextDedup.shingles(docs(spark, dir))
+      .select((col("doc_id") % 2).cast("int").as("side"),
+        explode(col("shingles")).as("s"))
+    val sketch = sh
+      .select(col("side"), col("s"),
+        explode(sequence(lit(0), lit(m - 1))).as("slot"))
+      .select(col("side"), col("slot"),
+        poly_hash(concat_ws("|", col("slot"), col("s"))).as("h"))
+      .groupBy(col("side"), col("slot")).agg(min(col("h")).as("mn"))
+    val agree = sketch.filter(col("side") === 0)
+      .select(col("slot"), col("mn").as("mna"))
+      .join(sketch.filter(col("side") === 1)
+        .select(col("slot"), col("mn").as("mnb")), "slot")
+      .agg(sum(when(col("mna") === col("mnb"), 1L).otherwise(0L))
+        .as("slot_matches"))
+    val hx = sh.select(col("side"), poly_hash(col("s")).as("h")).distinct()
+    val sizes = hx.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    val inter = hx.filter(col("side") === 0).select(col("h"))
+      .join(hx.filter(col("side") === 1).select(col("h")), "h")
+      .agg(count(lit(1)).as("n_shared"))
+    agree.crossJoin(sizes).crossJoin(inter)
+      .select(lit(m).as("m"), col("slot_matches"),
+        expr(s"CAST(1000 * slot_matches DIV $m AS BIGINT)")
+          .as("est_permille"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        expr("CAST(1000 * n_shared DIV (n_a + n_b - n_shared) AS BIGINT)")
+          .as("exact_permille"))
+  }
+
   /** Exact curriculum sharding WITHOUT a global sort: documents are
     * globally ordered by (score, doc_id) — score = n_chars here, the
     * classic short-to-long length curriculum — and cut into `k`

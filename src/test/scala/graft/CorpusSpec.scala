@@ -180,6 +180,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus overlap: sketch tracks exact jaccard, invariants hold") {
+    val r = Corpus.corpusOverlap(spark, dir).collect().head
+    val m = r.getAs[Int]("m")
+    val matches = r.getAs[Long]("slot_matches")
+    val est = r.getAs[Long]("est_permille")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val shared = r.getAs[Long]("n_shared")
+    val exact = r.getAs[Long]("exact_permille")
+    assert(m == 64 && matches >= 0 && matches <= m)
+    assert(shared <= math.min(na, nb))
+    assert(est == 1000L * matches / m)
+    assert(exact == 1000L * shared / (na + nb - shared))
+    // Broder's estimator at m=64: SE ≈ sqrt(J(1-J)/64) ≈ 55‰ for the
+    // fixture's J ≈ 0.25; this deterministic draw lands within 150‰
+    assert(math.abs(est - exact) <= 150, s"est $est vs exact $exact")
+    // content-addressed: bit-identical rerun
+    assert(Corpus.corpusOverlap(spark, dir).collect().head == r)
+  }
+
   test("curriculum shards: histogram-first rank equals the global sort") {
     import org.apache.spark.sql.expressions.Window
     val k = 16

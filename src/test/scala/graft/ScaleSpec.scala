@@ -78,7 +78,7 @@ class ScaleSpec extends SparkSpec {
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
       "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
       "x_corpus_mixture", "x_corpus_rebalance", "x_corpus_curriculum",
-      "x_embed_stats",
+      "x_corpus_overlap", "x_embed_stats",
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
