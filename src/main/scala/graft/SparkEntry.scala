@@ -169,6 +169,9 @@ object SparkEntry {
     // of ImageIO-decoded planted families, banded hamming join (complete
     // for dist <= 3 by pigeonhole over 4 disjoint 16-bit bands)
     "x_multimodal_phash" -> ((s, d) => Multimodal.phashNearDup(s, d)),
+    // audio analog: point-sampled envelope fingerprint over real RIFF
+    // parses, same shared bandedHamming64 candidate machinery
+    "x_multimodal_afp" -> ((s, d) => Multimodal.audioFpNearDup(s, d)),
     "x_multimodal_resize" -> ((s, d) => Multimodal.resizeReport(s, d)),
     "x_multimodal_video" -> Multimodal.videoReport _,
     "x_multimodal_vstats" -> Multimodal.videoStats _,
@@ -1393,6 +1396,47 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
         |  true AS ok
         |FROM documents""".stripMargin,
+    // the perceptual audio near-dup gate: the oracle replays sampled
+    // indices, the saturating sample-0 perturbation, the mean split,
+    // banding, and hamming from integer arithmetic without parsing RIFF
+    "x_multimodal_afp" ->
+      """WITH g AS (
+        |  SELECT d.doc_id AS id, (d.doc_id - d.doc_id % 5) AS base,
+        |    t.w AS w, ((d.doc_id - d.doc_id % 5) % 96 + 8) AS n
+        |  FROM documents d, range(0, 64) t(w)),
+        |ix AS (
+        |  SELECT id, base, w, (w * n) // 64 AS idx FROM g),
+        |v AS (
+        |  SELECT id, w,
+        |    CASE WHEN idx = 0
+        |      THEN LEAST(65535, (base * 131) % 65536 + id % 5)
+        |      ELSE (base * 131 + idx * 31153) % 65536 END AS f
+        |  FROM ix),
+        |tot AS (SELECT id, CAST(sum(f) AS BIGINT) AS total
+        |        FROM v GROUP BY id),
+        |hashes AS (
+        |  SELECT v.id,
+        |    CAST(coalesce(sum(CASE WHEN v.f * 64 > t.total AND v.w < 32
+        |      THEN (CAST(1 AS BIGINT) << v.w) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN v.f * 64 > t.total AND v.w >= 32
+        |      THEN (CAST(1 AS BIGINT) << (v.w - 32)) END), 0) AS BIGINT) AS lo
+        |  FROM v JOIN tot t ON v.id = t.id
+        |  GROUP BY v.id),
+        |bands AS (
+        |  SELECT id, hi, lo, b.bi,
+        |    CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+        |              WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        |  FROM hashes, range(0, 4) b(bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+        |    AS dist
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
     // the perceptual image near-dup gate: Spark encodes planted PNG
     // families, real-decodes them, grid-samples an average-hash, and
     // band-joins on 16-bit hash slices; the oracle replays the whole

@@ -309,32 +309,23 @@ object Multimodal {
       }
   }
 
-  /** Perceptual image near-dup over REAL decodes: encode the planted
-    * fixture, [[PHashDecoder]] every image, band the 64-bit hash into four
-    * 16-bit keys, candidate-join on band agreement, verify with exact
-    * hamming ≤ `maxDist`. For maxDist ≤ 3 banding is COMPLETE by
-    * pigeonhole (four disjoint bands — a pair within distance 3 must agree
-    * on at least one), so the result is the exact near-dup set while the
-    * shuffle carries only (band key, id, two hash halves) — never pixels
-    * or payloads: the `x_dedup_simhash` banding shape applied to images.
-    * At 100 TB the decode cost dominates and is embarrassingly parallel;
-    * the join side scales with candidate pairs, not the corpus.
+  /** Banded hamming self-join over 64-bit perceptual hashes carried as
+    * two non-negative 32-bit halves in `(media_id, hash_hi, hash_lo)`:
+    * band into four 16-bit keys, candidate-join on band agreement
+    * (id_a < id_b), verify with exact hamming ≤ `maxDist`. For
+    * maxDist ≤ 3 banding is COMPLETE by pigeonhole (four disjoint bands —
+    * a pair within distance 3 must agree on at least one), so the result
+    * is the exact near-dup set while the shuffle carries only (band key,
+    * id, two hash halves) — never payloads: the `x_dedup_simhash` shape
+    * for any media hash. The input frame is localCheckpointed — the
+    * self-join consumes it on BOTH sides, and a broadcast strategy would
+    * otherwise re-run the whole upstream (decode!) pipeline to build the
+    * broadcast table; the checkpointed frame is one small row per medium.
     */
-  def phashNearDup(spark: SparkSession, dir: String,
-      maxDist: Int = 3): DataFrame = {
-    implicit val enc = Encoders.product[ImageHash]
-    val hashes = pngNearDupMediaFromDocuments(spark, dir)
-      .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        rows.map(PHashDecoder.decode)
-      }.toDF().filter(col("ok"))
-      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
-      // decode-once guarantee: the band self-join consumes this frame on
-      // BOTH sides, and a broadcast strategy would otherwise re-run the
-      // whole encode+decode pipeline to build the broadcast table. The
-      // checkpointed frame is one small row per image.
+  def bandedHamming64(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val hs = hashes.select("media_id", "hash_hi", "hash_lo")
       .localCheckpoint()
-    val bands = hashes.select(col("media_id"), col("hash_hi"),
+    val bands = hs.select(col("media_id"), col("hash_hi"),
       col("hash_lo"), explode(array(
         struct(lit(0).as("band_idx"),
           shiftright(col("hash_hi"), 16).as("band_val")),
@@ -362,6 +353,21 @@ object Multimodal {
           bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Perceptual image near-dup over REAL decodes: encode the planted
+    * fixture, [[PHashDecoder]] every image, then [[bandedHamming64]].
+    * At 100 TB the decode cost dominates and is embarrassingly parallel;
+    * the join side scales with candidate pairs, not the corpus.
+    */
+  def phashNearDup(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    implicit val enc = Encoders.product[ImageHash]
+    bandedHamming64(pngNearDupMediaFromDocuments(spark, dir)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(PHashDecoder.decode)
+      }.toDF().filter(col("ok")), maxDist)
   }
 
   /** Decoded-audio features (the audio-decoder output contract). */
@@ -463,6 +469,123 @@ object Multimodal {
       .toDF()
       .select("media_id", "kind", "n_samples", "sample_rate", "channels",
         "checksum", "ok")
+  }
+
+  /** Audio fingerprint: 64 grid-sampled normalized samples hashed the
+    * same way as [[PHashDecoder]]'s grid luma — two 32-bit halves.
+    */
+  case class AudioFp(media_id: Long, n_samples: Int,
+      hash_hi: Long, hash_lo: Long, ok: Boolean)
+
+  /** Audio fingerprint decoder — the audio analog of [[PHashDecoder]]:
+    * a REAL RIFF parse (same layout contract as [[WavDecoder]]:
+    * 16-bit LE mono PCM, anything else downgrades to ok = false), then
+    * sample w of 64 reads the normalized value at index `w·n/64`
+    * (nearest-lower grid, replayable coordinates) and bit w is
+    * `value·64 > total` — a point-sampled envelope hash, the
+    * chromaprint-shaped fingerprint reduced to exact integer arithmetic.
+    */
+  object AudioFpDecoder {
+    def decode(r: MediaRow): AudioFp = {
+      val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val supported =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getChannels == 1
+        if (!supported) {
+          in.close()
+          AudioFp(r.media_id, 0, 0L, 0L, ok = false)
+        } else {
+          val pcm = in.readAllBytes()
+          in.close()
+          val n = pcm.length / 2
+          if (n == 0) AudioFp(r.media_id, 0, 0L, 0L, ok = false)
+          else {
+            def sampleAt(i: Int): Long =
+              (((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)) + 32768).toLong
+            val v = new Array[Long](64)
+            var total = 0L
+            var w = 0
+            while (w < 64) {
+              v(w) = sampleAt(w * n / 64)
+              total += v(w)
+              w += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            w = 0
+            while (w < 64) {
+              if (v(w) * 64L > total) {
+                if (w < 32) hi |= 1L << w else lo |= 1L << (w - 32)
+              }
+              w += 1
+            }
+            AudioFp(r.media_id, n, hi, lo, ok = true)
+          }
+        }
+      } catch {
+        case _: Exception => AudioFp(r.media_id, 0, 0L, 0L, ok = false)
+      }
+    }
+  }
+
+  /** Near-dup audio fixture, mirroring [[pngNearDupMediaFromDocuments]]:
+    * five-clip families share one base waveform (sample count and values
+    * drawn from `base = id - id % 5`), and non-canonical members perturb
+    * ONLY sample 0 by `id % 5`, saturating at 32767 — true perceptual
+    * near-duplicate clips behind genuine RIFF bytes.
+    */
+  def wavNearDupMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        ids.map { id =>
+          val base = id - id % 5
+          val n = (base % 96 + 8).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            // stride 31153 (odd, ~2^16/2) wraps the 16-bit range every
+            // couple of samples — a busy waveform whose envelope hash
+            // discriminates; a small stride would make every clip a slow
+            // ramp with the same top-half-set hash corpus-wide
+            val raw = ((base * 131L + i * 31153L) % 65536L).toInt - 32768
+            val sample =
+              if (i == 0) math.min(32767, raw + (id % 5).toInt) else raw
+            pcm(i * 2) = (sample & 0xff).toByte
+            pcm(i * 2 + 1) = ((sample >> 8) & 0xff).toByte
+            i += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(stream,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          MediaRow(id, "audio/wav", baos.toByteArray)
+        }
+      }
+  }
+
+  /** Perceptual audio near-dup over REAL RIFF parses: encode the planted
+    * clip families, [[AudioFpDecoder]] every clip, then the same
+    * [[bandedHamming64]] the image path uses — one shared candidate
+    * machinery for every 64-bit media fingerprint.
+    */
+  def audioFpNearDup(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    implicit val enc = Encoders.product[AudioFp]
+    bandedHamming64(wavNearDupMediaFromDocuments(spark, dir)
+      .mapPartitions(rows => rows.map(AudioFpDecoder.decode))
+      .toDF().filter(col("ok")), maxDist)
   }
 
   /** Decoded video-frame features: one row per contained frame. */

@@ -1096,6 +1096,34 @@ class MultimodalSpec extends SparkSpec {
       "most families must keep all 10 member pairs")
   }
 
+  test("audio fingerprint catches every planted near-dup clip family") {
+    val pairs = Multimodal.audioFpNearDup(spark, dir).collect()
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(r => r.getAs[Int]("dist") <= 3))
+    val within = pairs.filter(r =>
+      r.getAs[Long]("id_a") / 5 == r.getAs[Long]("id_b") / 5)
+    val byFamily = within.groupBy(_.getAs[Long]("id_a") / 5)
+    assert(byFamily.size == 100, s"families detected: ${byFamily.size}")
+    assert(byFamily.forall(_._2.length == 10),
+      "every clip family keeps all 10 member pairs")
+    // the busy-waveform fixture must also DISCRIMINATE: matches are the
+    // planted families, not an everything-matches-everything degeneracy
+    // (a slow-ramp waveform hashes every clip to 'top half set')
+    assert(pairs.length < 3 * within.length,
+      s"${pairs.length} pairs for ${within.length} planted — degenerate hash")
+  }
+
+  test("AudioFpDecoder sandboxes junk and honors the WavDecoder layout contract") {
+    assert(!Multimodal.AudioFpDecoder.decode(
+      Multimodal.MediaRow(1L, "audio/wav", "not riff".getBytes("UTF-8"))).ok)
+    val clip = Multimodal.wavNearDupMediaFromDocuments(spark, dir)
+      .filter(col("media_id") === 7L).collect().head
+    val fp = Multimodal.AudioFpDecoder.decode(clip)
+    assert(fp.ok && fp.n_samples == (5L % 96 + 8).toInt)
+    assert(fp.hash_hi >= 0L && fp.hash_hi < (1L << 32) &&
+      fp.hash_lo >= 0L && fp.hash_lo < (1L << 32))
+  }
+
   test("PHashDecoder sandboxes non-image bytes; identical images hash equal") {
     val junk = Multimodal.PHashDecoder.decode(
       Multimodal.MediaRow(9L, "image/png", "not a png".getBytes("UTF-8")))

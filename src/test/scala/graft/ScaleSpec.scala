@@ -82,7 +82,7 @@ class ScaleSpec extends SparkSpec {
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
-      "x_multimodal_phash")
+      "x_multimodal_phash", "x_multimodal_afp")
     val offenders = batchGates.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
