@@ -426,21 +426,29 @@ object Corpus {
     */
   def corpusOverlap(spark: SparkSession, dir: String,
       m: Int = 64): DataFrame = {
+    // the shingle derivation (scan + tokenize + shingle explode) feeds
+    // BOTH the sketch and the exact yardstick; checkpoint it once — the
+    // same multi-consumer shape minhashLshPairsOf persists its shingle
+    // table for
     val sh = graft.ext.dedup.TextDedup.shingles(docs(spark, dir))
       .select((col("doc_id") % 2).cast("int").as("side"),
         explode(col("shingles")).as("s"))
-    val sketch = sh
-      .select(col("side"), col("s"),
-        explode(sequence(lit(0), lit(m - 1))).as("slot"))
-      .select(col("side"), col("slot"),
-        poly_hash(concat_ws("|", col("slot"), col("s"))).as("h"))
-      .groupBy(col("side"), col("slot")).agg(min(col("h")).as("mn"))
-    val agree = sketch.filter(col("side") === 0)
-      .select(col("slot"), col("mn").as("mna"))
-      .join(sketch.filter(col("side") === 1)
-        .select(col("slot"), col("mn").as("mnb")), "slot")
-      .agg(sum(when(col("mna") === col("mnb"), 1L).otherwise(0L))
-        .as("slot_matches"))
+      .localCheckpoint()
+    // all m slot-minima in ONE aggregate over the shingle stream (m
+    // min columns, map-side partial combine → 2 result rows) — the
+    // explode(sequence(0, m-1)) → groupBy(side, slot) formulation is
+    // the 64× row-amplification anti-pattern MinHashSig documents;
+    // the salted poly_hash family here must stay as-is because the
+    // oracle replays it string for string
+    val mins = (0 until m).map(j =>
+      min(poly_hash(concat_ws("|", lit(j), col("s")))).as(s"mn_$j"))
+    val sketch = sh.groupBy(col("side")).agg(mins.head, mins.tail: _*)
+    val matchCount = (0 until m).map(j =>
+      when(col(s"a.mn_$j") === col(s"b.mn_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree = sketch.filter(col("side") === 0).as("a")
+      .crossJoin(sketch.filter(col("side") === 1).as("b"))
+      .select(matchCount.as("slot_matches"))
     val hx = sh.select(col("side"), poly_hash(col("s")).as("h")).distinct()
     val sizes = hx.agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),

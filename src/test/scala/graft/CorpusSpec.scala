@@ -210,7 +210,8 @@ class CorpusSpec extends SparkSpec {
     // global row_number (fine at test scale, a one-partition funnel at
     // 100 TB — which is the whole point of the histogram-first shape)
     val naive = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      .select(col("doc_id"),
+        coalesce(col("n_chars").cast("long"), lit(-1L)).as("score"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("score"), col("doc_id"))))
       .crossJoin(spark.read.parquet(s"$dir/documents.parquet")
