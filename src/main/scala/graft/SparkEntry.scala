@@ -88,6 +88,12 @@ object SparkEntry {
     // one row, integer permille end to end
     "x_corpus_overlap" -> ((s, d) =>
       graft.ext.corpus.Corpus.corpusOverlap(s, d)),
+    // stupid-backoff bigram LM trained on the en slice; integer-scaled
+    // probabilities so the perplexity filter is oracle-exact (no libm log)
+    "x_text_perplexity" -> ((s, d) => TextAnalysis.lmScores(s, d)),
+    // DSIR-style importance resampling over hashed bigram buckets —
+    // Laplace-smoothed integer ratio weights, above-average keep rule
+    "x_corpus_dsir" -> ((s, d) => graft.ext.corpus.Corpus.dsirSelect(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -709,6 +715,95 @@ object SparkEntry {
          |  CAST(1000 * n_shared // (n_a + n_b - n_shared) AS BIGINT)
          |    AS exact_permille
          |FROM agree, sizes, inter""".stripMargin,
+    // bigram stupid-backoff LM: all-integer scores (count·1e6 // count),
+    // so DuckDB replays training AND scoring exactly; α=0.5 backoff is
+    // the one exactly-representable backoff weight
+    "x_text_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         ELSE str_split(trim(text), ' ') END AS t
+        |  FROM documents),
+        |ref AS (SELECT t FROM base WHERE lang = 'en' AND t IS NOT NULL),
+        |uni AS (
+        |  SELECT w, count(*) AS u
+        |  FROM (SELECT unnest(t) AS w FROM ref) GROUP BY w),
+        |tot AS (SELECT CAST(sum(u) AS BIGINT) AS t_total FROM uni),
+        |rbi AS (
+        |  SELECT bg, count(*) AS b
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |          i -> t[i] || ' ' || t[i+1])) AS bg FROM ref)
+        |  GROUP BY bg),
+        |dbi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM base WHERE t IS NOT NULL),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b IS NOT NULL THEN b * 1000000 // u_prev
+        |         WHEN u_cur IS NOT NULL
+        |           THEN u_cur * 1000000 // (2 * t_total)
+        |         ELSE 0 END AS s
+        |  FROM (
+        |    SELECT d.doc_id, rbi.b, up.u AS u_prev, uc.u AS u_cur, t_total
+        |    FROM dbi d
+        |    LEFT JOIN rbi USING (bg)
+        |    LEFT JOIN uni up ON up.w = split_part(d.bg, ' ', 1)
+        |    LEFT JOIN uni uc ON uc.w = split_part(d.bg, ' ', 2)
+        |    CROSS JOIN tot) q),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(s) AS BIGINT) AS lm_score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(lm_score, 0) AS lm_score,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |       THEN lm_score // n_bigrams ELSE 0 END AS avg_e6,
+        |  COALESCE(n_bigrams, 0) > 0
+        |    AND CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |             THEN lm_score // n_bigrams ELSE 0 END >= 34000
+        |    AS keep
+        |FROM base b LEFT JOIN per_doc USING (doc_id)""".stripMargin,
+    // DSIR importance weights: hashed bigram buckets, Laplace-smoothed
+    // integer ratios, length-normalized keep (mean per-feature weight vs
+    // the integer corpus mean) — no log, no float division, so the
+    // oracle replays the full selection
+    "x_corpus_dsir" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN text IS NULL THEN NULL
+         |         ELSE str_split(trim(text), ' ') END AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, ${duckPolyHash("bg")} % 256 AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i+1])) AS bg
+         |    FROM base WHERE t IS NOT NULL) q),
+         |tgt AS (
+         |  SELECT b, count(*) AS t_cnt FROM feats
+         |  WHERE lang = 'en' GROUP BY b),
+         |src AS (SELECT b, count(*) AS s_cnt FROM feats GROUP BY b),
+         |wt AS (
+         |  SELECT b, (COALESCE(t_cnt, 0) + 1) * 1000000 // (s_cnt + 1)
+         |    AS wt
+         |  FROM src LEFT JOIN tgt USING (b)),
+         |docw AS (
+         |  SELECT doc_id, count(*) AS n_feat,
+         |    CAST(sum(wt) AS BIGINT) AS dsir_weight
+         |  FROM feats JOIN wt USING (b) GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(sum(dsir_weight) AS BIGINT)
+         |    // CAST(sum(n_feat) AS BIGINT) AS mu
+         |  FROM docw)
+         |SELECT b.doc_id,
+         |  CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat,
+         |  COALESCE(dsir_weight, 0) AS dsir_weight,
+         |  COALESCE(dsir_weight, 0) > mu * COALESCE(n_feat, 0) AS keep
+         |FROM base b LEFT JOIN docw USING (doc_id) CROSS JOIN stats""".stripMargin,
     // curriculum shards: the oracle uses the straightforward global
     // row_number (fine at oracle scale); Spark assembles the SAME rank
     // histogram-first — hash equality proves the decomposition exact

@@ -504,4 +504,66 @@ object Corpus {
         max(col("score")).as("max_score"),
         sum(col("doc_id")).as("sum_ids"))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rate every document by
+    * how much its hashed n-gram feature distribution looks like a target
+    * domain relative to the raw corpus, then keep the above-average
+    * slice. Features are hashed bigrams (`poly_hash mod nBuckets` — the
+    * paper's hashed n-gram space); the target here is the `targetLang`
+    * slice standing in for the paper's curated target corpus.
+    *
+    * The paper's importance weight is a log-likelihood ratio; libm `log`
+    * is not correctly rounded, so the portable stand-in is the
+    * Laplace-smoothed integer ratio per bucket
+    * `wt(b) = (t(b)+1)·SCALE div (s(b)+1)` summed over a document's
+    * feature occurrences — monotone in the same direction, integer
+    * end-to-end, so the oracle replays it exactly. The keep rule is
+    * length-normalized (a raw weight SUM just selects long documents):
+    * a doc stays when its mean per-feature weight clears the corpus
+    * mean, computed as the integer `mu = tot_w div tot_feat` and
+    * compared multiplied-out (`weight > mu·n_feat`) — no per-doc
+    * division, and the products stay bounded by doc length (never by
+    * corpus size), so nothing overflows at any scale.
+    *
+    * Scale shape: two hash aggregates build the bucket tables (bounded
+    * at `nBuckets` rows — broadcast-sized BY CONSTRUCTION, unlike a raw
+    * vocabulary), one broadcast join scores the corpus, one per-doc
+    * re-aggregate. No all-pairs anything; the only data-sized shuffles
+    * key on doc_id. Docs with no features (null text, <2 tokens)
+    * surface with `n_feat = 0, keep = false`.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, nBuckets: Int = 256,
+      targetLang: String = "en"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val Scale = 1000000L
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+      when(col("text").isNull, lit(null)).otherwise(tokens(col("text")))
+        .as("t"))
+    val feats = base.filter(col("t").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.ShingleArray.shingle_array_all(col("t"), 2))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(poly_hash(col("bg")), lit(nBuckets.toLong)).as("b"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+    val src = feats.groupBy(col("b")).agg(count(lit(1)).as("s_cnt"))
+    val wt = src.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"(coalesce(t_cnt, 0) + 1) * $Scale DIV (s_cnt + 1)")
+          .as("wt"))
+    val docW = feats.join(broadcast(wt), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("wt")).as("dsir_weight"))
+    val stats = docW.agg(
+      expr("sum(dsir_weight) DIV sum(n_feat)").as("mu"))
+    base.select(col("doc_id")).join(docW, Seq("doc_id"), "left")
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("dsir_weight"), lit(0L)).as("dsir_weight"),
+        (coalesce(col("dsir_weight"), lit(0L)) >
+          col("mu") * coalesce(col("n_feat"), lit(0L))).as("keep"))
+  }
 }

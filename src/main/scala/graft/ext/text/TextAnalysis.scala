@@ -374,4 +374,75 @@ object TextAnalysis {
   def termLookupReport(spark: SparkSession, dir: String): DataFrame =
     termLookup(invertedIndex(docs(spark, dir), maxPostings = 100),
       Seq("merge", "window"), corpus = Some(docs(spark, dir)))
+
+  /** Perplexity-style LM quality filter (the third classic pretraining
+    * filter next to heuristics and the model classifier): train a bigram
+    * language model with stupid backoff (Brants et al. 2007) on a clean
+    * reference slice — here the `refLang` documents — and score every
+    * document by its per-bigram model affinity. Classic usage: CCNet /
+    * Gopher keep the low-perplexity tail against a Wikipedia-trained LM.
+    *
+    * Cross-engine portability drives the arithmetic: log-probabilities
+    * need libm `log` (NOT correctly rounded, so not oracle-stable), so
+    * each bigram scores an integer-scaled probability instead —
+    * `b·SCALE div u_prev` when the bigram was seen, else the backoff
+    * `u_cur·SCALE div (2·T)` (α = 0.5, the one exactly-representable
+    * backoff weight) — and a document's `lm_score` is the overflow-free
+    * integer SUM of its bigram scores (order-independent, unlike a float
+    * fold). `avg_e6 = lm_score div n_bigrams` is the mean scaled bigram
+    * probability; `keep` selects docs whose mean clears `minAvgE6`.
+    *
+    * Scale shape: model training is two hash aggregates over the
+    * reference slice (counts, map-side partial); scoring is one bigram
+    * explode joined against the model + two unigram lookups, then a
+    * per-doc re-aggregate. The model tables are count-bounded by the
+    * reference vocabulary — at 100 TB the reference slice is a curated
+    * sample and the joins broadcast; at test SF AQE picks the broadcast
+    * automatically. Null-text and <2-token docs surface with
+    * `n_bigrams = 0, keep = false`, never vanish.
+    */
+  def lmScores(spark: SparkSession, dir: String, refLang: String = "en",
+      minAvgE6: Long = 34000L): DataFrame = {
+    val Scale = 1000000L
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+      when(col("text").isNull, lit(null)).otherwise(tokens(col("text")))
+        .as("t"))
+    val withT = base.filter(col("t").isNotNull)
+    val refToks = withT.filter(col("lang") === refLang)
+      .select(explode(col("t")).as("w"))
+    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val tot = uni.agg(sum(col("u")).as("t_total"))
+    val refBi = withT.filter(col("lang") === refLang)
+      .select(explode(
+        graft.functions.ShingleArray.shingle_array_all(col("t"), 2))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("b"))
+    val docBi = withT.select(col("doc_id"), explode(
+      graft.functions.ShingleArray.shingle_array_all(col("t"), 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        split_part(col("bg"), lit(" "), lit(1)).as("prev"),
+        split_part(col("bg"), lit(" "), lit(2)).as("cur"))
+    val scored = docBi
+      .join(refBi, Seq("bg"), "left")
+      .join(uni.select(col("w").as("prev"), col("u").as("u_prev")),
+        Seq("prev"), "left")
+      .join(uni.select(col("w").as("cur"), col("u").as("u_cur")),
+        Seq("cur"), "left")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        when(col("b").isNotNull, expr(s"b * $Scale DIV u_prev"))
+          .when(col("u_cur").isNotNull,
+            expr(s"u_cur * $Scale DIV (2 * t_total)"))
+          .otherwise(lit(0L)).as("s"))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_score"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+      .withColumn("avg_e6",
+        when(col("n_bigrams") > 0, expr("lm_score DIV n_bigrams"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", col("n_bigrams") > 0 && col("avg_e6") >= minAvgE6)
+  }
 }

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * an empty array (total — safe under optimizer rules that copy generator
   * expressions into filters).
   */
-case class ShingleArray(child: Expression, n: Int)
+case class ShingleArray(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -42,7 +42,12 @@ case class ShingleArray(child: Expression, n: Int)
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet dedupes in first-occurrence order; the multiplicity
+    // form (distinct = false) keeps every occurrence — language-model
+    // counts need them
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](sz - n + 1)
     val buf = new Array[UTF8String](n)
     var i = 0
     while (i <= sz - n) {
@@ -68,12 +73,16 @@ case class ShingleArray(child: Expression, n: Int)
       val utf8 = classOf[UTF8String].getName
       val gad = classOf[GenericArrayData].getName
       val space = s"graft.functions.ShingleArray$$.MODULE$$.Space()"
+      // `distinct` is a plan-time constant: pick the container at codegen
+      val container =
+        if (distinct) s"java.util.LinkedHashSet<$utf8>"
+        else s"java.util.ArrayList<$utf8>"
       s"""
          |int $sz = $arr.numElements();
          |if ($sz < $n) {
          |  ${ev.value} = new $gad(new Object[0]);
          |} else {
-         |  java.util.LinkedHashSet<$utf8> $seen = new java.util.LinkedHashSet<$utf8>();
+         |  $container $seen = new $container();
          |  $utf8[] $buf = new $utf8[$n];
          |  for (int $i = 0; $i <= $sz - $n; $i++) {
          |    for (int $j = 0; $j < $n; $j++) {
@@ -99,4 +108,11 @@ object ShingleArray {
   /** Column API: `shingle_array(tokensCol, 3)`. */
   def shingle_array(tokens: Column, n: Int): Column =
     GraftBridge.toColumn(ShingleArray(GraftBridge.toExpression(tokens), n))
+
+  /** Multiplicity-keeping variant: every n-gram occurrence, in order —
+    * the form language-model count pipelines need.
+    */
+  def shingle_array_all(tokens: Column, n: Int): Column =
+    GraftBridge.toColumn(
+      ShingleArray(GraftBridge.toExpression(tokens), n, distinct = false))
 }

@@ -27,6 +27,46 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("dsir: smoothed bucket ratios, target-like features weigh more") {
+    val scratch = graft.util.Scratch.dir("graft_dsir").toString
+    import spark.implicits._
+    // target (en) bigrams: "x y"×2, "y x"×1; corpus adds "q r"×2, "r q"×1
+    Seq((1L, "x y x y", "en"), (2L, "x y", "de"), (3L, "q r q r", "de"),
+      (4L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = Corpus.dsirSelect(spark, scratch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // wt(x y) = 3e6 div 4 = 750000, wt(y x) = 2e6 div 2 = 1000000,
+    // wt(q r) = 1e6 div 3 = 333333, wt(r q) = 1e6 div 2 = 500000
+    // (exact unless two of the four bigrams collide in 256 buckets —
+    // poly_hash is deterministic, so this assert would catch that)
+    assert(out(1L).getAs[Long]("dsir_weight") == 2500000L)
+    assert(out(2L).getAs[Long]("dsir_weight") == 750000L)
+    assert(out(3L).getAs[Long]("dsir_weight") == 1166666L)
+    // per-feature: the target-like doc outweighs the off-target one
+    assert(out(2L).getAs[Long]("dsir_weight") * out(3L).getAs[Long]("n_feat")
+      > out(3L).getAs[Long]("dsir_weight") * out(2L).getAs[Long]("n_feat"))
+    // keep = mean per-feature weight clears the corpus mean
+    // mu = 4416666 div 7 = 630952; doc 1: 2500000 > 3·mu, doc 2 (the
+    // short but purely target-like doc): 750000 > mu, doc 3: 1166666 < 3·mu
+    assert(out(1L).getAs[Boolean]("keep") && out(2L).getAs[Boolean]("keep")
+      && !out(3L).getAs[Boolean]("keep"))
+    // featureless docs surface, never vanish
+    assert(out(4L).getAs[Long]("n_feat") == 0L &&
+      !out(4L).getAs[Boolean]("keep"))
+    // on the corpus the selection is non-vacuous and favors the target lang
+    val byLang = Corpus.dsirSelect(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(when(col("keep"), 1.0).otherwise(0.0)))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en keep-rate should exceed non-en: $byLang")
+  }
+
   test("prepare funnel counts are monotone and consistent with the stages") {
     val rows = Corpus.prepare(spark, dir).collect()
     assert(rows.nonEmpty)

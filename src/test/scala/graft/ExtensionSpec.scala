@@ -923,6 +923,40 @@ class TextAnalysisSpec extends SparkSpec {
       s"classifier is vacuous on the fixture: $byKeep")
   }
 
+  test("bigram LM: hand-computed stupid-backoff scores; filter discriminates") {
+    val scratch = graft.util.Scratch.dir("graft_lm").toString
+    import spark.implicits._
+    // en model: uni = {a:3, b:3}, T = 6; bigrams = {"a b":3, "b a":1}
+    Seq((1L, "a b a b", "en"), (2L, "a b", "en"), (3L, "c d", "de"),
+      (4L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextAnalysis.lmScores(spark, scratch).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1: "a b"→3e6 div 3 = 1000000, "b a"→1e6 div 3 = 333333, "a b"
+    assert(out(1L).getAs[Long]("lm_score") == 2333333L &&
+      out(1L).getAs[Long]("n_bigrams") == 3L &&
+      out(1L).getAs[Long]("avg_e6") == 777777L &&
+      out(1L).getAs[Boolean]("keep"))
+    // doc 3: bigram unseen, cur token "d" out of vocab → backoff to zero
+    assert(out(3L).getAs[Long]("lm_score") == 0L &&
+      !out(3L).getAs[Boolean]("keep"))
+    // null text surfaces as (0, 0, 0, false), never vanishes
+    assert(out(4L).getAs[Long]("n_bigrams") == 0L &&
+      !out(4L).getAs[Boolean]("keep"))
+    // on the corpus the filter must discriminate — and in the right
+    // direction: the reference language scores higher than the rest
+    val byLang = TextAnalysis.lmScores(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .where(col("n_bigrams") > 0)
+      .groupBy(col("lang") === "en").agg(avg(col("avg_e6")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en should outscore non-en on its own model: $byLang")
+  }
+
   test("inverted index: df counts, sorted capped postings, AND lookup") {
     import spark.implicits._
     val df = Seq((3L, "red blue"), (1L, "red green"), (2L, "red blue red"))

@@ -43,6 +43,18 @@ class PropertySpec extends SparkSpec {
         graft.functions.ShingleArray.shingle_array(col("t"), n).as("sh"))
         .collect().map(_.getSeq[String](0).toList)
       assert(fast.toSeq == hof.toSeq, s"mismatch at n=$n")
+      // the multiplicity form: every occurrence in order, exactly
+      // max(0, len - n + 1) of them, and distinct-of-all == the set form
+      val all = df.select(
+        graft.functions.ShingleArray.shingle_array_all(col("t"), n).as("sh"))
+        .collect().map(_.getSeq[String](0).toList)
+      val lens = df.select(size(col("t"))).collect().map(_.getInt(0))
+      all.zip(lens).foreach { case (sh, len) =>
+        assert(sh.length == math.max(0, len - n + 1),
+          s"occurrence count wrong at n=$n: $sh")
+      }
+      assert(all.map(_.distinct).toSeq == fast.toSeq,
+        s"distinct-of-all != set form at n=$n")
     }
   }
 
