@@ -199,6 +199,7 @@ object SparkEntry {
     "x_dedup_keepbest"   -> ((s, d) => TextDedup.keepBestSurvivors(s, d)),
     "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
+    "x_rag_bm25"         -> TextAnalysis.bm25Report _,
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -1794,6 +1795,31 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE list_contains(str_split(trim(text), ' '), 'merge')
         |  AND list_contains(str_split(trim(text), ' '), 'window')""".stripMargin,
+    // BM25 top-20 in exact integer rationals (k1 = 6/5, b = 3/4, SCALE =
+    // 1e6); both engines truncate integer division toward zero, so the
+    // scores replay bit for bit — see TextAnalysis.bm25TopK's scaladoc
+    "x_rag_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+        |  WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1))
+        |      * (44 * tf * t_total * 1000000
+        |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+        |      // 1000000 AS s
+        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, sum(s) AS bm25_e6, count(*) AS n_terms_hit
+        |FROM s GROUP BY 1
+        |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
     // whose running token sum fits the budget; integer sums keep it exact
     "x_corpus_budget" ->

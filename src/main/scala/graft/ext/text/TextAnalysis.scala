@@ -445,4 +445,75 @@ object TextAnalysis {
           .otherwise(lit(0L)))
       .withColumn("keep", col("n_bigrams") > 0 && col("avg_e6") >= minAvgE6)
   }
+
+  /** BM25 top-k retrieval — the ranked-retrieval step a RAG / curation
+    * pipeline runs on top of the inverted index ([[invertedIndex]] gives
+    * the boolean candidates, this ranks them). Okapi BM25 with k1 = 1.2,
+    * b = 0.75, OR semantics over the query terms.
+    *
+    * Cross-engine portability drives the arithmetic (same policy as
+    * [[lmScores]]): the idf log needs libm `log`, which is not correctly
+    * rounded and therefore not oracle-stable, so the gate form scores with
+    * exact integer rationals instead —
+    *   idf_e6  = (2·(N − df) + 1)·SCALE div (2·df + 1)
+    *     (the Robertson–Sparck-Jones odds (N − df + ½)/(df + ½) with the
+    *      log dropped: per-term ranking order is identical, the log is a
+    *      monotone transform),
+    *   tfc_e6  = 44·tf·T·SCALE div (20·T·tf + 6·T + 18·dl·N)
+    *     (tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 6/5,
+    *      b = 3/4, avgdl = T/N, cleared to one integer fraction),
+    * and a doc's score is Σ idf_e6·tfc_e6 div SCALE over its matched
+    * terms — overflow-free at gate scale and bit-identical in DuckDB
+    * (both engines truncate integer division toward zero; every operand
+    * here is positive). Production retrieval swaps the one `expr` line
+    * for `log((N - df + 0.5)/(df + 0.5))` doubles; the ranking machinery
+    * is unchanged.
+    *
+    * Scale shape: the explode is FILTERED to the query terms before any
+    * aggregation, so tf/df shuffles carry only rows for docs matching ≥ 1
+    * query term (∝ result candidates, not the corpus); df and the corpus
+    * stats broadcast (both are ≤ |query| + 1 rows); the top-k is
+    * orderBy + limit, which Spark plans as TakeOrderedAndProject — a
+    * per-partition heap + driver merge of k·partitions rows, never a
+    * global sort.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val Scale = 1000000L
+    val terms = queryTerms.distinct
+    val d = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(s"""(2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1)""")
+          .as("idf_e6"),
+        expr(s"""44 * tf * t_total * $Scale
+                | DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"""
+          .stripMargin).as("tfc_e6"))
+      .select(col("doc_id"), expr(s"idf_e6 * tfc_e6 DIV $Scale").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("bm25_e6"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Gate entry for [[bm25TopK]]: top 20 docs for a query mixing two
+    * dense terms with the one rare term in the synthetic vocabulary
+    * ("dup", df ≈ 5% of docs), so the idf weighting visibly reorders the
+    * result against raw tf.
+    */
+  def bm25Report(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(spark, dir)
 }

@@ -1006,6 +1006,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup.toList == List(2L, 3L))
   }
 
+  test("BM25: hand-computed integer scores, idf reorders, top-k plan") {
+    val scratch = graft.util.Scratch.dir("graft_bm25").toString
+    import spark.implicits._
+    Seq((1L, "red red blue"), (2L, "red green"),
+      (3L, "blue blue blue green"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    // N = 3, T = 9; df(red) = df(blue) = 2 -> idf_e6 = 3e6 div 5 = 600000
+    // doc1: red tf=2 dl=3 -> 792e6 div 576 = 1375000; blue tf=1 -> 1e6
+    //       score = 600000*1375000 div 1e6 + 600000 = 1425000, 2 hits
+    // doc2: red tf=1 dl=2 -> 396e6 div 342 = 1157894 -> 694736, 1 hit
+    // doc3: blue tf=3 dl=4 -> 1188e6 div 810 = 1466666 -> 879999, 1 hit
+    val out = TextAnalysis
+      .bm25TopK(spark, scratch, queryTerms = Seq("red", "blue"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList ==
+      List((1L, 1425000L, 2L), (3L, 879999L, 1L), (2L, 694736L, 1L)))
+    // corpus: the rare term's idf must dominate — every top-5 doc for the
+    // default (spark, vector, dup) query contains "dup" (df ~5% of docs)
+    val top = TextAnalysis.bm25TopK(spark, dir, k = 5)
+    val topIds = top.collect().map(_.getLong(0))
+    val withDup = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(array_contains(split(trim(col("text")), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(topIds.forall(withDup), s"idf failed to rank 'dup' docs first")
+    // top-k must plan as TakeOrderedAndProject (per-partition heaps +
+    // driver merge of k rows), never a global sort
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 75).map(i => s"w$i")
