@@ -294,11 +294,9 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 
-  // nanosAsLong is session config (GraftSession/Verify/Bench set it once);
-  // query functions stay free of session-state mutation
+  // encoding-adaptive shared reader — see graft.util.EventTs
   private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.EventTs.readEvents(spark, dir)
 
   /** Pivot: daily event counts with one column per event type. The value
     * list is explicit, so the pivot is a single-pass conditional aggregate

@@ -15,15 +15,14 @@ import org.apache.spark.sql.types._
   */
 object EventOps {
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and truncate to micros (same truncation
-    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP). The nanosAsLong flag
-    * is session config (GraftSession/Verify/Bench set it once) — query
-    * functions don't mutate session state.
+  /** The events parquet has shipped as both TIMESTAMP(NANOS) (read as
+    * BIGINT nanos under the session's nanosAsLong flag) and
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); [[graft.util.EventTs]]
+    * dispatches on the actual dtype so every gate is encoding-independent
+    * and an unknown encoding fails loudly.
     */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.EventTs.readEvents(spark, dir)
 
   /** T1 — JSON parse with PERMISSIVE-drop semantics
     * (ref: Rain-Detector/Main.java:36-44, CentralStation.java:63).
@@ -210,22 +209,23 @@ object EventOps {
     * one parquet file → one micro-batch → exactly one Update row per key;
     * the driver hash-compares it against the batch oracle.
     */
-  /** Wire schema + staged file source + memory-sink drain shared by the
-    * streaming gates (one copy, so the gates can't silently diverge).
-    * The file streaming source requires a DIRECTORY; the single events
-    * file is staged into a scratch dir unchanged.
+  /** Staged file source + memory-sink drain shared by the streaming gates
+    * (one copy, so the gates can't silently diverge). The file streaming
+    * source requires a DIRECTORY; the single events file is staged into a
+    * scratch dir unchanged. The user schema a file stream must declare is
+    * inferred from the real file's footer (NOT hand-pinned — a pinned
+    * LongType over a TIMESTAMP(MICROS) file silently reads micros as
+    * nanos), and `ts` is normalized by [[graft.util.EventTs.toMicros]]
+    * right here, so every downstream gate sees one canonical TIMESTAMP.
     */
-  private val EventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val stage = graft.util.Scratch.dir("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    spark.readStream.schema(EventsSchema).parquet(stage.toString)
+    graft.util.EventTs.toMicros(
+      spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
+        .parquet(stage.toString))
   }
 
   // drainToMemory temporarily lowers the SESSION-global shuffle-partition
@@ -273,8 +273,7 @@ object EventOps {
     implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
     val rec = eventsStream(spark, dir)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("value")).as[EventRecord]
+        col("ts"), col("event_type"), col("value")).as[EventRecord]
     val latest = graft.core.LatestState.latestStreamBy(rec)(_.station_id) { r =>
       val i = r.ts.toInstant
       (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.s_no)
@@ -313,8 +312,7 @@ object EventOps {
     try {
       val rec = eventsStream(spark, dir)
         .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"),
-          col("event_type"), col("value"))
+          col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.TwsLatest.Rec]
       val latest = graft.streaming.TwsLatest.latestStream(rec)
       // same defensive multi-batch reduce as latestPerKeyStream
@@ -394,7 +392,6 @@ object EventOps {
   def tumblingWindowStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val agg = eventsStream(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     drainToMemory(spark, agg, "window_stream_gate", OutputMode.Complete())
@@ -454,24 +451,30 @@ object EventOps {
       java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
     java.nio.file.Files.setLastModifiedTime(eventsFile,
       java.nio.file.attribute.FileTime.fromMillis(base))
-    // 2100-01-01 / 2100-01-02 as nanos — far past any real event time
+    // 2100-01-01 / 2100-01-02 as nanos — far past any real event time.
+    // The sentinel file must carry the SAME physical ts encoding as the
+    // real events file (one user schema decodes the whole directory), so
+    // the nanos literal is re-encoded to the footer's actual dtype.
+    val rawSchema = graft.util.EventTs.rawEventsSchema(spark, dir)
     Seq(("flush1.parquet", 4102444800000000000L, 60),
         ("flush2.parquet", 4102531200000000000L, 120)).foreach {
       case (name, tsNanos, offsetSec) =>
         import spark.implicits._
         stageParquetFile(
-          Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          graft.util.EventTs.nanosColTo(
+            Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+            rawSchema("ts").dataType),
           stage, name, base + offsetSec * 1000L)
     }
-    spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", "2").parquet(stage.toString)
+    graft.util.EventTs.toMicros(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "2").parquet(stage.toString))
   }
 
   def tumblingWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val agg = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -493,7 +496,7 @@ object EventOps {
     import org.apache.spark.sql.streaming.OutputMode
     val archive = eventsStreamWithFlush(spark, dir)
       .select(col("user_id").as("station_id"),
-        expr("timestamp_micros(ts DIV 1000)").as("status_timestamp"),
+        col("ts").as("status_timestamp"),
         struct(
           round(col("value"), 0).cast(IntegerType).as("humidity"),
           (col("event_id") % 30).cast(IntegerType).as("wind_speed"))
@@ -521,7 +524,6 @@ object EventOps {
   def sessionWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val agg = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"),
         col("user_id"))
@@ -543,7 +545,7 @@ object EventOps {
     import org.apache.spark.sql.streaming.OutputMode
     val archive = eventsStreamWithFlush(spark, dir)
       .select(col("user_id").as("station_id"),
-        expr("timestamp_micros(ts DIV 1000)").as("status_timestamp"))
+        col("ts").as("status_timestamp"))
     val agg = graft.streaming.WindowedStats.sliding(
       archive, "15 minutes", "5 minutes", "30 minutes")
     drainToMemory(spark, agg, "sliding_stream_gate", OutputMode.Append())
@@ -587,10 +589,11 @@ object EventOps {
     spark.read.parquet(s"$dir/events.parquet")
       .repartition(1).sortWithinPartitions(col("event_id"))
       .write.mode("overwrite").parquet(stage.toString)
-    val rec = spark.readStream.schema(EventsSchema).parquet(stage.toString)
+    val rec = graft.util.EventTs.toMicros(
+        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
+          .parquet(stage.toString))
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("value")).as[EventRecord]
+        col("ts"), col("event_type"), col("value")).as[EventRecord]
     val latest = graft.core.LatestState.latestStreamArrivalBy(rec)(_.station_id)
     // defensive multi-batch reduce (same rationale as latestPerKeyStream):
     // arrival order is s_no order here, so the final state is the max-s_no
@@ -630,9 +633,9 @@ object EventOps {
       stage, "batch1.parquet", base)
     stageParquetFile(raw.filter(col("event_id") % 2 === 0),
       stage, "batch2.parquet", base + 60000L)
-    val deduped = spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val deduped = graft.util.EventTs.toMicros(
+        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
       .withWatermark("ts", "30 minutes")
       // the EVENT-TIME column must be part of the dedup key: Spark evicts
       // dedup state by key-embedded event time (WatermarkSupport's
@@ -682,13 +685,11 @@ object EventOps {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val severe = eventsStream(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .filter(col("value") > 90.0)
       .select(col("user_id").as("station_id"),
         col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
       .withWatermark("alert_ts", "30 minutes")
     val context = eventsStream(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .select(col("user_id").as("ctx_station"),
         col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
       .withWatermark("ctx_ts", "30 minutes")
@@ -720,13 +721,11 @@ object EventOps {
   def streamStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val severe = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .filter(col("value") > 90.0 || col("event_type") === "__flush__")
       .select(col("user_id").as("station_id"),
         col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
       .withWatermark("alert_ts", "30 minutes")
     val context = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .select(col("user_id").as("ctx_station"),
         col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
       .withWatermark("ctx_ts", "30 minutes")
@@ -752,13 +751,11 @@ object EventOps {
   def streamStreamJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val severe = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .filter(col("value") > 90.0 || col("event_type") === "__flush__")
       .select(col("user_id").as("station_id"),
         col("event_id").as("alert_sno"), col("ts").as("alert_ts"))
       .withWatermark("alert_ts", "30 minutes")
     val context = eventsStreamWithFlush(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .select(col("user_id").as("ctx_station"),
         col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
       .withWatermark("ctx_ts", "30 minutes")
@@ -792,9 +789,9 @@ object EventOps {
       stage, "batch1.parquet", base)
     stageParquetFile(raw.filter(col("event_id") % 2 === 0),
       stage, "batch2.parquet", base + 60000L)
-    val deduped = spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val deduped = graft.util.EventTs.toMicros(
+        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_id")
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
@@ -817,7 +814,7 @@ object EventOps {
     import org.apache.spark.sql.streaming.OutputMode
     val pings = eventsStreamWithFlush(spark, dir)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+        col("ts"))
     val alerts = graft.streaming.WindowedStats.offlineAlerts(pings)
     drainToMemory(spark, alerts.toDF(), "offline_gate", OutputMode.Append())
       .filter(col("station_id") =!= -1L)
@@ -841,8 +838,7 @@ object EventOps {
     val out = graft.util.Scratch.dir("graft_compact_out").toString
     graft.operators.Scale.compactFiles(spark, shattered, out,
       targetFileBytes = 4L << 20)
-    spark.read.parquet(out)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.EventTs.toMicros(spark.read.parquet(out))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_sno"),
         countDistinct(col("user_id")).as("n_stations"))

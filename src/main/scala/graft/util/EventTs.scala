@@ -1,8 +1,8 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Schema-adaptive normalization of the events table's `ts` column.
   *
@@ -32,4 +32,40 @@ object EventTs {
       case other => throw new IllegalArgumentException(
         s"events.ts has unsupported type $other")
     }
+
+  /** Batch-read the events table with `ts` already normalized — THE entry
+    * point for batch event queries; every gate goes through here so an
+    * encoding drift in regenerated testdata fails loudly in one place
+    * (the [[toMicros]] dispatch) instead of silently coercing at 20 sites.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    toMicros(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** The events file's actual on-disk schema (parquet footer truth). File
+    * STREAM readers must pass a user schema; pinning a hand-written one
+    * silently mis-decodes when the physical encoding drifts (a LongType
+    * user schema over a TIMESTAMP(MICROS) file reads raw micros as if they
+    * were nanos — the r7 failure). Inferring from the real footer and then
+    * normalizing with [[toMicros]] after the read keeps streaming gates
+    * encoding-independent, same as batch.
+    */
+  def rawEventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  /** Re-encode a nanos-long `ts` column to `target` — the inverse dispatch
+    * of [[toMicros]], for staging synthetic rows (flush sentinels) into the
+    * same directory as real event files: a file-stream source needs every
+    * file to decode under one schema, so the sentinel's encoding must match
+    * whatever the driver shipped.
+    */
+  def nanosColTo(df: DataFrame, target: DataType): DataFrame = target match {
+    case LongType => df
+    case TimestampNTZType =>
+      df.withColumn("ts",
+        expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+    case TimestampType =>
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    case other => throw new IllegalArgumentException(
+      s"cannot stage events.ts as unsupported type $other")
+  }
 }

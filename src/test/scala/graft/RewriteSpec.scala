@@ -15,8 +15,7 @@ class RewriteSpec extends SparkSpec {
   }
 
   lazy val events =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.EventTs.readEvents(spark, "/root/testdata/sf0.001")
 
   private def windowTop1 = {
     val w = Window.partitionBy(col("user_id"))
@@ -213,8 +212,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
   }
 
   lazy val events =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.EventTs.readEvents(spark, "/root/testdata/sf0.001")
       .select(col("ts"), col("user_id"), col("event_id"))
 
   // 16 unaligned 47-minute windows every 21 hours from the first event

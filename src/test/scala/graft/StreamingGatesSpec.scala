@@ -29,8 +29,7 @@ class StreamingGatesSpec extends SparkSpec {
     val streamed = EventOps.windowedStatsAppend(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getInt(4))).toSet
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val batch = graft.util.EventTs.readEvents(spark, dir)
       .groupBy(window(col("ts"), "15 minutes").as("w"),
         col("user_id").as("station_id"))
       .agg(count(lit(1)).as("n"),
