@@ -1714,7 +1714,7 @@ object SparkEntry {
     // differ in <= r bits (subset-visibility argument in knnRecallReport)
     "x_knn_recall" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 5 = 0),
+        |  WHERE vec_id % 10 = 0),
         |codes AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS c
@@ -1796,8 +1796,9 @@ object SparkEntry {
         |WHERE list_contains(str_split(trim(text), ' '), 'merge')
         |  AND list_contains(str_split(trim(text), ' '), 'window')""".stripMargin,
     // BM25 top-20 in exact integer rationals (k1 = 6/5, b = 3/4, SCALE =
-    // 1e6); both engines truncate integer division toward zero, so the
-    // scores replay bit for bit — see TextAnalysis.bm25TopK's scaladoc
+    // 1e6); floor (DuckDB //) and truncate (Spark DIV) coincide because
+    // all operands are non-negative — keep intermediates non-negative or
+    // the engines round differently — see TextAnalysis.bm25TopK's scaladoc
     "x_rag_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, str_split(trim(text), ' ') AS t

@@ -457,17 +457,31 @@ object TextAnalysis {
     * exact integer rationals instead —
     *   idf_e6  = (2·(N − df) + 1)·SCALE div (2·df + 1)
     *     (the Robertson–Sparck-Jones odds (N − df + ½)/(df + ½) with the
-    *      log dropped: per-term ranking order is identical, the log is a
-    *      monotone transform),
+    *      log dropped: PER-TERM ranking order is identical since the log
+    *      is monotone — but a document's score SUMS terms, and a sum of
+    *      linear odds is NOT ranking-equivalent to a sum of log-odds, so
+    *      MULTI-term rankings can diverge from true Okapi BM25, with rare
+    *      terms overweighted linearly (df=1 in N=10k contributes odds
+    *      ~6666 where the log contributes ~8.8). This is a deliberate
+    *      BM25-LIKE integer scorer chosen for oracle stability, not BM25
+    *      fidelity),
     *   tfc_e6  = 44·tf·T·SCALE div (20·T·tf + 6·T + 18·dl·N)
     *     (tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 6/5,
-    *      b = 3/4, avgdl = T/N, cleared to one integer fraction),
+    *      b = 3/4, avgdl = T/N, cleared to one integer fraction; the
+    *      44·tf·T·SCALE numerator overflows Long once tf·T exceeds
+    *      ~2.1e11 — e.g. a 1e9-token corpus with tf ≈ 200 — so the
+    *      integer form is bounded to corpora under ~1e10 total tokens;
+    *      past that, divide T out of the fraction first or use the
+    *      production double path),
     * and a doc's score is Σ idf_e6·tfc_e6 div SCALE over its matched
     * terms — overflow-free at gate scale and bit-identical in DuckDB
-    * (both engines truncate integer division toward zero; every operand
-    * here is positive). Production retrieval swaps the one `expr` line
-    * for `log((N - df + 0.5)/(df + 0.5))` doubles; the ranking machinery
-    * is unchanged.
+    * (floor division — DuckDB's `//` — and truncation — Spark's DIV —
+    * coincide because every operand here is non-negative; keep any
+    * formula change non-negative or the two engines round differently).
+    * Production retrieval that needs true BM25 swaps the idf `expr` line
+    * for `log((N - df + 0.5)/(df + 0.5))` doubles (or a fixed-point
+    * integer log approximation if oracle stability must be kept); the
+    * ranking machinery is unchanged.
     *
     * Scale shape: the explode is FILTERED to the query terms before any
     * aggregation, so tf/df shuffles carry only rows for docs matching ≥ 1

@@ -253,6 +253,12 @@ object EventOps {
     // checkpoint creation it must be chosen for peak state, not cores.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // state circuit breaker (see graft.streaming.StateGuard): a source
+    // with collapsed event times freezes the watermark and stops state
+    // eviction — fail fast with an attributable message instead of
+    // letting the drain grow state quadratically (the r7 bench blowup)
+    val guard = new graft.streaming.StateGuard(spark,
+      graft.streaming.StateGuard.DefaultMaxStateRows).install()
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -262,7 +268,12 @@ object EventOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      guard.assertClean(q)
+      graft.streaming.StateGuard.audit(q)
+    } finally {
+      guard.uninstall()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try spark.table(name)
     finally spark.catalog.dropTempView(name)
   }
