@@ -100,6 +100,19 @@ class EventTsSpec extends SparkSpec {
     }
   }
 
+  test("ts normalization blocks neither pushdown nor pruning on other columns") {
+    // the withColumn over ts is a projection on top of the scan; Catalyst
+    // must still push filters on sibling columns into the parquet scan
+    // and prune ts entirely when a query never touches it
+    val ev = EventTs.readEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("value") > 70.0)
+      .select(col("event_id"), col("value"))
+    val scan = ev.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThan(value,70.0)"), scan.take(800))
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,value:double>"),
+      scan.take(800))
+  }
+
   test("a re-encoded fixture (string ts) fails loudly through readEvents") {
     val stage = tmpDir("eventts_bad")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
