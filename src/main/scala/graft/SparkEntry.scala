@@ -1695,7 +1695,7 @@ object SparkEntry {
     // the oracle is the exhaustive formulation (reduced-radius recall is
     // covered in SimilaritySpec)
     "x_knn_join" ->
-      """WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      """WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
         |pairs AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

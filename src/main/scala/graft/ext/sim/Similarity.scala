@@ -900,15 +900,16 @@ object Similarity {
     knnJoinOf(emb(spark, dir), k, nBits, radius)
 
   /** Gate entry for [[knnJoin]]: full radius (exact ≡ exhaustive, so the
-    * DuckDB all-pairs oracle states equality) over a deterministic 1-in-5
-    * id slice. Full radius IS the all-pairs problem — quadratic by
-    * definition — so the gate bounds its own cost by slicing the corpus
-    * rather than weakening the radius (which would break oracle
-    * equality); the production reduced-radius path over the full corpus
-    * is what the planted-twin recall specs exercise.
+    * DuckDB all-pairs oracle states equality) over a deterministic
+    * 1-in-10 id slice. Full radius IS the all-pairs problem — quadratic
+    * by definition — so the gate bounds its own cost by slicing the
+    * corpus rather than weakening the radius (which would break oracle
+    * equality — the production planes are hash-seeded and not
+    * SQL-reproducible); the production reduced-radius path over the full
+    * corpus is what the planted-twin recall specs exercise.
     */
   def knnJoinGate(spark: SparkSession, dir: String): DataFrame =
-    knnJoinOf(emb(spark, dir).filter(col("vec_id") % 5 === 0),
+    knnJoinOf(emb(spark, dir).filter(col("vec_id") % 10 === 0),
       k = 5, nBits = 4, radius = 4)
 
   /** Reduced-radius kNN-join recall report — the production dial

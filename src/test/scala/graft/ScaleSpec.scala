@@ -122,14 +122,14 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bounded-heap kNN shuffles one heap per query, not the cross product") {
-    // 100 query vectors (vec_id % 5 == 0 of 500) x 500 candidates: the
-    // naive cross product is 50 000 rows. The per-partition bounded heap
+    // 50 query vectors (vec_id % 10 == 0 of 500) self-joined at full
+    // radius: the naive cross product is 2 500 rows. The bounded heap
     // must reduce that to ~one record per query group before the exchange.
     val (rows, bytes, records) =
       graft.ShuffleAudit.audit(spark, "/root/testdata/sf0.001", "x_knn_join")
-    assert(rows == 500, s"100 queries x k=5 expected, got $rows")
-    assert(records > 0 && records <= 200,
-      s"per-query heaps expected (~101), got $records shuffle records")
+    assert(rows == 250, s"50 queries x k=5 expected, got $rows")
+    assert(records > 0 && records <= 120,
+      s"per-query heaps expected (~51), got $records shuffle records")
     assert(bytes < 128 * 1024, s"$bytes bytes")
   }
 
