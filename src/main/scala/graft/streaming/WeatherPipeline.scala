@@ -18,6 +18,14 @@ import graft.lake.Archive
   * Each query has its own checkpoint → independent recovery, like the
   * reference's separate processes, but with exactly-once file-sink semantics
   * instead of the volatile queue (ParquetArchiver.java:36).
+  *
+  * Deployments should install a [[StateGuard]] on the session (`new
+  * StateGuard(spark, cap).install()`) sized to the provisioned state
+  * stores: the stateful fork (a) keys on station_id, so a misbehaving
+  * source that fabricates unbounded keys — or collapses event times on
+  * any watermarked derivative — grows state without bound, and the guard
+  * turns that into an immediate attributable failure instead of a
+  * delayed OOM (see SCALE.md, "Streaming state circuit breaker").
   */
 object WeatherPipeline {
 
