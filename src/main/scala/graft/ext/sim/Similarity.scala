@@ -914,9 +914,10 @@ object Similarity {
 
   /** Reduced-radius kNN-join recall report — the production dial
     * ([[knnJoin]] with radius < nBits) measured against the exact
-    * full-radius answer on a deterministic 1-in-10 corpus slice (leaner
-    * than [[knnJoinGate]]'s 1-in-5 — the all-pairs yardstick dominates
-    * the suite's cost): one row per radius with integer hit counts and
+    * full-radius answer on a deterministic 1-in-10 corpus slice (the
+    * same slice [[knnJoinGate]] uses — both all-pairs yardsticks are
+    * quadratic, so the slice is their only cost dial): one row per
+    * radius with integer hit counts and
     * recall in permille (integer division — run-stable). The
     * radius = nBits row is the built-in sanity anchor (full probing IS
     * exact, so its recall must print 1000); the spec asserts it. This

@@ -223,9 +223,7 @@ object EventOps {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    graft.util.EventTs.toMicros(
-      spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
-        .parquet(stage.toString))
+    graft.util.EventTs.readEventsStream(spark, dir, stage.toString)
   }
 
   // drainToMemory temporarily lowers the SESSION-global shuffle-partition
@@ -259,6 +257,10 @@ object EventOps {
     // letting the drain grow state quadratically (the r7 bench blowup)
     val guard = new graft.streaming.StateGuard(spark,
       graft.streaming.StateGuard.DefaultMaxStateRows).install()
+    // the view drop lives in the SAME finally as the rest of the cleanup:
+    // a guard trip throws out of this block, and the UUID-named memory
+    // sink must not stay registered (holding its buffered rows in driver
+    // memory) for the rest of a Verify/Bench sweep
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -270,12 +272,12 @@ object EventOps {
       q.awaitTermination()
       guard.assertClean(q)
       graft.streaming.StateGuard.audit(q)
+      spark.table(name)
     } finally {
       guard.uninstall()
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(name)
     }
-    try spark.table(name)
-    finally spark.catalog.dropTempView(name)
   }
 
   def latestPerKeyStream(spark: SparkSession, dir: String): DataFrame = {
@@ -478,9 +480,8 @@ object EventOps {
             rawSchema("ts").dataType),
           stage, name, base + offsetSec * 1000L)
     }
-    graft.util.EventTs.toMicros(
-      spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "2").parquet(stage.toString))
+    graft.util.EventTs.readEventsStream(spark, dir, stage.toString,
+      Map("maxFilesPerTrigger" -> "2"))
   }
 
   def tumblingWindowStreamAppend(spark: SparkSession, dir: String): DataFrame = {
@@ -600,9 +601,7 @@ object EventOps {
     spark.read.parquet(s"$dir/events.parquet")
       .repartition(1).sortWithinPartitions(col("event_id"))
       .write.mode("overwrite").parquet(stage.toString)
-    val rec = graft.util.EventTs.toMicros(
-        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
-          .parquet(stage.toString))
+    val rec = graft.util.EventTs.readEventsStream(spark, dir, stage.toString)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
         col("ts"), col("event_type"), col("value")).as[EventRecord]
     val latest = graft.core.LatestState.latestStreamArrivalBy(rec)(_.station_id)
@@ -644,9 +643,8 @@ object EventOps {
       stage, "batch1.parquet", base)
     stageParquetFile(raw.filter(col("event_id") % 2 === 0),
       stage, "batch2.parquet", base + 60000L)
-    val deduped = graft.util.EventTs.toMicros(
-        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+    val deduped = graft.util.EventTs.readEventsStream(spark, dir,
+        stage.toString, Map("maxFilesPerTrigger" -> "1"))
       .withWatermark("ts", "30 minutes")
       // the EVENT-TIME column must be part of the dedup key: Spark evicts
       // dedup state by key-embedded event time (WatermarkSupport's
@@ -800,9 +798,8 @@ object EventOps {
       stage, "batch1.parquet", base)
     stageParquetFile(raw.filter(col("event_id") % 2 === 0),
       stage, "batch2.parquet", base + 60000L)
-    val deduped = graft.util.EventTs.toMicros(
-        spark.readStream.schema(graft.util.EventTs.rawEventsSchema(spark, dir))
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+    val deduped = graft.util.EventTs.readEventsStream(spark, dir,
+        stage.toString, Map("maxFilesPerTrigger" -> "1"))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_id")
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),

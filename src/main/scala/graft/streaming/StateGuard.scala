@@ -71,7 +71,7 @@ final class StateGuard(spark: SparkSession, maxStateRows: Long)
 
 object StateGuard {
 
-  /** Default cap for the gate drains: ~100x any legitimate gate state
+  /** Default cap for the gate drains: ~50x any legitimate gate state
     * (the largest — both buffered sides of a stream-stream join at sf0.1
     * — holds ~2e5 rows), small enough to beat an OOM. A deployment sizes
     * this to what its state stores were provisioned for.

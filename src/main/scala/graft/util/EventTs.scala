@@ -52,6 +52,19 @@ object EventTs {
   def rawEventsSchema(spark: SparkSession, dir: String): StructType =
     spark.read.parquet(s"$dir/events.parquet").schema
 
+  /** File-STREAM twin of [[readEvents]]: read staged event files under
+    * `stagePath` with the real footer schema of `dir`'s events file and
+    * `ts` normalized — the one wiring every streaming gate shares, so no
+    * site can forget the footer schema or the normalization (each alone
+    * recreates the r7 pinned-schema bug).
+    */
+  def readEventsStream(spark: SparkSession, dir: String, stagePath: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.schema(rawEventsSchema(spark, dir))
+    toMicros(options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .parquet(stagePath))
+  }
+
   /** Re-encode a nanos-long `ts` column to `target` — the inverse dispatch
     * of [[toMicros]], for staging synthetic rows (flush sentinels) into the
     * same directory as real event files: a file-stream source needs every
