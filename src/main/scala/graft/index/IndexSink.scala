@@ -23,15 +23,17 @@ object IndexSink {
   def docs(archive: DataFrame): DataFrame =
     Normalize.toIndexDocs(Dedup.exactReplays(archive))
 
-  /** Batch "index": last-writer-wins on doc_id, persisted as parquet.
-    * Overwrite of the target dir models the idempotent-upsert effect for a
-    * full re-index; incremental upsert is `foreachBatch` + merge in a real
-    * index store.
+  /** Batch "index": one row per doc_id, persisted as parquet. [[docs]]
+    * already dedups on (station_id, s_no) and `doc_id = "<station>_<s_no>"`
+    * is injective for that pair, so doc_id uniqueness holds by
+    * construction — no second dedup aggregation here (an earlier
+    * `groupBy(doc_id)` re-shuffled the whole frame to collapse groups
+    * that were provably singletons). Overwrite of the target dir models
+    * the idempotent-upsert effect for a full re-index; incremental upsert
+    * is `foreachBatch` + merge in a real index store.
     */
   def writeParquetIndex(archive: DataFrame, path: String): Unit =
-    docs(archive)
-      .groupBy(col("doc_id")).agg(max(col("doc")).as("doc"))
-      .write.mode("overwrite").parquet(path)
+    docs(archive).write.mode("overwrite").parquet(path)
 
   /** Executor-side bulk upsert hook: partition-parallel, batched, retried.
     * `send` is the transport (ES bulk call in production, a collector in

@@ -18,12 +18,29 @@ import java.nio.charset.StandardCharsets
   */
 class HttpShim(api: QueryApi, port: Int = 0) {
 
+  /** RFC 8259 string escaping — the serving layer must emit valid JSON for
+    * ANY caller-supplied latest table (QueryApi accepts arbitrary frames,
+    * so upstream normalization cannot be assumed here).
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   private def rowJson(r: org.apache.spark.sql.Row): String = {
+    // weather fields accessed BY NAME: a caller's table may order the
+    // struct differently, and ordinal access would silently swap readings
     val w = r.getStruct(r.fieldIndex("weather"))
     s"""{"station_id":${r.getAs[Long]("station_id")},"s_no":${r.getAs[Long]("s_no")},""" +
-      s""""battery_status":"${r.getAs[String]("battery_status")}",""" +
-      s""""status_timestamp":"${r.getAs[java.sql.Timestamp]("status_timestamp")}",""" +
-      s""""weather":{"humidity":${w.getInt(0)},"temperature":${w.getInt(1)},"wind_speed":${w.getInt(2)}}}"""
+      s""""battery_status":${jsonStr(r.getAs[String]("battery_status"))},""" +
+      s""""status_timestamp":${jsonStr(String.valueOf(r.getAs[java.sql.Timestamp]("status_timestamp")))},""" +
+      s""""weather":{"humidity":${w.getAs[Int]("humidity")},"temperature":${w.getAs[Int]("temperature")},"wind_speed":${w.getAs[Int]("wind_speed")}}}"""
   }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -54,25 +71,49 @@ class HttpShim(api: QueryApi, port: Int = 0) {
     os.write(bytes); os.close()
   }
 
-  server.createContext("/stations", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit =
-      respond(ex, 200,
-        api.scan().collect().map(rowJson).mkString("[", ",", "]"))
+  /** Route guard shared by both contexts. JDK context matching is
+    * PREFIX-based, so /stationsXYZ and /station/5 land here too — they
+    * must 404 like the reference's exact Javalin routes. Non-GET methods
+    * 405 (every handler runs a driver-side collect; a CORS preflight must
+    * not do real work). A handler exception becomes a 500 — the bare JDK
+    * server would otherwise close the connection with NO response, where
+    * the reference returns 500.
+    */
+  private def guarded(exactPath: String)(f: HttpExchange => Unit): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestURI.getPath != exactPath)
+            respond(ex, 404, """{"error":"not found"}""")
+          else if (ex.getRequestMethod != "GET")
+            respond(ex, 405, """{"error":"method not allowed"}""")
+          else f(ex)
+        } catch {
+          case _: Throwable =>
+            // best-effort: if the failure hit after headers were sent the
+            // respond itself throws; either way the exchange must close
+            try respond(ex, 500, """{"error":"internal server error"}""")
+            catch { case _: Throwable => () }
+            finally ex.close()
+        }
+    }
+
+  server.createContext("/stations", guarded("/stations") { ex =>
+    respond(ex, 200,
+      api.scan().collect().map(rowJson).mkString("[", ",", "]"))
   })
 
-  server.createContext("/station", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-        .split("&").map(_.split("=", 2)).collect {
-          case Array(k, v) => k -> v
-        }.toMap
-      params.get("id").flatMap(s => s.toLongOption) match {
-        case None =>
-          respond(ex, 400, """{"error":"missing or invalid id parameter"}""")
-        case Some(id) => api.point(id) match {
-          case Some(row) => respond(ex, 200, rowJson(row))
-          case None => respond(ex, 404, s"""{"error":"unknown station $id"}""")
-        }
+  server.createContext("/station", guarded("/station") { ex =>
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    params.get("id").flatMap(s => s.toLongOption) match {
+      case None =>
+        respond(ex, 400, """{"error":"missing or invalid id parameter"}""")
+      case Some(id) => api.point(id) match {
+        case Some(row) => respond(ex, 200, rowJson(row))
+        case None => respond(ex, 404, s"""{"error":"unknown station $id"}""")
       }
     }
   })

@@ -34,7 +34,12 @@ class QueryApi(spark: SparkSession, latestTable: DataFrame,
   def exportCsv(path: String): Unit =
     latestTable
       .select(col("station_id"), col("s_no"), col("battery_status"),
-        date_format(col("status_timestamp"), "yyyy-MM-dd HH:mm:ss").as("status_timestamp"),
+        // millisecond precision: wire timestamps are epoch-millis
+        // (Normalize.toArchive), so a second-granular format would make
+        // the read-back via TableSources.exportCsvSchema lossy and two
+        // same-second readings indistinguishable
+        date_format(col("status_timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("status_timestamp"),
         col("weather.humidity").as("humidity"),
         col("weather.temperature").as("temperature"),
         col("weather.wind_speed").as("wind_speed"))

@@ -41,6 +41,21 @@ class HttpShimSpec extends SparkSpec {
         .openConnection().asInstanceOf[HttpURLConnection]
       conn.getResponseCode
       assert(conn.getHeaderField("Access-Control-Allow-Origin") == "*")
+
+      // JDK context matching is prefix-based; exact-path guard must 404
+      // REST-style subpaths and prefix strays like the reference's router
+      val (c5, _) = get(s"http://localhost:$port/station/5")
+      assert(c5 == 404)
+      val (c6, _) = get(s"http://localhost:$port/stationsXYZ")
+      assert(c6 == 404)
+
+      // non-GET methods must 405 without running the driver-side collect
+      val post = new URL(s"http://localhost:$port/stations")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      post.setRequestMethod("POST")
+      post.setDoOutput(true)
+      post.getOutputStream.close()
+      assert(post.getResponseCode == 405)
     } finally shim.stop()
   }
 
