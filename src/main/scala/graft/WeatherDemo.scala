@@ -38,13 +38,7 @@ object WeatherDemo {
     Seq(qLatest, qLake, qAlerts).foreach(_.processAllAvailable())
 
     val api = new QueryApi(spark,
-      spark.table("latest")
-        .groupBy("station_id")
-        .agg(org.apache.spark.sql.functions.max_by(
-          org.apache.spark.sql.functions.struct("s_no", "battery_status",
-            "status_timestamp", "weather"),
-          org.apache.spark.sql.functions.struct("status_timestamp", "s_no")).as("r"))
-        .select("station_id", "r.*"))
+      WeatherPipeline.latestSnapshot(spark, "latest"))
 
     println(s"== point lookup station 3: ${api.point(3L).orNull}")
     println(s"== latest table (${api.scan().count()} stations):")

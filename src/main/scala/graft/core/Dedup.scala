@@ -18,25 +18,37 @@ object Dedup {
 
   /** Deterministic variant: keep the event-time-max row per identity via
     * partial aggregation — use when duplicates may differ and results must be
-    * reproducible (oracle comparison, idempotent backfills).
+    * reproducible (oracle comparison, idempotent backfills). The ordering
+    * struct carries the FULL payload after the event time: duplicates that
+    * share (identity, status_timestamp) but differ in payload (a producer
+    * re-send with a corrected reading) would otherwise resolve to whichever
+    * row the aggregation encountered first — run-dependent, not
+    * reproducible.
     */
   def deterministic(archive: DataFrame): DataFrame =
     archive
       .groupBy(col("station_id"), col("s_no"))
       .agg(max_by(
         struct(col("battery_status"), col("status_timestamp"), col("weather")),
-        col("status_timestamp")).as("r"))
+        struct(col("status_timestamp"), col("battery_status"), col("weather")))
+        .as("r"))
       .select(col("station_id"), col("s_no"),
         col("r.battery_status").as("battery_status"),
         col("r.status_timestamp").as("status_timestamp"),
         col("r.weather").as("weather"))
 
-  /** Streaming dedup: watermark bounds the key state so it doesn't grow
-    * forever (the reference's ES-side dedup has unbounded "state" — the index
-    * itself; a watermark is the scale-correct equivalent).
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keys state on the identity columns only and EVICTS each key once the
+    * watermark passes its first-seen event time + delay — a replay inside
+    * the window is a state hit, one after it is late data; both drop.
+    * (A plain `dropDuplicates` on a key subset that excludes the
+    * event-time column never evicts anything — Spark only prunes dedup
+    * state when the watermarked column is part of the key — so that form
+    * grows state with every key ever seen: the unbounded-state trap
+    * [[graft.streaming.StateGuard]] exists to catch.)
     */
   def streaming(archive: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     archive
       .withWatermark("status_timestamp", watermarkDelay)
-      .dropDuplicates("station_id", "s_no")
+      .dropDuplicatesWithinWatermark("station_id", "s_no")
 }

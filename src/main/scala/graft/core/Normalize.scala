@@ -63,7 +63,9 @@ object Normalize {
       concat(col("station_id"), lit("_"), col("s_no")).as("doc_id"),
       to_json(struct(
         col("station_id"), col("s_no"),
-        lower(col("battery_status")).as("battery_status"),
+        // already lower-cased and enum-validated by toArchive — no
+        // re-normalization on the indexing path
+        col("battery_status"),
         isoTimestamp(col("status_timestamp")).as("status_timestamp"),
         col("weather"))).as("doc"))
 }

@@ -70,10 +70,26 @@ object Archive {
     * serve-while-compacting deployment points readers at a manifest/view
     * and swaps that instead. Concurrent APPENDS during
     * compaction are unsupported (rows written after the initial read would
-    * be dropped by the swap) — pause writers or take an external lock; the
-    * streaming pipeline runs compaction between micro-batch generations.
+    * be dropped by the swap) — pause writers or take an external lock.
+    *
+    * A lake written by a STREAMING file sink is refused: FileStreamSink
+    * maintains a `_spark_metadata` transaction log and batch readers list
+    * files THROUGH it, so rewriting the data files without rewriting the
+    * log would make every compacted row silently invisible (or fail the
+    * read on missing log entries). Compacting such a lake needs a
+    * log-aware rewrite (a table format like Delta/Iceberg, or read →
+    * write to a fresh path → repoint readers).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    // Path-based FileSystem resolution: `new URI(path)` throws on spaces
+    // and other URI-illegal characters that are perfectly legal in paths
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dst, "_spark_metadata")),
+      s"compact: $path carries a FileStreamSink _spark_metadata log; " +
+        "rewriting its files would orphan the log's file list and batch " +
+        "readers would silently lose every compacted row. Rewrite through " +
+        "a fresh path (or a log-aware table format) instead.")
     val tmp = path + ".compacting"
     val df = spark.read.parquet(path)
     // hash-repartition on the partition keys: every hive partition's rows
@@ -84,9 +100,6 @@ object Archive {
       .partitionBy(PartitionCols: _*)
       .mode("overwrite")
       .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(old, true) // clear any leftover from a prior crashed swap
@@ -141,7 +154,11 @@ object Archive {
             col(opCol)): _*),
           struct(col(versionCol), col(opCol))).as("__last"))
       .select(keys.map(col) :+ col("__last.*"): _*)
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // null-safe: a null op must UPSERT per the contract ("D" deletes,
+    // anything else upserts); plain =!= evaluates to null on null ops,
+    // dropping the row from upserts while the anti join still removes its
+    // key from base — the key would silently vanish
+    val upserts = latest.filter(!(col(opCol) <=> "D"))
       .select(payload.map(col): _*)
     base.join(latest, keys, "left_anti")
       .unionByName(upserts)

@@ -49,24 +49,30 @@ final class StateGuard(spark: SparkSession, maxStateRows: Long)
       event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress
     val rows = StateGuard.stateRows(p)
-    if (rows > maxStateRows && !tripped.containsKey(p.id)) {
-      tripped.put(p.id, StateGuard.message(p, rows, maxStateRows))
+    // keyed by runId, not the checkpoint-stable query id: a query
+    // RESTARTED after a trip gets a fresh runId, so the breaker arms
+    // again for the new run (and a healthy restart is not poisoned by
+    // the previous run's recorded trip)
+    if (rows > maxStateRows && !tripped.containsKey(p.runId)) {
+      tripped.put(p.runId, StateGuard.message(p, rows, maxStateRows))
       // stop() from the listener thread: the awaiting thread's
       // awaitTermination returns and assertClean rethrows the recorded
       // diagnostic — the message is in the map BEFORE the stop, so the
       // trip path has no publication race
-      spark.streams.active.find(_.id == p.id).foreach(_.stop())
+      spark.streams.active.find(_.runId == p.runId).foreach(_.stop())
     }
   }
 
   override def onQueryTerminated(
       event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
-  def trippedMessage(id: UUID): Option[String] = Option(tripped.get(id))
+  def trippedMessage(runId: UUID): Option[String] = Option(tripped.get(runId))
 
-  /** Throw the recorded trip (if any) for `q` on the caller's thread. */
+  /** Throw the recorded trip (if any) for `q`'s CURRENT run on the
+    * caller's thread.
+    */
   def assertClean(q: StreamingQuery): Unit =
-    trippedMessage(q.id).foreach(m => throw new IllegalStateException(m))
+    trippedMessage(q.runId).foreach(m => throw new IllegalStateException(m))
 }
 
 object StateGuard {

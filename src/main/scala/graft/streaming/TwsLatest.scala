@@ -18,7 +18,7 @@ object TwsLatest {
       event_type: String, value: Double)
 
   private def micros(t: java.sql.Timestamp): Long =
-    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    graft.util.Micros.fromTimestamp(t)
 
   /** One ValueState[Rec] per station: merge the batch's rows with the
     * stored record by (event time, s_no) and emit the new winner — the

@@ -87,8 +87,11 @@ object WeatherPipeline {
     Normalize.toArchive(Normalize.parseWire(wireJson))
 
   /** Fork (a): latest-value state, served from an in-memory table named
-    * `tableName` (the BitCask + Javalin replacement: query it with
-    * `spark.table(tableName)` / SQL).
+    * `tableName` (the BitCask + Javalin replacement). Read it through
+    * [[latestSnapshot]], NOT `spark.table(tableName)` directly: an
+    * Update-mode memory sink APPENDS one row per key per micro-batch, so
+    * the raw table is a version history and a naive point lookup can
+    * return a stale reading.
     */
   def startLatest(archive: DataFrame, tableName: String): StreamingQuery =
     LatestState.latestStream(archive)
@@ -97,6 +100,22 @@ object WeatherPipeline {
       .format("memory")
       .queryName(tableName)
       .start()
+
+  /** The CURRENT latest table from [[startLatest]]'s memory sink: collapse
+    * the sink's per-batch update history to each station's event-time
+    * winner (cost ∝ rows appended since the query started — the serving
+    * layer's QueryApi/HttpShim should be handed THIS frame).
+    */
+  def latestSnapshot(spark: SparkSession, tableName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.table(tableName)
+      .groupBy(col("station_id"))
+      .agg(max_by(
+        struct(col("s_no"), col("battery_status"), col("status_timestamp"),
+          col("weather")),
+        struct(col("status_timestamp"), col("s_no"))).as("r"))
+      .select(col("station_id"), col("r.*"))
+  }
 
   /** Fork (b): the partitioned lake. */
   def startArchive(archive: DataFrame, path: String, checkpoint: String,

@@ -38,7 +38,7 @@ object WindowedStats {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("station_id"), col("n"))
 
-  case class AlertState(inAlert: Boolean)
+  case class AlertState(inAlert: Boolean, lastSno: Long)
   case class EdgeAlert(station_id: Long, s_no: Long, humidity: Int)
 
   // not `private`: encoder codegen needs public accessors on the case class
@@ -48,7 +48,12 @@ object WindowedStats {
     * station CROSSES the humidity threshold (rising edge), not on every
     * high reading — the stateful refinement of the reference's stateless
     * Rain-Detector (which re-alerts every message,
-    * ref: Rain-Detector/Main.java:34-46). State is one boolean per station.
+    * ref: Rain-Detector/Main.java:34-46). State per station is the alert
+    * boolean plus a HIGH-WATER s_no: rows are applied in s_no order within
+    * a batch, and a row older than the high-water (an out-of-order arrival
+    * in a LATER micro-batch) is ignored — without it, a stale low reading
+    * would regress the boolean and the next high reading would fire a
+    * duplicate alert for one continuous episode.
     */
   def risingEdgeAlerts(archive: DataFrame, threshold: Int = 70): Dataset[EdgeAlert] = {
     import org.apache.spark.sql.streaming.OutputMode
@@ -63,14 +68,21 @@ object WindowedStats {
       .groupByKey(_.station_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[Reading], state: GroupState[AlertState]) =>
-          var inAlert = state.getOption.exists(_.inAlert)
+          val st = state.getOption.getOrElse(AlertState(false, Long.MinValue))
+          var inAlert = st.inAlert
+          var highWater = st.lastSno
           val out = rows.toSeq.sortBy(_.s_no).flatMap { r =>
-            val high = r.humidity > threshold
-            val fire = high && !inAlert
-            inAlert = high
-            if (fire) Some(EdgeAlert(r.station_id, r.s_no, r.humidity)) else None
+            if (r.s_no <= highWater) None // stale arrival: newer already applied
+            else {
+              highWater = r.s_no
+              val high = r.humidity > threshold
+              val fire = high && !inAlert
+              inAlert = high
+              if (fire) Some(EdgeAlert(r.station_id, r.s_no, r.humidity))
+              else None
+            }
           }
-          state.update(AlertState(inAlert))
+          state.update(AlertState(inAlert, highWater))
           out.iterator
       }
   }
@@ -103,8 +115,7 @@ object WindowedStats {
     implicit val encS = Encoders.product[SeenState]
     implicit val encO = Encoders.product[OfflineAlert]
     implicit val encLong = Encoders.scalaLong
-    def micros(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def micros(t: java.sql.Timestamp): Long = graft.util.Micros.fromTimestamp(t)
     pings
       .select(col("station_id"), col("s_no"), col("ts"))
       .withWatermark("ts", watermark)
@@ -116,12 +127,8 @@ object WindowedStats {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            // rebuild the full-microsecond timestamp: the ms constructor
-            // alone would truncate sub-millisecond precision
-            val t = new java.sql.Timestamp(
-              Math.floorDiv(s.tsMicros, 1000000L) * 1000L)
-            t.setNanos((Math.floorMod(s.tsMicros, 1000000L) * 1000L).toInt)
-            Iterator.single(OfflineAlert(station, s.sNo, t))
+            Iterator.single(OfflineAlert(station, s.sNo,
+              graft.util.Micros.toTimestamp(s.tsMicros)))
           } else {
             // max by (event time, s_no) across prior state + this batch
             val newest = (state.getOption.map(s => (s.tsMicros, s.sNo))

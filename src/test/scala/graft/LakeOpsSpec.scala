@@ -93,6 +93,17 @@ class CompactionSpec extends SparkSpec {
     Archive.compact(spark, dir)
     assert(!stale.exists())
     assert(spark.read.parquet(dir).count() == rowsBefore)
+
+    // a FileStreamSink lake (carries _spark_metadata) must be REFUSED:
+    // compacting it would orphan the sink log's file list and batch
+    // readers would silently lose every compacted row
+    val sinkLog = new java.io.File(dir, "_spark_metadata")
+    sinkLog.mkdirs()
+    val e = intercept[IllegalArgumentException](Archive.compact(spark, dir))
+    assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
+    sinkLog.delete()
+    // the refusal fired before any rewrite: the lake is untouched
+    assert(spark.read.parquet(dir).count() == rowsBefore)
   }
 
   test("streaming read of the lake feeds the index sink (SURVEY 3.2 path)") {

@@ -626,6 +626,41 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rising-edge alerts ignore out-of-order arrivals across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.schema.{WeatherReading, WeatherStatus}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    def st(sno: Long, hum: Int) = WeatherStatus(1L, sno, "high",
+      new java.sql.Timestamp(sno * 1000L), WeatherReading(hum, 70, 5))
+
+    val input = MemoryStream[WeatherStatus]
+    val q = WindowedStats.risingEdgeAlerts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("edge_alerts_ooo").start()
+    try {
+      // batch 1: s_no=2 crosses (one alert, inAlert = true)
+      input.addData(st(2, 80))
+      q.processAllAvailable()
+      // batch 2: a STALE s_no=1 low reading arrives late — it must be
+      // ignored by the high-water mark, not regress the alert boolean
+      input.addData(st(1, 40))
+      q.processAllAvailable()
+      // batch 3: still-high s_no=3 must NOT re-fire (the episode never
+      // ended; a regressed boolean would emit a duplicate alert here)
+      input.addData(st(3, 85))
+      q.processAllAvailable()
+      val fired = spark.table("edge_alerts_ooo").collect()
+        .map(_.getAs[Long]("s_no")).sorted.toSeq
+      assert(fired == Seq(2L), s"duplicate alert fired: $fired")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("edge_alerts_ooo")
+    }
+  }
+
   test("zorder_code interleaves bits and zorderWrite tiles files disjointly") {
     import spark.implicits._
     import graft.functions.ZOrderCode.zorder_code

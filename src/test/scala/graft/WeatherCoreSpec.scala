@@ -111,6 +111,40 @@ class LatestStateSpec extends SparkSpec {
     assert(Dedup.exactReplays(dup).count() == archive.count())
     assert(Dedup.deterministic(dup).count() == archive.count())
   }
+
+  test("dedup: streaming form drops replays with watermark-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.schema.{WeatherReading, WeatherStatus}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    def st(sno: Long, hum: Int) = WeatherStatus(1L, sno, "high",
+      new java.sql.Timestamp(1700000000000L + sno * 1000L),
+      WeatherReading(hum, 70, 5))
+
+    val input = MemoryStream[WeatherStatus]
+    val q = graft.core.Dedup.streaming(input.toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_streaming_gate").start()
+    try {
+      input.addData(st(1, 50), st(2, 60), st(2, 60)) // in-batch replay
+      q.processAllAvailable()
+      input.addData(st(1, 50), st(3, 70)) // cross-batch replay + new row
+      q.processAllAvailable()
+      val out = spark.table("dedup_streaming_gate").collect()
+        .map(_.getAs[Long]("s_no")).sorted.toSeq
+      assert(out == Seq(1L, 2L, 3L), s"got $out")
+      // dropDuplicatesWithinWatermark keys state on the identity only and
+      // evicts by watermark — the plan must carry the WithinWatermark
+      // variant, not the never-evicting plain dedup-on-subset
+      val plan = q.lastProgress.stateOperators.map(_.operatorName).mkString(",")
+      assert(plan.contains("dedupeWithinWatermark"), plan)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("dedup_streaming_gate")
+    }
+  }
 }
 
 class AlertsSpec extends SparkSpec {
