@@ -36,8 +36,13 @@ case class HyperplaneBucket(child: Expression, nBits: Int, dims: Int,
           s"hyperplane_bucket requires ARRAY<FLOAT|DOUBLE>, got ${t.catalogString}")
     }
 
-  /** nBits × dims hyperplane components, identical derivation to
-    * [[VectorFunctions.hyperplaneBucket]]: hash→uniform[0,1)→shift.
+  /** nBits × dims hyperplane components, same SHAPE of derivation as
+    * [[VectorFunctions.hyperplaneBucket]] (hash→uniform[0,1)→shift) but a
+    * DIFFERENT hash chaining — the two families produce different planes
+    * and therefore different bucket ids. Never mix them within one
+    * build/probe pipeline: every production path (Similarity.scala) uses
+    * THIS codegen form; the declarative form exists for spec
+    * cross-checking of the shape only.
     */
   @transient lazy val planes: Array[Array[Double]] =
     Array.tabulate(nBits, dims) { (j, d) =>

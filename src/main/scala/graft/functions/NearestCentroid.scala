@@ -43,8 +43,14 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val n = math.min(arr.numElements(), cent.length)
       var d = 0
       while (d < n) {
-        val x = (if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)) - cent(d)
-        dist += x * x
+        // skip null elements (containsNull inputs are accepted): unboxing
+        // a null slot would NPE here while UnsafeArrayData reads it as
+        // 0.0 — both wrong; a missing dimension contributes no distance
+        if (!arr.isNullAt(d)) {
+          val x = (if (isFloat) arr.getFloat(d).toDouble
+            else arr.getDouble(d)) - cent(d)
+          dist += x * x
+        }
         d += 1
       }
       if (dist < bestDist) { bestDist = dist; best = c }
@@ -67,8 +73,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
          |  double $dist = 0.0;
          |  int $n = java.lang.Math.min($arr.numElements(), $cents[$c].length);
          |  for (int $d = 0; $d < $n; $d++) {
-         |    double $x = ($get) - $cents[$c][$d];
-         |    $dist += $x * $x;
+         |    if (!$arr.isNullAt($d)) {
+         |      double $x = ($get) - $cents[$c][$d];
+         |      $dist += $x * $x;
+         |    }
          |  }
          |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
          |}

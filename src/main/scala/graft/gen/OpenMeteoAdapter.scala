@@ -39,10 +39,16 @@ object OpenMeteoAdapter {
       .select(
         col(stationIdCol).cast(LongType).as("stationId"),
         col(seqCol).cast(LongType).as("sequenceNumber"),
-        // same 30/40/30 battery draw as the station generator
+        // same 30/40/30 battery draw as the station generator, derived
+        // deterministically from (station, seq) — two separate rand()
+        // expressions would draw independently per `when` branch (skewing
+        // to ~30/49/21) and re-roll on task retry
         // (ref: OpenMeteoChannelAdapter.java:12-17)
-        when(rand(42L) < 0.3, "low").when(rand(42L) < 0.7, "medium")
-          .otherwise("high").as("batteryStatus"),
+        {
+          val r = (pmod(xxhash64(col(stationIdCol), col(seqCol), lit(42L)),
+            lit(1000000L)).cast(DoubleType) / 1000000.0)
+          when(r < 0.3, "low").when(r < 0.7, "medium").otherwise("high")
+        }.as("batteryStatus"),
         (col(epochSecCol).cast(LongType) * 1000L).as("statusTimestamp"),
         struct(
           col("r.current.relative_humidity_2m").as("humidity"),

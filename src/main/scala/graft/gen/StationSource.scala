@@ -22,9 +22,20 @@ object StationSource {
   /** Deterministic per-row uniform double in [0,1) derived from (seed, id, salt)
     * — xxhash64 is a codegen'd built-in, stable across runs and partitioning.
     */
-  private def u(seed: Long, salt: Int): org.apache.spark.sql.Column =
-    (pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(1000000L)).cast("double")
+  /** Uniform [0,1) draw derived DETERMINISTICALLY from a stable row id —
+    * one value per (row, salt), so referencing the same draw in chained
+    * `when` branches compares against ONE number (a nondeterministic
+    * `rand` expression re-evaluates per reference: `when(r<0.3).when(
+    * r<0.7)` with rand would draw twice, skewing 30/40/30 to ~30/49/21),
+    * and a task retry reproduces identical rows.
+    */
+  private def uOf(idCol: org.apache.spark.sql.Column, seed: Long,
+      salt: Int): org.apache.spark.sql.Column =
+    (pmod(xxhash64(idCol, lit(seed), lit(salt)), lit(1000000L)).cast("double")
       / 1000000.0)
+
+  private def u(seed: Long, salt: Int): org.apache.spark.sql.Column =
+    uOf(col("id"), seed, salt)
 
   /** Batch generator: `nStations × perStation` wire-format rows starting at
     * `startEpochSec`, one reading per station per second. Drop simulation
@@ -83,8 +94,12 @@ object StationSource {
     * pipeline — 1 row/s/station parity comes from rowsPerSecond = nStations
     * (ref: WeatherStation.java:77 cadence). Sequence = rate source's
     * monotonic `value` per station; timestamps are event time from the rate
-    * clock. Non-deterministic drop uses `rand(seed)` (streaming has no stable
-    * row identity to hash).
+    * clock. All draws hash the rate source's `value` — a STABLE row
+    * identity — so the stream realizes the exact 30/40/30 battery split
+    * and drop rate the batch generator does, and a micro-batch replayed
+    * after a task retry reproduces identical rows (a `rand`-based draw
+    * would re-roll on retry AND double-draw in the chained battery
+    * `when`, skewing the split to ~30/49/21).
     */
   def messageStream(
       spark: SparkSession,
@@ -92,8 +107,9 @@ object StationSource {
       rowsPerSecond: Int,
       dropRate: Double = 0.1,
       seed: Long = 42L): DataFrame = {
+    val v = col("value")
     val battery = {
-      val r = rand(seed + 1)
+      val r = uOf(v, seed, 1)
       when(r < 0.3, "low").when(r < 0.7, "medium").otherwise("high")
     }
     spark.readStream.format("rate")
@@ -105,10 +121,10 @@ object StationSource {
       .withColumn("statusTimestamp",
         (unix_timestamp(col("timestamp"))) * 1000L)
       .withColumn("weather", struct(
-        (lit(10) + (rand(seed + 2) * 91).cast("int")).as("humidity"),
-        (lit(32) + (rand(seed + 3) * 79).cast("int")).as("temperature"),
-        (rand(seed + 4) * 61).cast("int").as("wind_speed")))
-      .filter(rand(seed + 5) >= dropRate)
+        (lit(10) + (uOf(v, seed, 2) * 91).cast("int")).as("humidity"),
+        (lit(32) + (uOf(v, seed, 3) * 79).cast("int")).as("temperature"),
+        (uOf(v, seed, 4) * 61).cast("int").as("wind_speed")))
+      .filter(uOf(v, seed, 5) >= dropRate)
       .select("stationId", "sequenceNumber", "batteryStatus",
         "statusTimestamp", "weather")
   }

@@ -116,19 +116,34 @@ object Scale {
     * interval length.
     */
   def intervalJoin(events: DataFrame, intervals: DataFrame, tsCol: String,
-      startCol: String, endCol: String, gridSeconds: Long): DataFrame = {
+      startCol: String, endCol: String, gridSeconds: Long,
+      maxCellsPerRow: Long = 65536L): DataFrame = {
     require(gridSeconds > 0, "gridSeconds must be positive")
     // integer DIV, not floor(a / b): double division of micro timestamps
     // can land a boundary value in the wrong cell
     val gUs = gridSeconds * 1000000L
     val ev = events.withColumn("__cell",
       expr(s"unix_micros(`$tsCol`) DIV ${gUs}L"))
+    val spanCells = expr(s"(unix_micros(`$endCol`) - 1) DIV ${gUs}L") -
+      expr(s"unix_micros(`$startCol`) DIV ${gUs}L")
     val iv = intervals
       // empty/inverted intervals ([start, end) with end <= start) match
       // nothing; drop them BEFORE the explode — sequence(a, b) with a > b
       // counts DOWN, which would fabricate a huge descending cell list
       // from a single corrupt row
       .filter(col(endCol) > col(startCol))
+      // width circuit breaker (the hazard RangeJoinRewrite diverts to its
+      // fallback branch): ONE valid but enormous interval makes sequence()
+      // materialize span+1 cells — Spark's array-length limit or an OOM
+      // deep inside the explode, hours in. Fail fast with an attributable
+      // message instead; genuinely wide intervals belong on a coarser
+      // grid (gridSeconds near the typical interval length) or on the
+      // optimizer rule's nested-loop fallback.
+      .filter(assert_true(spanCells < maxCellsPerRow,
+        lit(s"intervalJoin: an interval spans >= $maxCellsPerRow grid " +
+          s"cells at gridSeconds=$gridSeconds; use a coarser grid (or " +
+          "RangeJoinRewrite, whose fallback handles pathological " +
+          "intervals) instead of exploding it")).isNull)
       .withColumn("__cell",
         explode(sequence(expr(s"unix_micros(`$startCol`) DIV ${gUs}L"),
           expr(s"(unix_micros(`$endCol`) - 1) DIV ${gUs}L"))))

@@ -169,6 +169,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // the conversion is monotone and null-preserving) so this rule's
         // band matcher, which requires TimestampType comparisons, cannot
         // re-fire on its own fallback in the fixed-point batch.
+        //
+        // Cost note: the Union embeds both inputs twice, so the rewritten
+        // plan reads each side a second time to find (usually zero) wide
+        // rows — a logical-planning rule cannot know the wide-row count
+        // up front, and scan reuse does not collapse the second read.
+        // That extra pass is the price of never exploding a pathological
+        // interval; pipelines that can PROVE bounded intervals should use
+        // Scale.intervalJoin, whose fail-fast width guard keeps the
+        // single-scan shape.
         def micros(c: Expression): Expression = c match {
           case LessThan(a, b) => LessThan(UnixMicros(a), UnixMicros(b))
           case LessThanOrEqual(a, b) =>

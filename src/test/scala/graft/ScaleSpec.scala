@@ -394,6 +394,20 @@ class ScaleSpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       plan.take(800))
+
+    // width circuit breaker: one pathological interval (a ~317-year span
+    // at a 1 s grid) must fail FAST with an attributable message, not
+    // materialize 10^10 cells inside the explode
+    val wide = Seq((9L, 0L, 10000000000L)).toDF("iv_id", "s", "e")
+      .select(col("iv_id"), timestamp_seconds(col("s")).as("iv_start"),
+        timestamp_seconds(col("e")).as("iv_end"))
+    val guarded = Scale.intervalJoin(ev, wide, "ts", "iv_start", "iv_end",
+      gridSeconds = 1)
+    val err = intercept[Exception](guarded.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("coarser grid")),
+      msgs(err).mkString(" | "))
   }
 
   test("bloom prefilter: no false negatives, bounded fpp, semi-join equal") {
