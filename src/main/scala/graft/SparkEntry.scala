@@ -843,7 +843,7 @@ object SparkEntry {
         |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
         |ch AS (
         |  SELECT doc_id, t,
-        |    unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_id
+        |    unnest(range(0, greatest(0, (len(t) - 9) // 24) + 1)) AS chunk_id
         |  FROM toks),
         |c2 AS (
         |  SELECT d.source, ch.doc_id, ch.chunk_id,
@@ -985,10 +985,12 @@ object SparkEntry {
         |    ['the','a','an','and','or','of','to','in','is','it'], x)))
         |    * 1.0 / len(t), 4) AS stopword_ratio,
         |  round(len(list_distinct(t)) * 1.0 / len(t), 4) AS distinct_ratio,
-        |  round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
-        |    * 1.0 / length(text), 4) AS punct_ratio,
-        |  round(length(regexp_replace(text, '[^ ]', '', 'g'))
-        |    * 1.0 / length(text), 4) AS space_ratio
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+        |      * 1.0 / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^ ]', '', 'g'))
+        |      * 1.0 / length(text) ELSE 0.0 END, 4) AS space_ratio
         |FROM (SELECT doc_id, text, str_split(trim(text), ' ') AS t
         |      FROM documents) q""".stripMargin,
     "x_text_langid" ->
@@ -1071,14 +1073,16 @@ object SparkEntry {
         |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
         |FROM aug""".stripMargin,
-    // chunk c covers tokens [c*24+1, c*24+32] (size 32, overlap 8);
+    // chunk c covers tokens [c*24+1, c*24+32] (size 32, overlap 8); the
+    // last chunk id is max(0, ceil((n-32)/24)) = greatest(0, (n-9)//24)
+    // — the first window reaching token n, no redundant tail chunk.
     // DuckDB list slicing is inclusive and truncates at the end
     "x_text_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
         |ch AS (
         |  SELECT doc_id, t,
-        |    unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_id
+        |    unnest(range(0, greatest(0, (len(t) - 9) // 24) + 1)) AS chunk_id
         |  FROM toks)
         |SELECT doc_id, chunk_id,
         |  least(32, len(t) - chunk_id * 24) AS n_chunk_tokens,
@@ -1148,7 +1152,8 @@ object SparkEntry {
          |    AND NOT is_dup AND bucket < 800 THEN 1 END) AS n_kept,
          |  CAST(coalesce(sum(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
          |    AND NOT is_dup AND bucket < 800
-         |    THEN ((n_tokens - 1) // 24) + 1 END), 0) AS BIGINT) AS n_chunks,
+         |    THEN greatest(0, (n_tokens - 9) // 24) + 1 END), 0) AS BIGINT)
+         |    AS n_chunks,
          |  CAST(coalesce(sum(CASE WHEN n_tokens >= 20 AND dup_ratio <= 0.7
          |    AND NOT is_dup AND bucket < 800
          |    THEN n_tokens END), 0) AS BIGINT) AS n_tokens_kept

@@ -137,8 +137,12 @@ object Corpus {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df from the tf aggregate: tf already holds exactly one row per
+    // (doc_id, term), so count(*) per term IS the document frequency —
+    // re-aggregating the raw token stream with countDistinct would
+    // re-shuffle the whole corpus and plan a distinct aggregate for the
+    // same numbers (the derivation bm25TopK uses)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs(spark, dir).agg(count(lit(1)).as("n"))
     tf.join(df, "term")
       .crossJoin(broadcast(total))
@@ -234,9 +238,15 @@ object Corpus {
       count(when(col("pass_q"), 1)).as("n_quality"),
       count(when(col("pass_d"), 1)).as("n_dedup"),
       count(when(col("pass_s"), 1)).as("n_kept"),
-      coalesce(sum(when(col("pass_s"),
-        floor((col("n_tokens") - 1) / lit(graft.ext.text.TextAnalysis.ChunkSize
-          - graft.ext.text.TextAnalysis.ChunkOverlap)) + 1)), lit(0L))
+      coalesce(sum(when(col("pass_s"), {
+        // same last-chunk-id rule as TextAnalysis.chunkTokens: the count
+        // is max(0, ceil((n - size)/stride)) + 1, not floor((n-1)/stride)
+        // + 1 (which double-counts a redundant tail chunk)
+        val size = graft.ext.text.TextAnalysis.ChunkSize
+        val stride = size - graft.ext.text.TextAnalysis.ChunkOverlap
+        greatest(lit(0),
+          floor((col("n_tokens") - size + stride - 1) / lit(stride))) + 1
+      })), lit(0L))
         .cast("long").as("n_chunks"),
       coalesce(sum(when(col("pass_s"), col("n_tokens"))), lit(0L))
         .cast("long").as("n_tokens_kept"))
@@ -523,8 +533,13 @@ object Corpus {
     * a doc stays when its mean per-feature weight clears the corpus
     * mean, computed as the integer `mu = tot_w div tot_feat` and
     * compared multiplied-out (`weight > mu·n_feat`) — no per-doc
-    * division, and the products stay bounded by doc length (never by
-    * corpus size), so nothing overflows at any scale.
+    * division, and the per-doc products stay bounded by doc length.
+    * The CORPUS-wide sums feeding mu are the one quantity that scales
+    * with total feature count (~SCALE x corpus bigrams — past Long
+    * around 9e12 features / ~10 TB of text), so they aggregate in
+    * DECIMAL(38,0): exact at any realistic scale, matching DuckDB's
+    * automatic BIGINT→HUGEINT sum widening, while mu itself (a mean
+    * per-feature weight) always fits a Long.
     *
     * Scale shape: two hash aggregates build the bucket tables (bounded
     * at `nBuckets` rows — broadcast-sized BY CONSTRUCTION, unlike a raw
@@ -557,7 +572,8 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"), sum(col("wt")).as("dsir_weight"))
     val stats = docW.agg(
-      expr("sum(dsir_weight) DIV sum(n_feat)").as("mu"))
+      expr("CAST(sum(CAST(dsir_weight AS DECIMAL(38,0))) DIV " +
+        "sum(CAST(n_feat AS DECIMAL(38,0))) AS BIGINT)").as("mu"))
     base.select(col("doc_id")).join(docW, Seq("doc_id"), "left")
       .crossJoin(stats)
       .select(col("doc_id"),

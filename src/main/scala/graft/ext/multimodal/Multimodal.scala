@@ -511,7 +511,10 @@ object Multimodal {
             var total = 0L
             var w = 0
             while (w < 64) {
-              v(w) = sampleAt(w * n / 64)
+              // long arithmetic: w * n overflows Int past ~34M samples
+              // (~71 min at 8 kHz), which would negative-index and
+              // silently mark a valid clip corrupt via the blanket catch
+              v(w) = sampleAt((w.toLong * n / 64).toInt)
               total += v(w)
               w += 1
             }

@@ -59,6 +59,27 @@ object Similarity {
     emb(spark, dir).withColumn("bucket",
       graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits))
 
+  /** THE bucket probe-selection rule (LSH family): all 2^nBits bucket ids
+    * ranked by signature hamming distance to the query's bucket, ties on
+    * the id. One definition shared by the inline and indexed probe paths —
+    * build and probe must rank identically or recall silently craters.
+    */
+  private def rankHammingBuckets(qb: Int, nBits: Int,
+      probes: Int): Seq[Int] =
+    (0 until (1 << nBits))
+      .sortBy(bid => (Integer.bitCount(bid ^ qb), bid))
+      .take(probes)
+
+  /** THE list probe-selection rule (IVF family): list ids ranked by
+    * squared centroid distance to the query, `nProbe` nearest kept. One
+    * definition shared by all four IVF/IVF-PQ probe paths.
+    */
+  private def rankProbeLists(centroids: Array[Array[Double]],
+      q: Array[Double], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+
   /** ANN top-k: probe the `probes` buckets nearest (by signature hamming
     * distance) to the query's bucket. With probes = 2^nBits this degrades to
     * exact brute force; fewer probes trade recall for a pruned scan.
@@ -79,9 +100,7 @@ object Similarity {
       .select(col("embedding"), col("bucket")).collect().head
     val qVec = qRow.getSeq[Float](0)
     val qb = qRow.getInt(1)
-    val keep = (0 until (1 << nBits))
-      .sortBy(bid => (Integer.bitCount(bid ^ qb), bid))
-      .take(probes)
+    val keep = rankHammingBuckets(qb, nBits, probes)
     val q = broadcast(Seq(Tuple1(qVec)).toDF("query_vec"))
     b.filter(col("bucket").isin(keep: _*))
       .filter(col("vec_id") =!= queryVecId)
@@ -134,9 +153,7 @@ object Similarity {
     val qb = qDf.select(
       graft.functions.HyperplaneBucket.hyperplane_bucket(col("query_vec"), nBits)
         .as("qb")).collect().head.getInt(0)
-    val keep = (0 until (1 << nBits))
-      .sortBy(bid => (Integer.bitCount(bid ^ qb), bid))
-      .take(probes)
+    val keep = rankHammingBuckets(qb, nBits, probes)
     val idx = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(keep: _*))
     val labeled = labelEq.fold(idx)(l => idx.filter(col("label") === l))
@@ -494,20 +511,21 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L,
       k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
     val centroids = ivfFitCentroids(spark, dir, nLists)
     val assigned = ivfAssign(spark, dir, centroids)
     val qRow = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("query_vec")).collect().head
-    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val qSeq = qRow.getSeq[Float](0)
+    val qVec = qSeq.map(_.toDouble).toArray
     // rank lists by centroid distance to the query, driver-side (k floats)
-    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
-      val dist = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
-      (i, dist)
-    }.sortBy(_._2).take(nProbe).map(_._1)
-    val q = broadcast(assigned.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("query_vec")))
+    val probeLists = rankProbeLists(centroids, qVec, nProbe)
+    // the collected vector backs a literal one-row frame — re-filtering
+    // `assigned` for it would scan (and centroid-assign) the whole corpus
+    // a second time just to re-find a row already in hand (pqTopK's shape)
+    val q = broadcast(Seq(Tuple1(qSeq)).toDF("query_vec"))
     assigned
-      .filter(col("ivf_list").isin(probeLists.toSeq: _*))
+      .filter(col("ivf_list").isin(probeLists: _*))
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
       .select(col("vec_id"),
@@ -539,13 +557,10 @@ object Similarity {
       centroids: Array[Array[Double]], qVec: Array[Float], k: Int = 10,
       nProbe: Int = 4, excludeVecId: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val qd = qVec.map(_.toDouble)
-    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
-      (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy(_._2).take(nProbe).map(_._1)
+    val probeLists = rankProbeLists(centroids, qVec.map(_.toDouble), nProbe)
     val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
     val idx = spark.read.parquet(indexPath)
-      .filter(col("ivf_list").isin(probeLists.toSeq: _*))
+      .filter(col("ivf_list").isin(probeLists: _*))
     val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
     probed
       .crossJoin(broadcast(qDf))
@@ -735,14 +750,11 @@ object Similarity {
       .select(col("embedding")).collect().head
       .getSeq[Float](0).map(_.toDouble).toArray
     // rank lists by centroid distance to the query, driver-side (k floats)
-    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
-      val dist = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
-      (i, dist)
-    }.sortBy(_._2).take(nProbe).map(_._1)
+    val probeLists = rankProbeLists(centroids, qVec, nProbe)
     import spark.implicits._
     val q = broadcast(Seq(Tuple1(qVec.map(_.toFloat).toSeq))
       .toDF("query_vec"))
-    enc.filter(col("ivf_list").isin(probeLists.toSeq: _*))
+    enc.filter(col("ivf_list").isin(probeLists: _*))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("embedding"), adcCosine(cb, qVec).as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
@@ -795,11 +807,9 @@ object Similarity {
       nProbe: Int = 4, rerank: Int = 400,
       excludeVecId: Option[Long] = None): DataFrame = {
     val qd = qVec.map(_.toDouble)
-    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
-      (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy(_._2).take(nProbe).map(_._1)
+    val probeLists = rankProbeLists(centroids, qd, nProbe)
     val idx = spark.read.parquet(indexPath)
-      .filter(col("ivf_list").isin(probeLists.toSeq: _*))
+      .filter(col("ivf_list").isin(probeLists: _*))
     val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
     val cand = probed
       .select(col("vec_id"), adcCosine(cb, qd).as("adc"))

@@ -96,10 +96,17 @@ object TextAnalysis {
         .as("stopword_ratio"),
       round(size(array_distinct(t)).cast("double") / nTok, 4)
         .as("distinct_ratio"),
-      round(size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
-        .cast("double") / length(col("text")), 4).as("punct_ratio"),
-      round(length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
-        / length(col("text")), 4).as("space_ratio"))
+      // empty-text guard: length(text) = 0 would IEEE-divide to NaN
+      // (doubles don't throw under ANSI), and NaN rendering/hashing is
+      // the kind of cross-engine edge the integer-exact gates avoid —
+      // define both ratios as 0.0 for empty documents (oracle matches)
+      round(when(length(col("text")) > 0,
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("double") / length(col("text"))).otherwise(0.0), 4)
+        .as("punct_ratio"),
+      round(when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+          / length(col("text"))).otherwise(0.0), 4).as("space_ratio"))
   }
 
   /** Language ID by marker-token counting: score each candidate language by
@@ -207,8 +214,14 @@ object TextAnalysis {
     * retrieval prep step: chunk `c` covers tokens `[c*stride, c*stride +
     * size)` with `stride = size - overlap`, so consecutive chunks share
     * `overlap` tokens and every token is covered; the last chunk may be
-    * short. A narrow per-row explode (no shuffle — chunk count rides the
-    * generator); at 100 TB this is scan-speed corpus reshaping.
+    * short. The last chunk id is `max(0, ceil((n - size) / stride))` —
+    * the first chunk whose window reaches token n — NOT
+    * `floor((n-1)/stride)`: that form emits a trailing chunk that is a
+    * strict subset of its predecessor whenever `(n-1) mod stride <
+    * overlap` (~overlap/stride of doc lengths), duplicating
+    * training/retrieval text for nothing. A narrow per-row explode (no
+    * shuffle — chunk count rides the generator); at 100 TB this is
+    * scan-speed corpus reshaping.
     */
   /** Default chunk geometry — shared with the corpus-prep funnel's chunk
     * accounting so the two can never drift apart (the DuckDB oracles spell
@@ -224,8 +237,10 @@ object TextAnalysis {
     df.withColumn("t", tokens(col("text")))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0),
-          floor((org.apache.spark.sql.functions.size(col("t")) - 1)
-            / lit(stride)).cast("int"))).as("chunk_id"))
+          greatest(lit(0),
+            floor((org.apache.spark.sql.functions.size(col("t"))
+              - size + stride - 1) / lit(stride))).cast("int")))
+          .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         least(lit(size),
           org.apache.spark.sql.functions.size(col("t")) - col("chunk_id") * stride)
@@ -289,8 +304,12 @@ object TextAnalysis {
   def invertedIndex(df: DataFrame, maxPostings: Int = 1000): DataFrame =
     df.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
+      // rows are (doc_id, term)-distinct already, so count(*) IS
+      // count(DISTINCT doc_id) — the plain count skips Spark's
+      // distinct-aggregate planning on the corpus-sized shuffle (the
+      // same equivalence duplicatedSpans documents)
       .groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"),
+      .agg(count(lit(1)).as("df"),
         slice(sort_array(collect_set(col("doc_id"))), 1, maxPostings)
           .as("postings"))
 
