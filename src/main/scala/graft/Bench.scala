@@ -14,24 +14,41 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.harnessSession()
 
-    // warmup: file metadata + scan paths + codegen/JIT for common shapes
+    // warmup: file metadata + scan paths, plus one aggregate query so
+    // exchange/agg codegen and JIT are warm before the first timed gate
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    try spark.range(100000).groupBy(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(32L)))
+      .count().count()
+    catch { case _: Throwable => () }
 
+    // a failed gate must NOT be scored as a (fast) success: record the
+    // sentinel -1 for it, keep it out of the total, surface it on stderr
+    // and in a "failed" list the harness can see
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     def render(entries: Seq[(String, Double)], extra: String): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-        .mkString("{", ",", "}")
-      val total = ms(if (results.nonEmpty) results.map(_._2).sum else 0.0)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      val qs = entries.map { case (k, v) =>
+        graft.util.Json.str(k) + ":" + ms(v) }.mkString("{", ",", "}")
+      val total = ms(results.collect { case (_, v) if v >= 0 => v }.sum)
+      val fail = if (failed.isEmpty) ""
+        else failed.map(graft.util.Json.str).mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fail$extra,"sf":${graft.util.Json.str(sfDir)}}"""
     }
     // The full per-query map goes to target/bench.json for the judge. The
     // driver only keeps the LAST 2000 chars of stdout, and a 90+-query map

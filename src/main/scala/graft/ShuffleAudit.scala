@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.LongAdder
-
 import org.apache.spark.GraftListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
@@ -17,14 +15,27 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object ShuffleAudit {
 
   private final class Tally extends SparkListener {
-    val bytes = new LongAdder
-    val records = new LongAdder
+    // keyed by stageId, keeping the LATEST attempt's metrics: a
+    // failed-then-retried stage fires onStageCompleted once per ATTEMPT,
+    // and summing both would double-count the retried shuffle writes —
+    // inflating the numbers SCALE.md's claims rest on
+    private val byStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
-        bytes.add(m.shuffleWriteMetrics.bytesWritten)
-        records.add(m.shuffleWriteMetrics.recordsWritten)
+        val entry = (sc.stageInfo.attemptNumber,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleWriteMetrics.recordsWritten)
+        byStage.merge(sc.stageInfo.stageId, entry,
+          (old, nw) => if (nw._1 >= old._1) nw else old)
       }
+    }
+    def bytesSum: Long = {
+      var t = 0L; byStage.values.forEach(v => t += v._2); t
+    }
+    def recordsSum: Long = {
+      var t = 0L; byStage.values.forEach(v => t += v._3); t
     }
   }
 
@@ -52,7 +63,7 @@ object ShuffleAudit {
       val rows =
         SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       GraftListenerBridge.drain(spark.sparkContext)
-      (rows, tally.bytes.sum(), tally.records.sum())
+      (rows, tally.bytesSum, tally.recordsSum)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 

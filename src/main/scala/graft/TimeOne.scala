@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    // validate before the session starts (same pattern as ShuffleAudit)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}; known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     // the shared harness session IS Bench's session, so a TimeOne number
     // predicts the Bench number by construction
     val spark = GraftSession.harnessSession()

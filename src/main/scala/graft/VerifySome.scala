@@ -11,6 +11,16 @@ import java.nio.file.{Files, Paths}
 object VerifySome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
+    // validate BEFORE spinning up the session: a typo'd gate name should
+    // list the valid names, not NoSuchElementException mid-loop with
+    // earlier dumps written and spark.stop() skipped
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}; known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     val spark = GraftSession.harnessSession()
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZT
   * of 20 call sites assuming one encoding and breaking when the data
   * regenerates with the other. Both branches truncate/land on micros, the
   * same value DuckDB produces casting either encoding to TIMESTAMP, so
-  * oracle hashes are encoding-independent.
+  * oracle hashes are encoding-independent. Known bound: Spark's `DIV`
+  * truncates toward zero, so a PRE-1970 nanos value with a sub-micro
+  * remainder would land 1 µs above a floor-based conversion — immaterial
+  * for the generator's 2024+ event times, but revisit if testdata ever
+  * ships pre-epoch timestamps.
   */
 object EventTs {
 

@@ -26,11 +26,18 @@ object Scratch {
     p
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
+  /** Recursive delete that does NOT follow symlinks: a link inside a
+    * scratch dir pointing at real data (a future staging optimization)
+    * must have the LINK removed, never the target's contents. Public —
+    * also the stale-output cleaner for [[graft.Verify]].
+    */
+  def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
-      try s.forEach(deleteRecursively(_)) finally s.close()
+      try s.forEach(deleteTree(_)) finally s.close()
     }
     Files.deleteIfExists(p)
   }
+
+  private def deleteRecursively(p: Path): Unit = deleteTree(p)
 }
