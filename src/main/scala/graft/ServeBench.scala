@@ -36,11 +36,15 @@ object ServeBench {
     conn.setConnectTimeout(timeoutMs)
     conn.setReadTimeout(timeoutMs)
     val code = conn.getResponseCode
+    // getErrorStream is null when an error response carries no body —
+    // guard, or the NPE in the finally masks the real failure
     val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    try {
-      val buf = new Array[Byte](8192)
-      while (is.read(buf) != -1) {}
-    } finally is.close()
+    if (is != null) {
+      try {
+        val buf = new Array[Byte](8192)
+        while (is.read(buf) != -1) {}
+      } finally is.close()
+    }
     code
   }
 

@@ -25,7 +25,13 @@ object StreamBench {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = java.nio.file.Files.createTempDirectory("stream-bench")
+    // Scratch.dir, not a bare temp dir: the staged wire text, lake, and
+    // checkpoint are deleted at JVM exit instead of stranding in /tmp
+    val base = graft.util.Scratch.dir("stream-bench")
+    require(total >= nStations && total % nStations == 0,
+      s"total=$total must be a positive multiple of $nStations stations — " +
+        "integer division would otherwise silently benchmark " +
+        s"${total / nStations * nStations} rows while reporting $total")
     val perStation = total / nStations
     val wire =
       if (mode == "wire")

@@ -381,15 +381,25 @@ object Analytics {
     * exercise the SQL front-end + decorrelation path.
     */
   def q19Correlated(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "supplier").createOrReplaceTempView("supplier_v")
-    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
-    spark.sql(
-      """SELECT n_name, count(*) AS n_above,
+    // UUID view names, dropped in finally (same discipline as q11 and
+    // EventOps.fullScan): a gate must neither clobber a user view nor
+    // leave session-catalog state behind — spark.sql analyzes eagerly,
+    // so the returned frame survives the drop
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sup = s"supplier_$tag"; val nat = s"nation_$tag"
+    t(spark, dir, "supplier").createOrReplaceTempView(sup)
+    t(spark, dir, "nation").createOrReplaceTempView(nat)
+    try spark.sql(
+      s"""SELECT n_name, count(*) AS n_above,
         |  round(max(s_acctbal), 2) AS top_bal
-        |FROM supplier_v s JOIN nation_v ON s_nationkey = n_nationkey
-        |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier_v s2
+        |FROM $sup s JOIN $nat ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > (SELECT avg(s2.s_acctbal) FROM $sup s2
         |                   WHERE s2.s_nationkey = s.s_nationkey)
         |GROUP BY n_name""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(sup)
+      spark.catalog.dropTempView(nat)
+    }
   }
 
   /** Sketch-based distinct counting: Apache DataSketches HLL through
