@@ -246,7 +246,9 @@ object EventOps {
     // count: every instance pays per-batch commit/maintenance file I/O
     // (up to 4 stores per partition for a stream-stream join), so 32
     // instances for ~100k rows of state is pure overhead — these gates
-    // measurably drain ~2x faster at 8. A 100 TB deployment sizes it UP
+    // measurably drain ~2x faster at 8 (and measurably SLOWER again at 4:
+    // the instances also carry processing parallelism, and below 8 that
+    // loss outweighs the saved commit I/O). A 100 TB deployment sizes it UP
     // for exactly the same reason, and because the count is pinned at
     // checkpoint creation it must be chosen for peak state, not cores.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
