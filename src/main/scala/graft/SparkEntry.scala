@@ -278,11 +278,7 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |GROUP BY p_type""".stripMargin,
-    "q12_tumbling_window" ->
-      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
-        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_tumbling_window" -> q12WindowOracle,
     // the oracle rebuilds the full KMV sketch (k-th smallest portable MD5
     // hash per group) — the sketch STATE is compared, not just estimates
     "q23_kmv_distinct" ->
@@ -336,18 +332,10 @@ object SparkEntry {
         |  round(max(value), 2) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
     // the streaming-path gate shares the batch q12 oracle
-    "p_window_stream" ->
-      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
-        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "p_window_stream" -> q12WindowOracle,
     // watermark + APPEND mode must finalize every real window exactly once
     // with the same values the batch aggregate computes
-    "p_window_stream_append" ->
-      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
-        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "p_window_stream_append" -> q12WindowOracle,
     // WindowedStats.tumbling end to end (per-station watermarked windows,
     // append mode): integer humidity/wind sums are exact in doubles, so
     // the rounded average is engine-stable
@@ -437,16 +425,10 @@ object SparkEntry {
     // streaming watermarked dedup must emit each unique row exactly once
     // across replayed micro-batches; (user_id, event_id) is unique, so the
     // oracle is the log itself
-    "p_dedup_stream" ->
-      """SELECT user_id AS station_id, event_id AS s_no, event_type,
-        |  round(value, 2) AS value
-        |FROM events""".stripMargin,
+    "p_dedup_stream" -> uniqueLogOracle,
     // dropDuplicatesWithinWatermark: every replay is either a live-state
     // hit or late data — both drop, leaving exactly the unique log
-    "p_dedup_within_wm" ->
-      """SELECT user_id AS station_id, event_id AS s_no, event_type,
-        |  round(value, 2) AS value
-        |FROM events""".stripMargin,
+    "p_dedup_within_wm" -> uniqueLogOracle,
     // FULL outer stream-stream join: unmatched rows on BOTH sides emit
     // null-padded once the joint watermark finalizes them; the alert-side
     // filter must live in the subquery (a post-filter would drop the
@@ -466,40 +448,10 @@ object SparkEntry {
         | AND c.ts < a.ts""".stripMargin,
     // the grid-bucketed interval join must equal the naive inequality join
     // over the same arithmetically-derived incident windows
-    "q24_interval_join" ->
-      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
-        |iv AS (
-        |  SELECT i AS interval_id,
-        |    t0 + i * INTERVAL 21 HOUR AS s,
-        |    t0 + i * INTERVAL 21 HOUR + INTERVAL 47 MINUTE AS e
-        |  FROM b, (SELECT unnest(range(0, 32)) AS i) ii)
-        |SELECT interval_id,
-        |  strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
-        |  count(*) AS n_events,
-        |  count(DISTINCT user_id) AS n_stations,
-        |  round(sum(value), 2) AS sum_value
-        |FROM iv JOIN events ev
-        |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
-        | AND CAST(ev.ts AS TIMESTAMP) < iv.e
-        |GROUP BY interval_id, s""".stripMargin,
+    "q24_interval_join" -> intervalJoinOracle,
     // the naive-formulation variant planned through RangeJoinRewrite must
     // equal the same oracle
-    "q24_interval_rule" ->
-      """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
-        |iv AS (
-        |  SELECT i AS interval_id,
-        |    t0 + i * INTERVAL 21 HOUR AS s,
-        |    t0 + i * INTERVAL 21 HOUR + INTERVAL 47 MINUTE AS e
-        |  FROM b, (SELECT unnest(range(0, 32)) AS i) ii)
-        |SELECT interval_id,
-        |  strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
-        |  count(*) AS n_events,
-        |  count(DISTINCT user_id) AS n_stations,
-        |  round(sum(value), 2) AS sum_value
-        |FROM iv JOIN events ev
-        |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
-        | AND CAST(ev.ts AS TIMESTAMP) < iv.e
-        |GROUP BY interval_id, s""".stripMargin,
+    "q24_interval_rule" -> intervalJoinOracle,
     // Misra-Gries heavy hitters in the exact (err == 0) regime: the top-10
     // slice must equal the exact GROUP BY counts, same tie-break
     "q25_freq_items" ->
@@ -713,8 +665,8 @@ object SparkEntry {
          |  CAST(1000 * slot_matches // 64 AS BIGINT) AS est_permille,
          |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          |  CAST(n_shared AS BIGINT) AS n_shared,
-         |  CAST(1000 * n_shared // (n_a + n_b - n_shared) AS BIGINT)
-         |    AS exact_permille
+         |  CAST(1000 * n_shared // greatest(n_a + n_b - n_shared, 1)
+         |    AS BIGINT) AS exact_permille
          |FROM agree, sizes, inter""".stripMargin,
     // bigram stupid-backoff LM: all-integer scores (count·1e6 // count),
     // so DuckDB replays training AND scoring exactly; α=0.5 backoff is
@@ -942,15 +894,15 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
-    // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
-    // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
-    // so the result equals the exhaustive n-gram join.
     // corpus-level repeated-line removal (C4/RefinedWeb boilerplate step):
     // 3-token windows, drop lines in >= 3 distinct docs, reassemble in order
     "x_dedup_lines" -> repeatedLinesOracle,
     // the xxhash64-keyed production shape computes the identical result
     // (hash collisions aside), so the same string-keyed SQL verifies it
     "x_dedup_lines_hashed" -> repeatedLinesOracle,
+    // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
+    // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
+    // so the result equals the exhaustive n-gram join
     "x_dedup_minhash" -> ngramJaccardOracle,
     // exhaustive odd(delta)-vs-even(index) join — banding recall is
     // complete at 0.8 (the symmetric yardstick covers every true pair)
@@ -1752,7 +1704,7 @@ object SparkEntry {
         |SELECT r.radius, tot.n_exact AS n_exact_pairs,
         |  (SELECT count(*) FROM topk WHERE hamming <= r.radius) AS n_hits,
         |  (SELECT count(*) FROM topk WHERE hamming <= r.radius) * 1000
-        |    // tot.n_exact AS recall_permille
+        |    // greatest(tot.n_exact, 1) AS recall_permille
         |FROM (VALUES (0), (1), (2), (4)) r(radius), tot""".stripMargin,
     // directed containment |S(A) ∩ S(B)| / |S(A)| over the same 3-gram
     // shingle definition as the Jaccard oracle
@@ -1897,10 +1849,46 @@ object SparkEntry {
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin
   )
 
-  /** The shared near-dup-components CTE prefix (transitive closure over the
-    * exact-verified 3-gram jaccard pairs; `comp` = per-doc component min),
-    * reused by the clusters and leakage-safe-split oracles.
+  /** Shared by `q12_tumbling_window` and its two streaming twins
+    * (`p_window_stream`, `p_window_stream_append`): all three must
+    * finalize exactly the batch per-window aggregate.
     */
+  private val q12WindowOracle =
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+      |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Shared by `q24_interval_join` (grid-bucketed operator) and
+    * `q24_interval_rule` (the naive formulation planned through
+    * RangeJoinRewrite): one naive-inequality replay verifies both.
+    */
+  private val intervalJoinOracle =
+    """WITH b AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events),
+      |iv AS (
+      |  SELECT i AS interval_id,
+      |    t0 + i * INTERVAL 21 HOUR AS s,
+      |    t0 + i * INTERVAL 21 HOUR + INTERVAL 47 MINUTE AS e
+      |  FROM b, (SELECT unnest(range(0, 32)) AS i) ii)
+      |SELECT interval_id,
+      |  strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS interval_start,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_stations,
+      |  round(sum(value), 2) AS sum_value
+      |FROM iv JOIN events ev
+      |  ON CAST(ev.ts AS TIMESTAMP) >= iv.s
+      | AND CAST(ev.ts AS TIMESTAMP) < iv.e
+      |GROUP BY interval_id, s""".stripMargin
+
+  /** Shared by `p_dedup_stream` and `p_dedup_within_wm`: every staged
+    * replay must drop (state hit or late data), leaving exactly the
+    * unique event log — (user_id, event_id) is unique in the testdata.
+    */
+  private val uniqueLogOracle =
+    """SELECT user_id AS station_id, event_id AS s_no, event_type,
+      |  round(value, 2) AS value
+      |FROM events""".stripMargin
+
   /** Shared by `p_wire_source` and `p_wire_restart`: the surviving wire
     * frame set rebuilt from the source's integer modular arithmetic —
     * the restart gate must reassemble exactly this set across a kill +
@@ -1983,6 +1971,12 @@ object SparkEntry {
       |FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS fi
       |      FROM documents)""".stripMargin
 
+  /** The shared near-dup-components CTE prefix (transitive closure over
+    * the exact-verified 3-gram jaccard pairs; `comp` = per-doc component
+    * min), composed via string concat into the `x_dedup_clusters*`,
+    * `x_split_leakage_safe`, `x_dedup_keepbest`, and `x_pipeline_e2e`
+    * oracles.
+    */
   private val nearDupComponentsCte =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),

@@ -471,8 +471,11 @@ object Corpus {
         expr(s"CAST(1000 * slot_matches DIV $m AS BIGINT)")
           .as("est_permille"),
         col("n_a"), col("n_b"), col("n_shared"),
-        expr("CAST(1000 * n_shared DIV (n_a + n_b - n_shared) AS BIGINT)")
-          .as("exact_permille"))
+        // greatest(.., 1): a degenerate corpus (no doc with 3+ tokens)
+        // has zero shingles on both sides, and the jaccard denominator
+        // must not divide by zero — the ratio is 0 either way
+        expr("CAST(1000 * n_shared DIV greatest(n_a + n_b - n_shared, 1)" +
+          " AS BIGINT)").as("exact_permille"))
   }
 
   /** Exact curriculum sharding WITHOUT a global sort: documents are
