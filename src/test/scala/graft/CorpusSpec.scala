@@ -198,7 +198,6 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("rebalance equalizes the language mix deterministically") {
-    val dir = "/root/testdata/sf0.001"
     def kept(): Map[String, (Long, Long)] =
       graft.ext.corpus.Corpus.rebalance(spark, dir).collect()
         .map(r => r.getString(0) ->

@@ -147,12 +147,15 @@ class TextDedupSpec extends SparkSpec {
       input.addData((1L, "the quick brown fox jumps over the lazy dog again and"),
         (2L, "nothing like anything stored in the index at all whatsoever"))
       q.processAllAvailable()
-      assert(seen.toSet == Set((1L, 100L)))
+      // reads synchronized like the writes: the callback mutates on the
+      // stream-execution thread, and processAllAvailable is not documented
+      // to publish callback side effects to this thread
+      assert(seen.synchronized(seen.toSet) == Set((1L, 100L)))
       // batch 2: near-dup of doc 101 arrives later
       input.addData(
         (3L, "completely different indexed content with many unique words also"))
       q.processAllAvailable()
-      assert(seen.toSet == Set((1L, 100L), (3L, 101L)))
+      assert(seen.synchronized(seen.toSet) == Set((1L, 100L), (3L, 101L)))
     } finally q.stop()
   }
 

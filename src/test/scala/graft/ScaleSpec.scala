@@ -10,20 +10,26 @@ class ScaleSpec extends SparkSpec {
   lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
   test("bucketed tables join without an exchange on either side") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // clear any stray managed-table locations from prior runs (in-memory
-    // catalog forgets tables on restart but the warehouse files persist)
-    Seq("li_b", "ord_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(loc)
-      }
-    }
+    // conf.set lives INSIDE the try: if the pre-test cleanup below ever
+    // threw, the finally must still restore auto-broadcast for the rest
+    // of the JVM-shared session (every later plan-shape assertion depends
+    // on it). Warehouse location resolved from the session conf, not a
+    // cwd-relative literal that silently misses when the fork's cwd and
+    // spark.sql.warehouse.dir diverge.
     try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val warehouse = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("li_b", "ord_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(warehouse, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(loc)
+        }
+      }
       Scale.writeBucketed(li.select("l_orderkey", "l_quantity"),
         "li_b", "l_orderkey", nBuckets = 4)
       Scale.writeBucketed(orders.select("o_orderkey", "o_totalprice")
@@ -83,6 +89,44 @@ class ScaleSpec extends SparkSpec {
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
       "x_multimodal_phash", "x_multimodal_afp")
+    // completeness gate: every registered query must be EXPLICITLY either
+    // swept or excluded-with-a-reason — a new gate that is neither fails
+    // here, so the sweep can never silently drift from the registry (it
+    // had: ~30 gates were unswept before this assertion existed)
+    val excluded = Set(
+      // streaming / stateful drains: execute on construction
+      "p_latest_stream", "p_latest_arrival", "p_latest_tws",
+      "p_window_stream", "p_window_stream_append", "p_window_sliding_append",
+      "p_wstats_append", "p_session_stream_append", "p_stream_join",
+      "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
+      "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
+      "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
+      "x_dedup_stream",
+      // write/stage side effects on construction (covered by their specs)
+      "p_csv_roundtrip", "p_orc_roundtrip", "p_compact_files",
+      "p_bucketed_join", "p_schema_evolve", "p_salted_stats",
+      "x_jsonl_roundtrip", "x_sql_surface",
+      "x_ann_lsh_indexed", "x_ann_lsh_append", "x_ann_ivf_indexed",
+      "x_ann_ivf_append", "x_ann_ivfpq_indexed",
+      // driver-side collect in construction (index build / query vector /
+      // bloom bytes)
+      "p_bloom_prune",
+      "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq", "x_ann_topk",
+      "x_ann_filtered", "x_index_postings", "x_index_lookup", "x_rag_bm25",
+      "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
+      "x_dedup_incremental", "x_dedup_keepbest", "x_decontaminate",
+      "x_decontaminate_bloom", "x_split_leakage_safe", "x_corpus_prepare",
+      "x_corpus_dsir", "x_pipeline_e2e", "x_text_perplexity",
+      "x_multimodal_audio", "x_multimodal_decode", "x_multimodal_video",
+      "x_multimodal_vstats",
+      // deliberate all-pairs yardsticks: full radius IS the cartesian
+      "x_knn_join", "x_knn_recall",
+      // zorder gate: expression-only, swept via its own spec
+      "p_zorder_cells")
+    val unclassified =
+      SparkEntry.queries.keySet -- batchGates.toSet -- excluded
+    assert(unclassified.isEmpty,
+      s"gates neither swept nor excluded (classify them): $unclassified")
     val offenders = batchGates.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
@@ -143,8 +187,10 @@ class ScaleSpec extends SparkSpec {
     // the final report aggregate — never a repartition of the documents
     // scan itself (the keep-filter is a narrow broadcast-join + filter)
     val phys = df.queryExecution.executedPlan
+    // contains, not startsWith: tree rendering prefixes non-last subtrees
+    // with ':' so a left-spine Exchange would evade a startsWith match
     val exchanges = phys.toString.linesIterator
-      .count(_.trim.startsWith("+- Exchange"))
+      .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 3, s"unexpected corpus shuffle:\n${plan.take(1500)}")
   }
 

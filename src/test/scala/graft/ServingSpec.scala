@@ -13,7 +13,11 @@ class HttpShimSpec extends SparkSpec {
     conn.setRequestMethod("GET")
     val code = conn.getResponseCode
     val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val body = scala.io.Source.fromInputStream(is).mkString
+    // close the stream (and guard a body-less error response): leaked
+    // keep-alive sockets across the suite's ~24 requests pile up file
+    // descriptors in the shared long-lived test JVM
+    val body = if (is == null) ""
+      else try scala.io.Source.fromInputStream(is).mkString finally is.close()
     (code, body)
   }
 
