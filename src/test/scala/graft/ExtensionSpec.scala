@@ -676,11 +676,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 1, s"recall $recall/10")
   }
 
-  test("multi-probe near-dup recovers hamming-1 bucket splits single-probe misses") {
+  /** ONE planted-twin fixture for both hamming-1 recovery specs: 60 base
+    * vectors plus tiny perturbations (seed 7, ±0.03) — near-identical
+    * cosine, but a twin straddling one hyperplane lands in a hamming-1
+    * bucket. Returns the frame plus the hamming-1-split and same-bucket
+    * twin pairs; shared so a fixture tweak (seed, perturbation) can never
+    * desynchronize the two specs.
+    */
+  private def plantedTwins(nBits: Int): (org.apache.spark.sql.DataFrame,
+      Seq[(Long, Long)], Seq[(Long, Long)]) = {
     import spark.implicits._
-    // planted twins: base vectors plus tiny perturbations — near-identical
-    // cosine, but a twin straddling one hyperplane lands in a hamming-1
-    // bucket and is invisible to the single-probe join
     val rnd = new scala.util.Random(7)
     val dim = 64
     val rows = (0 until 60).flatMap { i =>
@@ -689,17 +694,19 @@ class SimilaritySpec extends SparkSpec {
       Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, twin.toSeq))
     }
     val df = rows.toDF("vec_id", "embedding")
-    val nBits = 8
     val buckets = df.select(col("vec_id"),
       graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits)
         .as("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val twinPairs = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
-    val ham = twinPairs.map { case (a, b) =>
-      (a, b) -> Integer.bitCount(buckets(a) ^ buckets(b))
-    }.toMap
-    val split = twinPairs.filter(p => ham(p) == 1)
-    assert(split.nonEmpty,
-      s"seed should plant hamming-1 splits; distances ${ham.values.toSeq.sorted}")
+    val pairsByHam = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+      .groupBy { case (a, b) => Integer.bitCount(buckets(a) ^ buckets(b)) }
+    (df, pairsByHam.getOrElse(1, Nil), pairsByHam.getOrElse(0, Nil))
+  }
+
+  test("multi-probe near-dup recovers hamming-1 bucket splits single-probe misses") {
+    // a hamming-1 twin is invisible to the single-probe join
+    val nBits = 8
+    val (df, split, sameBucket) = plantedTwins(nBits)
+    assert(split.nonEmpty, "seed should plant hamming-1 splits")
     def pairs(probe: Int) =
       Similarity.cosineNearDupPairsOf(df, threshold = 0.9, nBits = nBits,
         probeHamming = probe).collect()
@@ -713,8 +720,7 @@ class SimilaritySpec extends SparkSpec {
       assert(multi.contains(p), s"hamming-1 pair $p missed by multi-probe")
     }
     // same-bucket twins are found by both
-    twinPairs.filter(p => ham(p) == 0)
-      .foreach(p => assert(single.contains(p) && multi.contains(p)))
+    sameBucket.foreach(p => assert(single.contains(p) && multi.contains(p)))
   }
 
   test("kNN join at full radius equals exhaustive; plans heap-agg, no window") {
@@ -754,23 +760,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("kNN join radius-1 probing recovers hamming-1 twins that radius 0 misses") {
-    import spark.implicits._
-    // same planted-twin construction as the multi-probe near-dup spec:
+    // same planted-twin fixture as the multi-probe near-dup spec:
     // a twin straddling one hyperplane is invisible at radius 0
-    val rnd = new scala.util.Random(7)
-    val dim = 64
-    val rows = (0 until 60).flatMap { i =>
-      val base = Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
-      val twin = base.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
-      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, twin.toSeq))
-    }
-    val df = rows.toDF("vec_id", "embedding")
     val nBits = 8
-    val buckets = df.select(col("vec_id"),
-      graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"), nBits)
-        .as("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val split = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
-      .filter { case (a, b) => Integer.bitCount(buckets(a) ^ buckets(b)) == 1 }
+    val (df, split, _) = plantedTwins(nBits)
     assert(split.nonEmpty)
     def nn(radius: Int): Map[Long, Long] =
       Similarity.knnJoinOf(df, k = 1, nBits = nBits, radius = radius)

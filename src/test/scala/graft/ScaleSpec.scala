@@ -330,9 +330,13 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("as-of join matches the per-probe latest row and plans join-free") {
+  /** ONE as-of fixture for both as-of specs (backward/strict and
+    * forward/tolerance): 4 build rows with a (t=20, two-ids) tie, 4
+    * probes straddling the timeline — shared so a scenario tweak can
+    * never desynchronize the two specs.
+    */
+  private lazy val asOfFixture = {
     import spark.implicits._
-    import graft.operators.AsOfJoin
     val build = Seq(
       (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
       (2L, 50L, 200L, 9.0))
@@ -342,6 +346,12 @@ class ScaleSpec extends SparkSpec {
     val probe = Seq((1L, 5L), (1L, 20L), (1L, 30L), (2L, 49L))
       .toDF("k", "pt")
       .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    (build, probe)
+  }
+
+  test("as-of join matches the per-probe latest row and plans join-free") {
+    import graft.operators.AsOfJoin
+    val (build, probe) = asOfFixture
     def matches(strict: Boolean): Map[(Long, Long), Long] =
       AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t",
           buildTieBreak = Seq("id"), strict = strict)
@@ -366,17 +376,8 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("as-of forward and tolerance variants") {
-    import spark.implicits._
     import graft.operators.AsOfJoin
-    val build = Seq(
-      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 20L, 102L, 3.0),
-      (2L, 50L, 200L, 9.0))
-      .toDF("k", "t", "id", "v")
-      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("id"),
-        col("v"))
-    val probe = Seq((1L, 5L), (1L, 20L), (1L, 30L), (2L, 49L))
-      .toDF("k", "pt")
-      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    val (build, probe) = asOfFixture
     def matches(forward: Boolean, tol: Option[Long]): Map[(Long, Long), Long] =
       AsOfJoin.asOf(probe, build, Seq("k"), "pt", "t",
           buildTieBreak = Seq("id"), forward = forward,
