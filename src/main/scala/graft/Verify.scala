@@ -8,6 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.harnessSession()
     new java.io.File(outDir).mkdirs()
+    // Write the oracle map BEFORE the dump loop: if the driver's budget
+    // kills this process mid-run, the gates that DID dump are still
+    // comparable — an end-of-run write would discard all of them.
+    // escaping via util.Json — see its doc for why this must be exact
+    def q(s: String): String = graft.util.Json.str(s)
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     SparkEntry.queries.foreach { case (name, fn) =>
       // clear any stale dump FIRST: if this attempt fails before the
       // overwrite executes, a reused outDir must not let the compare
@@ -19,11 +27,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // escaping via util.Json — see its doc for why this must be exact
-    def q(s: String): String = graft.util.Json.str(s)
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
