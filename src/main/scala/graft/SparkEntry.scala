@@ -200,6 +200,7 @@ object SparkEntry {
     "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
     "x_rag_bm25"         -> TextAnalysis.bm25Report _,
+    "x_rag_fuse"         -> TextAnalysis.rrfReport _,
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -1756,28 +1757,38 @@ object SparkEntry {
     // 1e6); floor (DuckDB //) and truncate (Spark DIV) coincide because
     // all operands are non-negative — keep intermediates non-negative or
     // the engines round differently — see TextAnalysis.bm25TopK's scaladoc
-    "x_rag_bm25" ->
-      """WITH d AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
-        |  WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
-        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT doc_id,
-        |    ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1))
-        |      * (44 * tf * t_total * 1000000
-        |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
-        |      // 1000000 AS s
-        |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats)
+    "x_rag_bm25" -> s"""$bm25Ctes
         |SELECT doc_id, sum(s) AS bm25_e6, count(*) AS n_terms_hit
         |FROM s GROUP BY 1
         |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // RRF hybrid fusion: rank (not score) each leg's top 20 — the lexical
+    // leg replays the x_rag_bm25 oracle via the shared CTE chain, the
+    // dense leg the x_ann_topk oracle at k=20 — then each contributes
+    // 1e6 // (60 + rank), missing legs 0; integer-exact end to end (the
+    // same non-negative floor/truncate coincidence as x_rag_bm25)
+    "x_rag_fuse" -> s"""$bm25Ctes,
+        |lexq AS (
+        |  SELECT doc_id, sum(s) AS bm25_e6 FROM s GROUP BY 1
+        |  ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY bm25_e6 DESC, doc_id ASC) AS r_lex FROM lexq),
+        |denq AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 20),
+        |dense AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (
+        |    ORDER BY score DESC, vec_id ASC) AS r_dense FROM denq)
+        |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |  COALESCE(1000000 // (60 + r_lex), 0) +
+        |    COALESCE(1000000 // (60 + r_dense), 0) AS rrf_e6,
+        |  r_lex, r_dense
+        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+        |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
     // whose running token sum fits the budget; integer sums keep it exact
     "x_corpus_budget" ->
@@ -2130,4 +2141,28 @@ object SparkEntry {
       |     WHERE vec_id = 0)), 6) AS score
       |FROM embeddings WHERE vec_id <> 0
       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** The BM25 scoring CTE chain (exact integer rationals — see
+    * TextAnalysis.bm25TopK's scaladoc), shared by the x_rag_bm25 oracle
+    * and the x_rag_fuse oracle's lexical leg so the two can never drift.
+    */
+  private val bm25Ctes =
+    """WITH d AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      |  WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1))
+      |      * (44 * tf * t_total * 1000000
+      |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+      |      // 1000000 AS s
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats)""".stripMargin
 }

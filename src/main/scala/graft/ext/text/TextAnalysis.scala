@@ -549,4 +549,57 @@ object TextAnalysis {
     */
   def bm25Report(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(spark, dir)
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard way a RAG
+    * stack combines its lexical ([[bm25TopK]]) and dense
+    * ([[graft.ext.sim.Similarity.bruteForceTopK]]) retrievers: each list
+    * contributes `1/(kRrf + rank)` per document (Cormack et al.'s RRF,
+    * kRrf = 60), summed across lists, missing-from-a-list contributing 0.
+    * Ranks — not scores — are fused, so the two retrievers' incomparable
+    * score scales never need calibration; the integer form
+    * `SCALE div (kRrf + rank)` keeps the gate bit-identical in DuckDB
+    * (all operands positive — same floor/truncate-coincidence contract as
+    * [[bm25TopK]]).
+    *
+    * The document and embedding tables share one id space (vec_id i IS
+    * doc_id i in the corpus contract), so fusion joins directly on id.
+    *
+    * Scale shape: both inputs are top-k lists (TakeOrderedAndProject —
+    * per-partition heaps, k rows out), so every post-retrieval operator
+    * here — the rank windows, the full-outer join, the final sort — runs
+    * on 2k rows REGARDLESS of corpus size; the unpartitioned windows are
+    * deliberate (k rows, not the corpus). At 100 TB the cost is the two
+    * retrievals; fusion is O(k).
+    */
+  def rrfFuse(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      queryVecId: Long = 0L, k: Int = 20, kOut: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    val Scale = 1000000L
+    val lex = bm25TopK(spark, dir, queryTerms, k)
+      .select(col("doc_id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25_e6").desc, col("doc_id").asc))
+        .cast("long").as("r_lex"))
+    val dense = graft.ext.sim.Similarity
+      .bruteForceTopK(spark, dir, queryVecId, k)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("vec_id").asc))
+        .cast("long").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"$Scale DIV ($kRrf + r_lex)"), lit(0L)) +
+          coalesce(expr(s"$Scale DIV ($kRrf + r_dense)"), lit(0L)))
+          .as("rrf_e6"),
+        col("r_lex"), col("r_dense"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+      .limit(kOut)
+  }
+
+  /** Gate entry for [[rrfFuse]]: fuse the default BM25 query's top 20
+    * with vec 0's dense top 20, report the fused top 10.
+    */
+  def rrfReport(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(spark, dir)
 }

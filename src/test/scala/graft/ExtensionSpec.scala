@@ -1033,6 +1033,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("RRF fusion: hand-computed ranks fuse both legs, single-leg docs kept") {
+    val scratch = graft.util.Scratch.dir("graft_rrf").toString
+    import spark.implicits._
+    // lexical leg (query red, blue): doc4's null text is dropped; scores
+    // rank 1 > 3 > 5 > 2 (bm25 fixture arithmetic, margins all > 25%)
+    Seq((1L, "red red blue"), (2L, "red green"),
+      (3L, "blue blue blue green"), (4L, null.asInstanceOf[String]),
+      (5L, "red red red red"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    // dense leg (query vec 0 = [1,0]): cosines 1:0.995 > 4:0.894 >
+    // 3:0.707 > 2:0 — doc5 has no vector, doc4 no text: each leg
+    // contributes a doc the other lacks, exercising the full outer join
+    Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)),
+      (4L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    // contributions 1e6 div (60+r): r1 16393, r2 16129, r3 15873, r4 15625
+    val out = TextAnalysis.rrfFuse(spark, scratch,
+        queryTerms = Seq("red", "blue"), k = 20, kOut = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toList == List(
+      (1L, 32786L, 1L, 1L), (3L, 32002L, 2L, 3L), (2L, 31250L, 4L, 4L),
+      (4L, 16129L, -1L, 2L), (5L, 15873L, 3L, -1L)))
+    // corpus gate: exactly kOut rows, scores positive and non-increasing
+    val gate = TextAnalysis.rrfReport(spark, dir).collect()
+    assert(gate.length == 10)
+    val scores = gate.map(_.getLong(1))
+    assert(scores.toSeq == scores.toSeq.sortBy(-(_: Long)))
+    assert(scores.forall(_ > 0L))
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 75).map(i => s"w$i")
