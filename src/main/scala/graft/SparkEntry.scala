@@ -201,6 +201,7 @@ object SparkEntry {
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
     "x_rag_bm25"         -> TextAnalysis.bm25Report _,
     "x_rag_fuse"         -> TextAnalysis.rrfReport _,
+    "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -1789,6 +1790,46 @@ object SparkEntry {
         |  r_lex, r_dense
         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
         |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // MMR diversification: replay the greedy selection exactly — e6-integer
+    // similarities (the floor(x*1e6+0.5) bit-deterministic rule), top-20
+    // candidate set, then a recursive CTE picks argmax(simq - max-selected-
+    // sim) with id tie-break, one row per iteration, selected ids carried
+    // as a list
+    "x_rag_mmr" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT vec_id,
+        |    CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)) * 1000000 + 0.5) AS BIGINT) AS simq_e6,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY simq_e6 DESC, vec_id ASC LIMIT 20),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000 + 0.5)
+        |      AS BIGINT) AS sim_e6
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS sel_order,
+        |    (SELECT vec_id FROM cand ORDER BY simq_e6 DESC, vec_id ASC
+        |     LIMIT 1) AS doc_id,
+        |    [(SELECT vec_id FROM cand ORDER BY simq_e6 DESC, vec_id ASC
+        |      LIMIT 1)] AS sel_list
+        |  UNION ALL
+        |  SELECT s.sel_order + 1, nxt.pick, list_append(s.sel_list, nxt.pick)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id AS pick
+        |    FROM cand c
+        |    WHERE NOT list_contains(s.sel_list, c.vec_id)
+        |    ORDER BY c.simq_e6 - (SELECT max(p.sim_e6) FROM pairs p
+        |        WHERE p.va = c.vec_id AND list_contains(s.sel_list, p.vb))
+        |      DESC, c.vec_id ASC
+        |    LIMIT 1) nxt
+        |  WHERE s.sel_order < 10)
+        |SELECT CAST(sel_order AS BIGINT) AS sel_order, doc_id,
+        |  (SELECT simq_e6 FROM cand WHERE cand.vec_id = sel.doc_id)
+        |    AS simq_e6
+        |FROM sel""".stripMargin,
     // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
     // whose running token sum fits the budget; integer sums keep it exact
     "x_corpus_budget" ->

@@ -49,6 +49,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98) — the
+    * diversification pass a RAG stack runs AFTER retrieval: greedily pick
+    * `kOut` of the `nCandidates` most query-similar vectors, each step
+    * maximizing `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` at λ = ½
+    * (scaled by 2 to the integer form `simq_e6 − max sel sim_e6` — rank-
+    * identical), ties on the id. Near-duplicate candidates are thereby
+    * penalized out of the final list, which plain top-k cannot express.
+    *
+    * Shape: candidate generation is the distributed exact top-k scan
+    * (TakeOrderedAndProject); the candidate×candidate similarity matrix is
+    * an engine-computed self-join of the k-row frame (k² tiny rows, and
+    * Catalyst's `cosine` on both legs keeps every double bit-identical to
+    * the oracle's); only the inherently SEQUENTIAL greedy selection runs
+    * on the driver, over k² integers — the same candidates-local /
+    * selection-driver division as [[rankHammingBuckets]]. At 100 TB the
+    * cost is the candidate scan; selection is O(k²) regardless of corpus.
+    * All similarities quantize to e6 integers via the repo's
+    * bit-deterministic `floor(x·1e6 + 0.5)` rule, so selection order is
+    * exactly replayable by the DuckDB recursive-CTE oracle.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+      nCandidates: Int = 20, kOut: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    val cand = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("qv")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("simq_e6"),
+        col("embedding"))
+      .orderBy(col("simq_e6").desc, col("vec_id").asc)
+      .limit(nCandidates)
+      .localCheckpoint() // k rows; reused by the pair join and the collect
+    val a = cand.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val simMap = a.crossJoin(b).filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        floor(cosine(col("ea"), col("eb")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("sim_e6"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val candLocal = cand.select(col("vec_id"), col("simq_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val remaining = scala.collection.mutable.ArrayBuffer(candLocal: _*)
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    while (sel.size < kOut && remaining.nonEmpty) {
+      val chosen = sel.map(_._2)
+      val best = remaining.minBy { case (id, simq) =>
+        val penalty =
+          if (chosen.isEmpty) 0L else chosen.map(s => simMap((id, s))).max
+        (penalty - simq, id) // == (-mmr, id): max mmr, ties to smallest id
+      }
+      sel += ((sel.size + 1L, best._1, best._2))
+      remaining -= best
+    }
+    sel.toSeq.toDF("sel_order", "doc_id", "simq_e6")
+  }
+
   /** Bucket every vector by hyperplane LSH signature (one codegen'd pass via
     * the custom [[graft.functions.HyperplaneBucket]] expression — the
     * hyperplane matrix is built once, not re-derived per row). Persisting

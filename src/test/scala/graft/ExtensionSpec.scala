@@ -384,6 +384,28 @@ class TopKBySpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("MMR re-rank: redundant twin penalized behind the diverse candidate") {
+    val scratch = graft.util.Scratch.dir("graft_mmr").toString
+    import spark.implicits._
+    // query [1,0,0]; 1 and 2 are identical (sim_e6 = 1e6), 3 is equally
+    // query-similar (all simq_e6 = 948683) but only 0.9-similar to 1/2.
+    // Greedy: step 1 tie-breaks to id 1; step 2 MUST pick 3 (mmr 48683)
+    // over the twin 2 (mmr -51317); step 3 takes the remaining 2. Plain
+    // top-3 (simq, id) would order 1, 2, 3 — the reorder IS the operator.
+    Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.3f, 0.0f)),
+      (2L, Array(0.9f, 0.3f, 0.0f)), (3L, Array(0.9f, 0.0f, 0.3f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val out = Similarity.mmrRerank(spark, scratch, nCandidates = 3, kOut = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List(
+      (1L, 1L, 948683L), (2L, 3L, 948683L), (3L, 2L, 948683L)))
+    // corpus gate: kOut distinct docs in selection order
+    val gate = Similarity.mmrRerank(spark, dir).collect()
+    assert(gate.map(_.getLong(0)).toList == (1L to 10L).toList)
+    assert(gate.map(_.getLong(1)).distinct.length == 10)
+  }
+
   test("LSH ANN with full probes equals brute force") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
