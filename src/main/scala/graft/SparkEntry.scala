@@ -94,6 +94,10 @@ object SparkEntry {
     // DSIR-style importance resampling over hashed bigram buckets —
     // Laplace-smoothed integer ratio weights, above-average keep rule
     "x_corpus_dsir" -> ((s, d) => graft.ext.corpus.Corpus.dsirSelect(s, d)),
+    // deterministic training-order shuffle: independent md5-derived
+    // shard/order draws; order_sum pins the exact global permutation
+    "x_corpus_shuffle" -> ((s, d) =>
+      graft.ext.corpus.Corpus.trainingShuffle(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -202,6 +206,8 @@ object SparkEntry {
     "x_rag_bm25"         -> TextAnalysis.bm25Report _,
     "x_rag_fuse"         -> TextAnalysis.rrfReport _,
     "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // passage-level retrieval: chunk-granular BM25 + MaxP doc aggregation
+    "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -774,6 +780,28 @@ object SparkEntry {
         |  min(score) AS min_score, max(score) AS max_score,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1""".stripMargin,
+    // training shuffle: the oracle replays both content-addressed draws
+    // (shard = high md5 8 bytes, order = low 8 bytes) and the per-shard
+    // permutation; order_sum = Σ pos·doc_id pins every position
+    "x_corpus_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        |      AS UBIGINT) % 8 AS INTEGER) AS shard,
+        |    CAST(concat('0x',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 17, 16))
+        |      AS UBIGINT) % 1099511627776 AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id)
+        |      AS pos
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  sum(pos * doc_id) AS order_sum
+        |FROM r GROUP BY shard""".stripMargin,
     // α=0.5 temperature: sqrt and division are correctly-rounded IEEE ops,
     // so the integer thresholds agree bit-for-bit across engines
     "x_corpus_mixture" ->
@@ -1830,6 +1858,50 @@ object SparkEntry {
         |  (SELECT simq_e6 FROM cand WHERE cand.vec_id = sel.doc_id)
         |    AS simq_e6
         |FROM sel""".stripMargin,
+    // passage-level MaxP retrieval: the x_text_chunk geometry (32/24)
+    // re-derived over tokens, the x_rag_bm25 integer formula with stats
+    // over CHUNKS, then max-per-doc (min chunk_id on ties); same
+    // non-negative floor/truncate coincidence as x_rag_bm25
+    "x_rag_passage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(0, (len(t) - 9) // 24) + 1))
+        |      AS chunk_id
+        |  FROM toks),
+        |cht AS (
+        |  SELECT doc_id, chunk_id,
+        |    t[chunk_id*24+1 : chunk_id*24+32] AS ct,
+        |    CAST(least(32, len(t) - chunk_id * 24) AS BIGINT) AS dl
+        |  FROM ch),
+        |stats AS (SELECT count(*) AS n_ch, sum(dl) AS t_total FROM cht),
+        |tf AS (
+        |  SELECT doc_id, chunk_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, chunk_id, unnest(ct) AS term FROM cht)
+        |  WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, chunk_id,
+        |    ((2 * (n_ch - df) + 1) * 1000000 // (2 * df + 1))
+        |      * (44 * tf * t_total * 1000000
+        |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_ch))
+        |      // 1000000 AS s
+        |  FROM tf JOIN dft USING (term) JOIN cht USING (doc_id, chunk_id)
+        |  CROSS JOIN stats),
+        |pc AS (
+        |  SELECT doc_id, chunk_id, sum(s) AS chunk_e6
+        |  FROM s GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, chunk_id AS best_chunk_id, chunk_e6 AS passage_e6,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_chunks_hit,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY chunk_e6 DESC, chunk_id ASC) AS rn
+        |  FROM pc)
+        |SELECT doc_id, best_chunk_id, passage_e6, n_chunks_hit
+        |FROM best WHERE rn = 1
+        |ORDER BY passage_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
     // whose running token sum fits the budget; integer sums keep it exact
     "x_corpus_budget" ->

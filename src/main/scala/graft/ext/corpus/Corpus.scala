@@ -518,6 +518,45 @@ object Corpus {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** Deterministic training-order shuffle — the reproducible global
+    * permutation a pretraining run needs: data order affects the model,
+    * so the order must be derivable from (content, nothing else), stable
+    * under retries, repartitioning, and engine choice — which `rand()`
+    * and `df.orderBy(rand())` are not. Two INDEPENDENT content-addressed
+    * draws from one md5 per document: the HIGH 8 bytes assign the shard
+    * (`% nShards`), the LOW 8 bytes (mod `grain`, ties broken by doc_id)
+    * order documents WITHIN the shard — so shard membership and
+    * within-shard position are uncorrelated bits of the same hash, and
+    * the full permutation is fixed by doc_ids alone.
+    *
+    * Scale shape: this is [[curriculumShards]]'s opposite number (random
+    * order, not score order) and deliberately avoids any global sort —
+    * production materializes shards with
+    * `repartition(nShards, shard).sortWithinPartitions(draw, doc_id)` +
+    * a partitioned write: one external-sort task per shard, nShards the
+    * parallelism dial. The report's per-shard `row_number` window runs
+    * the IDENTICAL one-task-per-shard ordered pass, so the gate measures
+    * the real write shape. `order_sum` = Σ pos·doc_id pins the exact
+    * permutation (any swap of two positions changes it); it aggregates
+    * in DECIMAL(38,0) because pos·doc_id exceeds Long once shards reach
+    * ~1e9 docs with ~1e10 ids — matching DuckDB's automatic HUGEINT sum.
+    */
+  def trainingShuffle(spark: SparkSession, dir: String, nShards: Int = 8,
+      grain: Long = 1L << 40): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val d = docs(spark, dir).select(col("doc_id"))
+      .withColumn("shard",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 16), " +
+          s"16, 10) AS DECIMAL(20,0)) % $nShards").cast("int"))
+      .withColumn("draw", md5Draw(grain).cast("long"))
+    d.withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * doc_id")).as("order_sum"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rate every document by
     * how much its hashed n-gram feature distribution looks like a target

@@ -550,6 +550,68 @@ object TextAnalysis {
   def bm25Report(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(spark, dir)
 
+  /** Passage-level retrieval with MaxP document aggregation (Dai &
+    * Callan 2019, "Deeper Text Understanding for IR with Contextual
+    * Neural Language Modeling"): long documents dilute whole-document
+    * BM25 (one on-topic passage drowns in off-topic length), so the
+    * retrieval units are the [[chunkTokens]] passages — each chunk
+    * scored with the SAME integer-rational BM25-like formula as
+    * [[bm25TopK]], with the collection stats (N, total length, df)
+    * computed over CHUNKS — and a document scores as its BEST chunk
+    * (MaxP). Ties on the max pick the smallest chunk_id; `n_chunks_hit`
+    * counts the doc's chunks matching ≥ 1 query term. The arithmetic
+    * portability contract (non-negative floor/truncate coincidence,
+    * Long overflow bound ~1e10 corpus tokens) is [[bm25TopK]]'s,
+    * unchanged.
+    *
+    * Scale shape: chunking is a narrow per-row explode riding the scan;
+    * the tf explode is FILTERED to query terms before aggregating, so
+    * data-sized shuffles key on (doc_id, chunk_id) and carry only
+    * matching-term rows; df/stats broadcast; MaxP is one more partial
+    * aggregate over the per-chunk scores (chunks of a doc need no
+    * co-location beyond the hash shuffle); top-k plans as
+    * TakeOrderedAndProject.
+    */
+  def passageTopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "passageTopK needs at least one query term")
+    val Scale = 1000000L
+    val terms = queryTerms.distinct
+    val ch = chunkTokens(docs(spark, dir).filter(col("text").isNotNull))
+      .select(col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens").as("dl"), tokens(col("chunk_text")).as("t"))
+    val stats = ch.agg(count(lit(1)).as("n_ch"), sum(col("dl")).as("t_total"))
+    val tf = ch
+      .select(col("doc_id"), col("chunk_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(ch.select(col("doc_id"), col("chunk_id"), col("dl")),
+        Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"(2 * (n_ch - df) + 1) * $Scale DIV (2 * df + 1)")
+          .as("idf_e6"),
+        expr(s"""44 * tf * t_total * $Scale
+                | DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_ch)"""
+          .stripMargin).as("tfc_e6"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"idf_e6 * tfc_e6 DIV $Scale").as("s"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("s")).as("chunk_e6"))
+      // MaxP: max (score, -chunk_id) struct = best score, min chunk on tie
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("chunk_e6"), (-col("chunk_id")).as("nc"))).as("m"),
+        count(lit(1)).as("n_chunks_hit"))
+      .select(col("doc_id"), (-col("m.nc")).as("best_chunk_id"),
+        col("m.chunk_e6").as("passage_e6"), col("n_chunks_hit"))
+      .orderBy(col("passage_e6").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion — the standard way a RAG
     * stack combines its lexical ([[bm25TopK]]) and dense
     * ([[graft.ext.sim.Similarity.bruteForceTopK]]) retrievers: each list

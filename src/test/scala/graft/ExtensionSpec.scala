@@ -1055,6 +1055,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("passage MaxP: hand-computed chunk scores, tie to min chunk, topk") {
+    val scratch = graft.util.Scratch.dir("graft_passage").toString
+    import spark.implicits._
+    // three 56-token docs -> two 32-token chunks each (stride 24):
+    // chunk0 = tokens [0,32), chunk1 = [24,56). n_ch = 6, t_total = 192,
+    // every dl = 32. Query "red": doc1 4 reds at [0,4) (chunk0 only);
+    // doc2 2 reds at [30,32) (INSIDE BOTH chunks -> tf 2 twice, a tie);
+    // doc3 6 reds at [50,56) (chunk1 only). df = 4 hit chunks.
+    // idf_e6 = 5e6 div 9 = 555555
+    // tfc_e6(tf) = 8448e6·tf div (3840·tf + 4608):
+    //   tf=4 -> 1692307; tf=2 -> 1375000; tf=6 -> 1833333
+    // s = idf·tfc div 1e6: tf4 -> 940169, tf2 -> 763888, tf6 -> 1018517
+    def doc(reds: Set[Int]) =
+      (0 until 56).map(i => if (reds(i)) "red" else "x").mkString(" ")
+    Seq((1L, doc((0 until 4).toSet)), (2L, doc(Set(30, 31))),
+      (3L, doc((50 until 56).toSet)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextAnalysis
+      .passageTopK(spark, scratch, queryTerms = Seq("red"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toList == List(
+      (3L, 1L, 1018517L, 1L),   // best chunk is the SECOND passage
+      (1L, 0L, 940169L, 1L),
+      (2L, 0L, 763888L, 2L)),   // score tie across chunks -> chunk 0
+      out.toList.toString)
+    // MaxP vs whole-doc: doc3's reds sit in one passage; whole-doc BM25
+    // at dl 56 ranks doc1 (tf 4) below doc3 (tf 6) too, but MaxP's margin
+    // comes from chunk-local dl 32 — assert the concentrated passage wins
+    // over the diluted one with MORE total matches elsewhere absent
+    assert(out.head._1 == 3L && out.head._2 == 1L)
+    // corpus: runs the gate shape end to end; top-k is a bounded heap
+    val top = TextAnalysis.passageTopK(spark, "/root/testdata/sf0.001")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    val rows = top.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) >= 1L))
+    // best_chunk_id is a real chunk of the doc (within its chunk range)
+    val nChunks = TextAnalysis
+      .chunkReport(spark, "/root/testdata/sf0.001")
+      .groupBy(col("doc_id")).agg(max(col("chunk_id")).as("max_cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) <= nChunks(r.getLong(0))))
+  }
+
   test("RRF fusion: hand-computed ranks fuse both legs, single-leg docs kept") {
     val scratch = graft.util.Scratch.dir("graft_rrf").toString
     import spark.implicits._

@@ -84,7 +84,7 @@ class ScaleSpec extends SparkSpec {
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
       "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
       "x_corpus_mixture", "x_corpus_rebalance", "x_corpus_curriculum",
-      "x_corpus_overlap", "x_embed_stats",
+      "x_corpus_shuffle", "x_corpus_overlap", "x_embed_stats",
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
@@ -113,7 +113,7 @@ class ScaleSpec extends SparkSpec {
       "p_bloom_prune",
       "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq", "x_ann_topk",
       "x_ann_filtered", "x_index_postings", "x_index_lookup", "x_rag_bm25",
-      "x_rag_fuse", "x_rag_mmr",
+      "x_rag_fuse", "x_rag_mmr", "x_rag_passage",
       "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
       "x_dedup_incremental", "x_dedup_keepbest", "x_decontaminate",
       "x_decontaminate_bloom", "x_split_leakage_safe", "x_corpus_prepare",
