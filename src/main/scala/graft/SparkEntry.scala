@@ -101,6 +101,9 @@ object SparkEntry {
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
+    // count-min sketch point frequencies — the grid AND every estimate
+    // rebuilt by the oracle (portable md5-byte row hashes)
+    "q27_cms_freq"       -> ((s, d) => Analytics.q27CmsFreq(s, d)),
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
@@ -472,6 +475,28 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
         |  FROM c) t
         |WHERE rank <= 10""".stripMargin,
+    // count-min sketch: the oracle REBUILDS the depth×width grid from the
+    // same md5-byte row hashes (hex pair 17+2r = byte r of md5-low-64,
+    // what the aggregate hashes) and replays every min-over-rows estimate
+    // — sketch contents compared, not a tolerance contract
+    "q27_cms_freq" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(user_id AS VARCHAR) AS ks, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cell AS (
+        |  SELECT r, CAST(concat('0x', substring(md5(ks), 17 + 2*r, 2))
+        |      AS INTEGER) % 256 AS idx, sum(n) AS c
+        |  FROM k CROSS JOIN rs GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT k.user_id, k.n, c.c
+        |  FROM k CROSS JOIN rs
+        |  JOIN cell c ON c.r = rs.r
+        |   AND c.idx = CAST(concat('0x', substring(md5(k.ks),
+        |     17 + 2*rs.r, 2)) AS INTEGER) % 256)
+        |SELECT user_id AS station_id, any_value(n) AS exact_n,
+        |  CAST(min(c) AS BIGINT) AS cms_est
+        |FROM probe GROUP BY 1""".stripMargin,
     // bloom prefilter + exact semi join must equal the plain EXISTS join
     "p_bloom_prune" ->
       """SELECT event_type, count(*) AS n,

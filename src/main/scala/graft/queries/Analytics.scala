@@ -460,6 +460,39 @@ object Analytics {
         (col("pos") + 1).cast(IntegerType).as("rank"),
         col("col.item").as("station_id"), col("col.count").as("n"))
 
+  /** Count-min sketch point-frequency estimates
+    * ([[graft.functions.CmsSketch]]) probed fully declaratively: one
+    * pass builds the depth×width counter grid (O(1) state, map-side
+    * partials), the 1-row grid broadcasts, and each key's estimate is
+    * `least` over `element_at(grid, r·width + h_r(key) + 1)` — no
+    * driver collect, no UDF. Row hashes are hex-pair slices of the
+    * portable MD5 (byte `r` of the low 8 bytes — exactly what the
+    * aggregate's [[graft.functions.SimHash64.md5Low64]] sees), so the
+    * DuckDB oracle rebuilds the ENTIRE grid and every estimate
+    * integer-for-integer: the gate compares sketch contents, not a
+    * tolerance contract. Probing every distinct key (the exact GROUP BY
+    * is the yardstick column) makes the CMS never-undercount guarantee
+    * part of the hashed result.
+    */
+  def q27CmsFreq(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"),
+      col("user_id").cast("string").as("k"))
+    val grid = ev.agg(
+      graft.functions.CmsSketch.cms_sketch(col("k"), depth, width)
+        .as("grid"))
+    val est = (0 until depth).map { r =>
+      element_at(col("grid"),
+        (lit(r * width) +
+          expr(s"CAST(conv(substring(md5(k), ${17 + 2 * r}, 2), 16, 10) " +
+            s"AS INT) % $width") + lit(1)).cast("int"))
+    }.reduce(least(_, _))
+    ev.groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(grid))
+      .select(col("user_id").as("station_id"), col("exact_n"),
+        est.as("cms_est"))
+  }
+
   /** Analytic window-function suite over each station's ordered timeline:
     * lag/lead navigation, ntile quartile, percent_rank/cume_dist
     * distribution ranks, and a 4-row rolling min/max. One keyed window —

@@ -1536,3 +1536,74 @@ class FreqItemsSpec extends SparkSpec {
     assert(plan.contains("partial_freq_items_sketch"), plan.take(800))
   }
 }
+
+class CmsSketchSpec extends SparkSpec {
+  import graft.functions.CmsSketch.cms_sketch
+
+  test("grid row sums equal the input count; merge is repartition-stable") {
+    import spark.implicits._
+    val depth = 4; val width = 256
+    val vals = (1 to 3000).map(i => s"k${i % 97}")
+    val one = vals.toDF("v")
+      .agg(cms_sketch(col("v"), depth, width)).collect().head.getSeq[Long](0)
+    // every row of the grid counts every input exactly once
+    (0 until depth).foreach { r =>
+      assert(one.slice(r * width, (r + 1) * width).sum == 3000L, s"row $r")
+    }
+    // partials merge associatively: any partitioning, same grid
+    val seven = vals.toDF("v").repartition(7)
+      .agg(cms_sketch(col("v"), depth, width)).collect().head.getSeq[Long](0)
+    assert(one == seven)
+  }
+
+  test("grid cells match a reference build; estimates never undercount") {
+    import spark.implicits._
+    val depth = 4; val width = 256
+    val vals = (1 to 2000).map(i => s"x${i % 331}")
+    // reference grid from the same md5-byte row hashes, built in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = new Array[Long](depth * width)
+    vals.foreach { v =>
+      val h = graft.functions.SimHash64.md5Low64(md, v.getBytes("UTF-8"))
+      (0 until depth).foreach { r =>
+        ref(r * width + (((h >>> (8 * r)) & 0xffL) % width).toInt) += 1L }
+    }
+    val got = vals.toDF("v")
+      .agg(cms_sketch(col("v"), depth, width)).collect().head.getSeq[Long](0)
+    assert(got == ref.toSeq)
+    // point estimates: min over rows >= true count for every key
+    vals.distinct.foreach { v =>
+      val h = graft.functions.SimHash64.md5Low64(md, v.getBytes("UTF-8"))
+      val est = (0 until depth).map(r =>
+        ref(r * width + (((h >>> (8 * r)) & 0xffL) % width).toInt)).min
+      assert(est >= vals.count(_ == v).toLong, v)
+    }
+  }
+
+  test("q27 gate: estimates bound exact counts; aggregate plans partials") {
+    val out = graft.queries.Analytics
+      .q27CmsFreq(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_cms_sketch"), plan.take(800))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted station ${r.get(0)}") }
+  }
+
+  test("rejects bad geometry and non-string input") {
+    import spark.implicits._
+    val df = Seq("a").toDF("v")
+    intercept[IllegalArgumentException] {
+      df.agg(cms_sketch(col("v"), 9, 256)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      df.agg(cms_sketch(col("v"), 4, 100)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("v").agg(cms_sketch(col("v"), 4, 256)).collect()
+    }
+  }
+}

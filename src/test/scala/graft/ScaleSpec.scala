@@ -70,7 +70,7 @@ class ScaleSpec extends SparkSpec {
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
       "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
-      "q25_freq_items", "q26_window_suite",
+      "q25_freq_items", "q26_window_suite", "q27_cms_freq",
       "p_json_parse", "p_filter_alert", "p_normalize", "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
