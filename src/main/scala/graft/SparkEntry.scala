@@ -165,6 +165,9 @@ object SparkEntry {
     // -> exact over the qualifying subset
     "x_ann_filtered"     -> ((s, d) => Similarity.filteredAnnReport(s, d)),
     "x_ann_lsh_append"   -> ((s, d) => Similarity.lshIndexAppendReport(s, d)),
+    // append-fragmented index compacted to one file per bucket (the
+    // lake compactor on the index layout); probes must see no difference
+    "x_ann_compact"      -> ((s, d) => Similarity.lshIndexCompactReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_ann_ivf_append"   -> ((s, d) => Similarity.ivfIndexAppendReport(s, d)),
     "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
@@ -1369,6 +1372,9 @@ object SparkEntry {
     // index built from even ids + appended odd-id generation, full-probe
     // query over the union == brute force over the whole corpus
     "x_ann_lsh_append" -> annTopkOracle,
+    // four interleaved append generations then Archive.compact on the
+    // bucket layout: the compacted index answers identically
+    "x_ann_compact" -> annTopkOracle,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,

@@ -318,6 +318,33 @@ object Similarity {
       excludeVecId = Some(0L))
   }
 
+  /** Serving-lifecycle gate: append generations accrete small files in
+    * each `bucket=` directory, and the answer is the LAKE's compactor —
+    * [[graft.lake.Archive.compact]] with the index's partition column —
+    * rewriting every bucket to one file behind an atomic rename-aside
+    * swap. Two interleaved generations land here (every bucket holds a
+    * sliver of each — the spec's 4-generation variant pins the same
+    * property harder at sf0.001), then the compacted index must answer a
+    * full-probe query identically to brute force over the corpus —
+    * compaction is invisible to probes, and partition pruning works
+    * unchanged on the rewritten layout. The build → append → compact →
+    * query cycle is the whole maintenance story of a 100 TB serving
+    * index: none of its steps rewrite resident data except compact, and
+    * compact touches each bucket exactly once.
+    */
+  def lshIndexCompactReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_lsh_index_cmp").toString
+    val e = emb(spark, dir)
+    (0L until 2L).foreach(g =>
+      appendLshIndex(e.filter(pmod(col("vec_id"), lit(2L)) === g),
+        indexPath, nBits = 6))
+    graft.lake.Archive.compact(spark, indexPath, Seq("bucket"))
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
+      excludeVecId = Some(0L))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
     * recall: one side of the join explodes each vector's bucket into the

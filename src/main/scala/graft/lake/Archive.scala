@@ -79,8 +79,14 @@ object Archive {
     * read on missing log entries). Compacting such a lake needs a
     * log-aware rewrite (a table format like Delta/Iceberg, or read →
     * write to a fresh path → repoint readers).
+    *
+    * `partitionCols` defaults to the weather lake's layout; any hive
+    * layout compacts the same way — e.g. the ANN index's `bucket=`
+    * directories after [[graft.ext.sim.Similarity.appendLshIndex]]
+    * generations accrete (gated by `x_ann_compact`).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = PartitionCols): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
     // Path-based FileSystem resolution: `new URI(path)` throws on spaces
     // and other URI-illegal characters that are perfectly legal in paths
@@ -94,10 +100,10 @@ object Archive {
     val df = spark.read.parquet(path)
     // hash-repartition on the partition keys: every hive partition's rows
     // land in one task → one output file per partition
-    df.repartition(PartitionCols.map(df.col): _*)
+    df.repartition(partitionCols.map(df.col): _*)
       .write
       .option("compression", "snappy")
-      .partitionBy(PartitionCols: _*)
+      .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(tmp)
     val src = new org.apache.hadoop.fs.Path(tmp)

@@ -106,6 +106,37 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == rowsBefore)
   }
 
+  test("compact on the ANN index layout: one file per bucket, same answers") {
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = graft.util.Scratch.dir("graft_cmp_spec").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    (0L until 4L).foreach(g =>
+      graft.ext.sim.Similarity.appendLshIndex(
+        e.filter(pmod(col("vec_id"), lit(4L)) === g), indexPath, nBits = 6))
+    def filesPerBucket(): Map[String, Int] =
+      new java.io.File(indexPath).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // interleaved generations fragment: some bucket holds several files
+    assert(filesPerBucket().values.max >= 2)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    def answer() = graft.ext.sim.Similarity
+      .lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
+        excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val before = answer()
+    Archive.compact(spark, indexPath, Seq("bucket"))
+    // every bucket rewritten to exactly one file; probes see no change
+    assert(filesPerBucket().values.forall(_ == 1), filesPerBucket().toString)
+    assert(answer() == before)
+    // pruning survives the rewrite (bucket stays the partition column)
+    val plan = spark.read.parquet(indexPath)
+      .filter(col("bucket") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
   test("streaming read of the lake feeds the index sink (SURVEY 3.2 path)") {
     val dir = tmpDir("lake2") + "/lake"
     val archive = Normalize.toArchive(

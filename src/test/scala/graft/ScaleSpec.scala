@@ -106,8 +106,8 @@ class ScaleSpec extends SparkSpec {
       "p_csv_roundtrip", "p_orc_roundtrip", "p_compact_files",
       "p_bucketed_join", "p_schema_evolve", "p_salted_stats",
       "x_jsonl_roundtrip", "x_sql_surface",
-      "x_ann_lsh_indexed", "x_ann_lsh_append", "x_ann_ivf_indexed",
-      "x_ann_ivf_append", "x_ann_ivfpq_indexed",
+      "x_ann_lsh_indexed", "x_ann_lsh_append", "x_ann_compact",
+      "x_ann_ivf_indexed", "x_ann_ivf_append", "x_ann_ivfpq_indexed",
       // driver-side collect in construction (index build / query vector /
       // bloom bytes)
       "p_bloom_prune",
