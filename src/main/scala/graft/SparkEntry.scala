@@ -214,6 +214,8 @@ object SparkEntry {
     "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // passage-level retrieval: chunk-granular BM25 + MaxP doc aggregation
     "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
+    // pseudo-relevance-feedback expansion terms from the BM25 top-10
+    "x_rag_prf"          -> ((s, d) => TextAnalysis.prfExpand(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -1933,6 +1935,19 @@ object SparkEntry {
         |SELECT doc_id, best_chunk_id, passage_e6, n_chunks_hit
         |FROM best WHERE rn = 1
         |ORDER BY passage_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // PRF expansion: the shared BM25 CTE chain picks the top-10 feedback
+    // docs, then terms rank by total feedback tf (query terms excluded)
+    "x_rag_prf" -> s"""$bm25Ctes,
+        |fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, sum(s) AS b FROM s GROUP BY 1
+        |    ORDER BY b DESC, doc_id ASC LIMIT 10)),
+        |ex AS (
+        |  SELECT d.doc_id, unnest(d.t) AS term
+        |  FROM d JOIN fb USING (doc_id))
+        |SELECT term, count(*) AS fb_tf, count(DISTINCT doc_id) AS fb_docs
+        |FROM ex WHERE term NOT IN ('spark', 'vector', 'dup')
+        |GROUP BY term ORDER BY fb_tf DESC, term ASC LIMIT 10""".stripMargin,
     // budget trim: prefix of the per-source (n_chars DESC, doc_id) order
     // whose running token sum fits the budget; integer sums keep it exact
     "x_corpus_budget" ->

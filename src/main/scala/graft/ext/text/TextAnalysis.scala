@@ -664,4 +664,36 @@ object TextAnalysis {
     */
   def rrfReport(spark: SparkSession, dir: String): DataFrame =
     rrfFuse(spark, dir)
+
+  /** Pseudo-relevance-feedback query expansion (RM1-style / Rocchio's
+    * positive term: Lavrenko & Croft 2001, Rocchio 1971): assume the
+    * first-pass BM25 top-`kFb` documents are relevant, rank the terms
+    * they contain (minus the query's own terms) by total feedback
+    * frequency, and emit the top `kTerms` as expansion candidates with
+    * their evidence — `fb_tf` (occurrences across feedback docs) and
+    * `fb_docs` (how many feedback docs contain the term). Ties break
+    * lexicographically. Counts, not probability ratios, keep the gate
+    * integer-exact; a production RM3 interpolation reweights these same
+    * counts.
+    *
+    * Scale shape: the first pass is [[bm25TopK]]'s plan; the feedback
+    * join touches `kFb` doc_ids (broadcast by size), so the expansion
+    * explode runs over kFb documents — constant work after the
+    * retrieval, like [[rrfFuse]]'s O(k) fusion and
+    * [[graft.ext.sim.Similarity.mmrRerank]]'s k² re-rank. Top-terms is
+    * TakeOrderedAndProject.
+    */
+  def prfExpand(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      kFb: Int = 10, kTerms: Int = 10): DataFrame = {
+    val fb = bm25TopK(spark, dir, queryTerms, kFb).select(col("doc_id"))
+    docs(spark, dir).join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("fb_tf"),
+        countDistinct(col("doc_id")).as("fb_docs"))
+      .orderBy(col("fb_tf").desc, col("term").asc)
+      .limit(kTerms)
+  }
 }

@@ -1101,6 +1101,34 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) <= nChunks(r.getLong(0))))
   }
 
+  test("PRF expansion: feedback terms from the bm25 top docs, query excluded") {
+    val scratch = graft.util.Scratch.dir("graft_prf").toString
+    import spark.implicits._
+    // bm25 fixture ranking for query (red, blue): doc1 1425000 >
+    // doc3 879999 > doc2 694736 (see the bm25 spec arithmetic); kFb=2
+    // feeds back docs {1, 3}, whose non-query vocabulary is exactly
+    // {green} (doc3, once) — doc2's "green" must NOT count
+    Seq((1L, "red red blue"), (2L, "red green"),
+      (3L, "blue blue blue green"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextAnalysis.prfExpand(spark, scratch,
+        queryTerms = Seq("red", "blue"), kFb = 2, kTerms = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List(("green", 1L, 1L)), out.toList.toString)
+    // corpus: expansion never re-proposes query terms; evidence is sane
+    val top = TextAnalysis.prfExpand(spark, "/root/testdata/sf0.001")
+    val rows = top.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val q = Set("spark", "vector", "dup")
+    rows.foreach { case (t, tf, d) =>
+      assert(!q(t), s"query term $t re-proposed")
+      assert(tf >= d && d >= 1 && d <= 10, s"evidence broken for $t") }
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("RRF fusion: hand-computed ranks fuse both legs, single-leg docs kept") {
     val scratch = graft.util.Scratch.dir("graft_rrf").toString
     import spark.implicits._
