@@ -216,6 +216,9 @@ object SparkEntry {
     "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
     // pseudo-relevance-feedback expansion terms from the BM25 top-10
     "x_rag_prf"          -> ((s, d) => TextAnalysis.prfExpand(s, d)),
+    // FastSS deletion-neighborhood fuzzy join (record linkage, lev <= 1)
+    "x_fuzzy_join"       -> ((s, d) =>
+      graft.ext.link.FuzzyJoin.customerNameDups(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -1935,6 +1938,16 @@ object SparkEntry {
         |SELECT doc_id, best_chunk_id, passage_e6, n_chunks_hit
         |FROM best WHERE rn = 1
         |ORDER BY passage_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // fuzzy join: the oracle is the exhaustive quadratic form over the
+    // same 1-in-5 key slice — the FastSS candidates must lose nothing
+    "x_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL)
+        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // PRF expansion: the shared BM25 CTE chain picks the top-10 feedback
     // docs, then terms rank by total feedback tf (query terms excluded)
     "x_rag_prf" -> s"""$bm25Ctes,

@@ -1565,6 +1565,44 @@ class FreqItemsSpec extends SparkSpec {
   }
 }
 
+class FuzzyJoinSpec extends SparkSpec {
+  import graft.ext.link.FuzzyJoin
+
+  test("deletion neighborhood catches sub/insert/delete at distance 1") {
+    import spark.implicits._
+    // 1-"abc": sub->2-"abd", insert->3-"abcd", delete->4-"ab";
+    // 2-"abd" vs 3-"abcd" (insert c) and 4-"ab" (delete d) are also 1;
+    // 3 vs 4 is distance 2; 5-"xyz" matches nothing
+    val recs = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "ab"),
+      (5L, "xyz"), (6L, null.asInstanceOf[String])).toDF("id", "name")
+    val got = FuzzyJoin.nearKeyPairs(recs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1),
+      (2L, 3L, 1), (2L, 4L, 1)), got.toString)
+  }
+
+  test("FastSS candidates lose nothing vs the exhaustive join") {
+    val c = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .filter(pmod(col("c_custkey"), lit(5L)) === 0L)
+      .select(col("c_custkey"), col("c_name"))
+    val naive = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = FuzzyJoin.customerNameDups(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"FastSS ${fast.size} vs naive ${naive.size}")
+    assert(naive.nonEmpty, "fixture has no distance-1 neighbors to prove")
+    // linear candidate shape: no CartesianProduct in the FastSS plan
+    val plan = FuzzyJoin.customerNameDups(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+}
+
 class CmsSketchSpec extends SparkSpec {
   import graft.functions.CmsSketch.cms_sketch
 

@@ -88,7 +88,7 @@ class ScaleSpec extends SparkSpec {
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
-      "x_multimodal_phash", "x_multimodal_afp")
+      "x_multimodal_phash", "x_multimodal_afp", "x_fuzzy_join")
     // completeness gate: every registered query must be EXPLICITLY either
     // swept or excluded-with-a-reason — a new gate that is neither fails
     // here, so the sweep can never silently drift from the registry (it
