@@ -71,9 +71,44 @@ object FuzzyJoin {
     * key slice (the all-pairs ORACLE is the quadratic side; the slice is
     * its cost dial — the FastSS path itself is linear in the corpus).
     */
-  def customerNameDups(spark: SparkSession, dir: String): DataFrame =
+  def customerNameDups(spark: SparkSession, dir: String,
+      every: Long = 5L): DataFrame =
     nearKeyPairs(
       spark.read.parquet(s"$dir/customer.parquet")
-        .filter(pmod(col("c_custkey"), lit(5L)) === 0L),
+        .filter(pmod(col("c_custkey"), lit(every)) === 0L),
       "c_custkey", "c_name")
+
+  /** Entity resolution end to end: the fuzzy pairs are EDGES, and
+    * transitively linked records are one real-world entity — exactly the
+    * dedup-cluster problem, so the same distributed connected-components
+    * machinery ([[graft.ext.dedup.TextDedup.connectedComponents]], the
+    * iterative min-label/star rules — no driver-side graph) resolves
+    * them; the report pins each multi-record entity's exact membership
+    * (`entity_id` = min member key, `sum_keys` the membership checksum).
+    * Records with no near-duplicate form singleton entities and are not
+    * reported. Spec-proven, deliberately NOT a driver gate: over uniform
+    * serial names the digit-substitution graph percolates into one giant
+    * component, so the gate form would pay several CC rounds for a 1-row
+    * degenerate answer while [[graft.ext.dedup.TextDedup]]'s three
+    * cluster gates already oracle the CC machinery on richer graphs; the
+    * composition itself (edges complete at lev ≤ 1 + exact transitive
+    * closure) is pinned by `FuzzyJoinSpec`.
+    */
+  def customerEntities(spark: SparkSession, dir: String): DataFrame =
+    entities(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .filter(pmod(col("c_custkey"), lit(10L)) === 0L),
+      "c_custkey", "c_name")
+
+  /** [[nearKeyPairs]] edges resolved into multi-record entities via
+    * distributed connected components; see [[customerEntities]].
+    */
+  def entities(records: DataFrame, keyCol: String,
+      nameCol: String): DataFrame = {
+    val pairs = nearKeyPairs(records, keyCol, nameCol)
+      .select(col("a_key").as("d1"), col("b_key").as("d2"))
+    graft.ext.dedup.TextDedup.connectedComponents(pairs)
+      .groupBy(col("label").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_keys"))
+  }
 }

@@ -1601,6 +1601,18 @@ class FuzzyJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("entity resolution: transitive linking, singletons unreported") {
+    import spark.implicits._
+    // chain 1-"abc" ~ 2-"abd" ~ 3-"abdd" (1~3 is distance 2: entity only
+    // via transitivity); isolated pair 10-"pqr" ~ 11-"pqs"; singleton 20
+    val recs = Seq((1L, "abc"), (2L, "abd"), (3L, "abdd"),
+      (10L, "pqr"), (11L, "pqs"), (20L, "zzz")).toDF("id", "name")
+    val got = FuzzyJoin.entities(recs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 3L, 6L), (10L, 2L, 21L)), got.toString)
+  }
 }
 
 class CmsSketchSpec extends SparkSpec {
