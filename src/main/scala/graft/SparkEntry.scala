@@ -98,6 +98,8 @@ object SparkEntry {
     // shard/order draws; order_sum pins the exact global permutation
     "x_corpus_shuffle" -> ((s, d) =>
       graft.ext.corpus.Corpus.trainingShuffle(s, d)),
+    // regular-grid resample + forward fill through the as-of machinery
+    "p_resample_ffill"   -> ((s, d) => EventOps.resampleFfill(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -440,6 +442,33 @@ object SparkEntry {
         |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
         |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
         |  round(value, 2) AS value
+        |FROM j WHERE rn = 1""".stripMargin,
+    // resample+ffill: per (station, epoch-aligned 6h slot), the latest
+    // at-or-before event; pre-first-event slots surface with nulls
+    "p_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 21600)
+        |      AS BIGINT) AS s0,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP))) / 21600)
+        |      AS BIGINT) AS s1
+        |  FROM events),
+        |probes AS (
+        |  SELECT u.station_id,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + g.slot * 21600 * INTERVAL 1 SECOND AS slot_ts
+        |  FROM (SELECT DISTINCT user_id AS station_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(s0, s1 + 1)) AS slot FROM b) g),
+        |j AS (
+        |  SELECT p.station_id, p.slot_ts, e.event_id, e.value,
+        |    row_number() OVER (PARTITION BY p.station_id, p.slot_ts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC)
+        |      AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.station_id
+        |   AND CAST(e.ts AS TIMESTAMP) <= p.slot_ts)
+        |SELECT station_id,
+        |  strftime(slot_ts, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+        |  event_id AS s_no, round(value, 2) AS value
         |FROM j WHERE rn = 1""".stripMargin,
     // streaming watermarked dedup must emit each unique row exactly once
     // across replayed micro-batches; (user_id, event_id) is unique, so the

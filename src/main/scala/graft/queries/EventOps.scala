@@ -918,6 +918,47 @@ object EventOps {
         round(col("matched.value"), 2).as("value"))
   }
 
+  /** Regular-grid resampling with forward fill — the pandas
+    * `resample(...).ffill()` / time-series gap-fill step, as one
+    * distributed as-of join: probes are epoch-aligned `slotSeconds`
+    * boundaries spanning the corpus (every station carries the FULL
+    * global grid, so a station's pre-first-event slots surface as
+    * UNFILLED rows — null s_no/value — rather than silently missing),
+    * build is each station's own event timeline, and the fill is the
+    * latest at-or-before event (max-event_id tie-break) via
+    * [[graft.operators.AsOfJoin.asOf]] — the union+window shape: zero
+    * Join nodes, one shuffle, no per-probe scan. The slot grid is
+    * arithmetic on `floor(epoch / slotSeconds)`, so both engines derive
+    * identical naive-UTC boundaries. At 100 TB the grid is
+    * |stations| × |slots| narrow rows riding a broadcast of two slot
+    * indices — the corpus itself moves once, into the same single
+    * shuffle every as-of query pays.
+    */
+  def resampleFfill(spark: SparkSession, dir: String,
+      slotSeconds: Long = 21600L): DataFrame = {
+    require(slotSeconds > 0, s"slotSeconds must be positive: $slotSeconds")
+    val ev = events(spark, dir)
+    val bounds = ev.agg(
+      floor(unix_timestamp(min(col("ts"))) / slotSeconds).cast("long")
+        .as("s0"),
+      floor(unix_timestamp(max(col("ts"))) / slotSeconds).cast("long")
+        .as("s1"))
+    val probes = ev.select(col("user_id").as("station_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("station_id"),
+        explode(sequence(col("s0"), col("s1"))).as("slot"))
+      .select(col("station_id"),
+        timestamp_seconds(col("slot") * slotSeconds).as("slot_ts"))
+    val build = ev.select(col("user_id").as("station_id"), col("ts"),
+      col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(probes, build, Seq("station_id"),
+        "slot_ts", "ts", buildTieBreak = Seq("event_id"))
+      .select(col("station_id"),
+        date_format(col("slot_ts"), "yyyy-MM-dd HH:mm:ss").as("slot_ts"),
+        col("matched.event_id").as("s_no"),
+        round(col("matched.value"), 2).as("value"))
+  }
+
   /** S4/K1 decode-path gate — the closest executable approximation to the
     * Kafka ingest spine in an environment with no broker or connector jars
     * (COVERAGE S4): events are rendered as Kafka-SHAPED frames — binary

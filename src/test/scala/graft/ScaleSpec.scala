@@ -74,7 +74,7 @@ class ScaleSpec extends SparkSpec {
       "p_json_parse", "p_filter_alert", "p_normalize", "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
-      "p_asof_forward", "p_merge_upsert", "p_cdc_apply",
+      "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_resample_ffill",
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
@@ -348,6 +348,35 @@ class ScaleSpec extends SparkSpec {
       .toDF("k", "pt")
       .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
     (build, probe)
+  }
+
+  test("resample+ffill: global grid, forward fill, pre-first-event nulls") {
+    import org.apache.spark.sql.types._
+    val scratch = graft.util.Scratch.dir("graft_resample").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A: 01:00 v1, 13:30 v2; B: 00:30 v5 -> global 6h slots 00/06/12:00
+    val rows = Seq(
+      org.apache.spark.sql.Row(100L, t("2024-01-01 01:00:00"), 1L, 1.0),
+      org.apache.spark.sql.Row(101L, t("2024-01-01 13:30:00"), 1L, 2.0),
+      org.apache.spark.sql.Row(200L, t("2024-01-01 00:30:00"), 2L, 5.0))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    val out = graft.queries.EventOps.resampleFfill(spark, scratch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00", -1L, -1.0),  // before A's first event
+      (1L, "2024-01-01 06:00:00", 100L, 1.0),
+      (1L, "2024-01-01 12:00:00", 100L, 1.0),  // 13:30 is after the slot
+      (2L, "2024-01-01 00:00:00", -1L, -1.0),  // 00:30 is after 00:00
+      (2L, "2024-01-01 06:00:00", 200L, 5.0),
+      (2L, "2024-01-01 12:00:00", 200L, 5.0)), out.toString)
   }
 
   test("as-of join matches the per-probe latest row and plans join-free") {
