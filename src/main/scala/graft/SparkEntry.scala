@@ -100,6 +100,8 @@ object SparkEntry {
       graft.ext.corpus.Corpus.trainingShuffle(s, d)),
     // regular-grid resample + forward fill through the as-of machinery
     "p_resample_ffill"   -> ((s, d) => EventOps.resampleFfill(s, d)),
+    // OHLC downsampling bars: first/last via min_by/max_by partial aggs
+    "p_ohlc_bars"        -> ((s, d) => EventOps.ohlcBars(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -470,6 +472,30 @@ object SparkEntry {
         |  strftime(slot_ts, '%Y-%m-%d %H:%M:%S') AS slot_ts,
         |  event_id AS s_no, round(value, 2) AS value
         |FROM j WHERE rn = 1""".stripMargin,
+    // OHLC bars: first/last replayed as rn=1 over both orderings
+    "p_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id AS station_id,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+        |        * 21600 * INTERVAL 1 SECOND AS slot,
+        |    CAST(ts AS TIMESTAMP) AS ets, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT station_id, slot, value,
+        |    row_number() OVER (PARTITION BY station_id, slot
+        |      ORDER BY ets ASC, event_id ASC) AS rn_open,
+        |    row_number() OVER (PARTITION BY station_id, slot
+        |      ORDER BY ets DESC, event_id DESC) AS rn_close
+        |  FROM e)
+        |SELECT station_id,
+        |  strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+        |  round(min(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(min(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // streaming watermarked dedup must emit each unique row exactly once
     // across replayed micro-batches; (user_id, event_id) is unique, so the
     // oracle is the log itself

@@ -959,6 +959,39 @@ object EventOps {
         round(col("matched.value"), 2).as("value"))
   }
 
+  /** Downsampling to OHLC bars — [[resampleFfill]]'s aggregate twin
+    * (upsample fills gaps; downsample summarizes dense slots): per
+    * (station, epoch-aligned 6-hour slot), open = first reading, close =
+    * last, plus min/max/count. First/last are `min_by`/`max_by` on the
+    * (ts, event_id) order struct — partial-aggregate-friendly (no
+    * per-slot sort, no window), reduction-order-exact because extrema
+    * commute, with event_id breaking equal-ts ties deterministically.
+    * One hash aggregate: the classic time-series bar rollup at any
+    * scale.
+    */
+  def ohlcBars(spark: SparkSession, dir: String,
+      slotSeconds: Long = 21600L): DataFrame = {
+    require(slotSeconds > 0, s"slotSeconds must be positive: $slotSeconds")
+    events(spark, dir)
+      .select(col("user_id").as("station_id"),
+        timestamp_seconds(
+          floor(unix_timestamp(col("ts")) / slotSeconds).cast("long")
+            * slotSeconds).as("slot"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("station_id"), col("slot"))
+      .agg(
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("close"),
+        count(lit(1)).as("n"))
+      .select(col("station_id"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("slot_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** S4/K1 decode-path gate — the closest executable approximation to the
     * Kafka ingest spine in an environment with no broker or connector jars
     * (COVERAGE S4): events are rendered as Kafka-SHAPED frames — binary

@@ -75,6 +75,7 @@ class ScaleSpec extends SparkSpec {
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_resample_ffill",
+      "p_ohlc_bars",
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
@@ -377,6 +378,38 @@ class ScaleSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", -1L, -1.0),  // 00:30 is after 00:00
       (2L, "2024-01-01 06:00:00", 200L, 5.0),
       (2L, "2024-01-01 12:00:00", 200L, 5.0)), out.toString)
+  }
+
+  test("OHLC bars: first/last by (ts, event_id), partial-agg plan") {
+    import org.apache.spark.sql.types._
+    val scratch = graft.util.Scratch.dir("graft_ohlc").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // slot 00:00: open = 3.0 (earliest), close = 9.0 (equal-ts tie goes
+    // to the HIGHER event_id), high 9, low 1; slot 06:00: single event
+    val rows = Seq(
+      org.apache.spark.sql.Row(100L, t("2024-01-01 01:00:00"), 1L, 3.0),
+      org.apache.spark.sql.Row(101L, t("2024-01-01 02:00:00"), 1L, 1.0),
+      org.apache.spark.sql.Row(103L, t("2024-01-01 03:00:00"), 1L, 9.0),
+      org.apache.spark.sql.Row(102L, t("2024-01-01 03:00:00"), 1L, 7.0),
+      org.apache.spark.sql.Row(104L, t("2024-01-01 07:00:00"), 1L, 4.0))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    val out = graft.queries.EventOps.ohlcBars(spark, scratch)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getLong(6))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00", 3.0, 9.0, 1.0, 9.0, 4L),
+      (1L, "2024-01-01 06:00:00", 4.0, 4.0, 4.0, 4.0, 1L)), got.toString)
+    // one hash aggregate with map-side partials — no Window, no sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("partial"), plan.take(800))
   }
 
   test("as-of join matches the per-probe latest row and plans join-free") {
