@@ -41,7 +41,10 @@ object FuzzyJoin {
   private def deletionVariants(s: Column): Column =
     concat(array(s),
       transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, lit(999)))))
+        // suffix length = full string length: always >= the remainder, so
+        // no key length can truncate a variant (a fixed cap would silently
+        // break candidate completeness for keys longer than it)
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
 
   /** Pairs of records whose `name` strings are within Levenshtein
     * distance 1, as `(a_key, b_key, dist)` with `a_key < b_key`.

@@ -277,12 +277,38 @@ object Similarity {
     sharedIndexReport(spark, dir, labelEq = Some(3))
 
   private def sharedIndexReport(spark: SparkSession, dir: String,
-      labelEq: Option[Int]): DataFrame = {
-    val indexPath = sharedLshIndex(spark, dir, nBits = 6)
-    val qVec = emb(spark, dir).filter(col("vec_id") === 0L)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      labelEq: Option[Int]): DataFrame =
+    gateProbe(spark, sharedLshIndex(spark, dir, nBits = 6),
+      queryVec0(spark, dir), labelEq)
+
+  /** Gate probe configuration shared by every indexed-ANN gate (nBits=6
+    * full-probe exactness, vec 0 excluded) — one site to edit, so a gate
+    * can never drift from its brute-force oracle's configuration.
+    */
+  private def gateProbe(spark: SparkSession, indexPath: String,
+      qVec: Array[Float], labelEq: Option[Int] = None): DataFrame =
     lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
       excludeVecId = Some(0L), labelEq = labelEq)
+
+  /** Vec 0's embedding — the gates' query vector, one small driver-side
+    * array (the value any serving query arrives with).
+    */
+  private def queryVec0(spark: SparkSession, dir: String): Array[Float] =
+    emb(spark, dir).filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+
+  /** Fresh scratch index accreted from `generations` interleaved
+    * [[appendLshIndex]] writes (`vec_id mod generations`) — the shared
+    * scaffold of the append/compact maintenance gates.
+    */
+  private def appendedIndex(spark: SparkSession, dir: String,
+      generations: Long, prefix: String): String = {
+    val indexPath = graft.util.Scratch.dir(prefix).toString
+    val e = emb(spark, dir)
+    (0L until generations).foreach(g =>
+      appendLshIndex(e.filter(pmod(col("vec_id"), lit(generations)) === g),
+        indexPath, nBits = 6))
+    indexPath
   }
 
   /** Append a delta of vectors to an existing [[writeLshIndex]] index —
@@ -307,16 +333,9 @@ object Similarity {
     * the whole corpus — proving the appended generation is
     * indistinguishable from the resident one at probe time.
     */
-  def lshIndexAppendReport(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = graft.util.Scratch.dir("graft_lsh_index_inc").toString
-    val e = emb(spark, dir)
-    appendLshIndex(e.filter(col("vec_id") % 2 === 0), indexPath, nBits = 6)
-    appendLshIndex(e.filter(col("vec_id") % 2 =!= 0), indexPath, nBits = 6)
-    val qVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
-      excludeVecId = Some(0L))
-  }
+  def lshIndexAppendReport(spark: SparkSession, dir: String): DataFrame =
+    gateProbe(spark, appendedIndex(spark, dir, generations = 2L,
+      prefix = "graft_lsh_index_inc"), queryVec0(spark, dir))
 
   /** Serving-lifecycle gate: append generations accrete small files in
     * each `bucket=` directory, and the answer is the LAKE's compactor —
@@ -333,16 +352,10 @@ object Similarity {
     * compact touches each bucket exactly once.
     */
   def lshIndexCompactReport(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = graft.util.Scratch.dir("graft_lsh_index_cmp").toString
-    val e = emb(spark, dir)
-    (0L until 2L).foreach(g =>
-      appendLshIndex(e.filter(pmod(col("vec_id"), lit(2L)) === g),
-        indexPath, nBits = 6))
+    val indexPath = appendedIndex(spark, dir, generations = 2L,
+      prefix = "graft_lsh_index_cmp")
     graft.lake.Archive.compact(spark, indexPath, Seq("bucket"))
-    val qVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
-      excludeVecId = Some(0L))
+    gateProbe(spark, indexPath, queryVec0(spark, dir))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket

@@ -510,6 +510,20 @@ object TextAnalysis {
     * per-partition heap + driver merge of k·partitions rows, never a
     * global sort.
     */
+  /** The integer-rational BM25-like per-(unit, term) score — ONE site
+    * for the formula both [[bm25TopK]] (units = documents) and
+    * [[passageTopK]] (units = chunks) apply; the input frame must carry
+    * `tf`, `df`, `dl`, `n_docs` (collection unit count), `t_total`.
+    * Splitting or editing this expression in only one caller is exactly
+    * the drift the shared definition exists to prevent — keep every
+    * operand non-negative (see [[bm25TopK]]'s scaladoc for why).
+    */
+  private def bm25ScoreE6(Scale: Long): Column =
+    expr(s"""((2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1))
+            | * (44 * tf * t_total * $Scale
+            |    DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+            | DIV $Scale""".stripMargin)
+
   def bm25TopK(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
       k: Int = 20): DataFrame = {
@@ -529,13 +543,7 @@ object TextAnalysis {
     tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        expr(s"""(2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1)""")
-          .as("idf_e6"),
-        expr(s"""44 * tf * t_total * $Scale
-                | DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"""
-          .stripMargin).as("tfc_e6"))
-      .select(col("doc_id"), expr(s"idf_e6 * tfc_e6 DIV $Scale").as("s"))
+      .select(col("doc_id"), bm25ScoreE6(Scale).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).as("bm25_e6"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25_e6").desc, col("doc_id").asc)
@@ -581,7 +589,7 @@ object TextAnalysis {
     val ch = chunkTokens(docs(spark, dir).filter(col("text").isNotNull))
       .select(col("doc_id"), col("chunk_id"),
         col("n_chunk_tokens").as("dl"), tokens(col("chunk_text")).as("t"))
-    val stats = ch.agg(count(lit(1)).as("n_ch"), sum(col("dl")).as("t_total"))
+    val stats = ch.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
     val tf = ch
       .select(col("doc_id"), col("chunk_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -592,14 +600,7 @@ object TextAnalysis {
       .join(ch.select(col("doc_id"), col("chunk_id"), col("dl")),
         Seq("doc_id", "chunk_id"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("chunk_id"),
-        expr(s"(2 * (n_ch - df) + 1) * $Scale DIV (2 * df + 1)")
-          .as("idf_e6"),
-        expr(s"""44 * tf * t_total * $Scale
-                | DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_ch)"""
-          .stripMargin).as("tfc_e6"))
-      .select(col("doc_id"), col("chunk_id"),
-        expr(s"idf_e6 * tfc_e6 DIV $Scale").as("s"))
+      .select(col("doc_id"), col("chunk_id"), bm25ScoreE6(Scale).as("s"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(sum(col("s")).as("chunk_e6"))
       // MaxP: max (score, -chunk_id) struct = best score, min chunk on tie

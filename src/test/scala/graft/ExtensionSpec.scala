@@ -1602,6 +1602,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("long keys: variants are never truncated (1200-char insert pair)") {
+    import spark.implicits._
+    // regression: a fixed suffix cap (999) silently truncated deletion
+    // variants of long keys, losing genuine distance-1 pairs — an
+    // insertion near the FRONT of a 1200-char string only matches via
+    // the full-length deletion variant
+    val base = "ab" + ("x" * 1198)
+    val inserted = "a" + "Q" + base.substring(1) // insert at position 2
+    val recs = Seq((1L, base), (2L, inserted)).toDF("id", "name")
+    val got = FuzzyJoin.nearKeyPairs(recs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toList == List((1L, 2L, 1)), got.toList.toString)
+  }
+
   test("entity resolution: transitive linking, singletons unreported") {
     import spark.implicits._
     // chain 1-"abc" ~ 2-"abd" ~ 3-"abdd" (1~3 is distance 2: entity only

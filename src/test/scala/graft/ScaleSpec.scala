@@ -89,7 +89,10 @@ class ScaleSpec extends SparkSpec {
       "x_embed_quantize", "x_embed_neardup", "x_profile",
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
-      "x_multimodal_phash", "x_multimodal_afp", "x_fuzzy_join")
+      "x_multimodal_phash", "x_multimodal_afp", "x_fuzzy_join",
+      // pure batch plans (1-row query frames broadcast: BNLJ is fine)
+      "x_ann_topk", "x_rag_bm25", "x_rag_fuse", "x_rag_passage",
+      "x_rag_prf")
     // completeness gate: every registered query must be EXPLICITLY either
     // swept or excluded-with-a-reason — a new gate that is neither fails
     // here, so the sweep can never silently drift from the registry (it
@@ -112,9 +115,9 @@ class ScaleSpec extends SparkSpec {
       // driver-side collect in construction (index build / query vector /
       // bloom bytes)
       "p_bloom_prune",
-      "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq", "x_ann_topk",
-      "x_ann_filtered", "x_index_postings", "x_index_lookup", "x_rag_bm25",
-      "x_rag_fuse", "x_rag_mmr", "x_rag_passage", "x_rag_prf",
+      "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq",
+      "x_ann_filtered", "x_index_postings", "x_index_lookup",
+      "x_rag_mmr",
       "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
       "x_dedup_incremental", "x_dedup_keepbest", "x_decontaminate",
       "x_decontaminate_bloom", "x_split_leakage_safe", "x_corpus_prepare",
