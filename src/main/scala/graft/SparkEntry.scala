@@ -223,6 +223,9 @@ object SparkEntry {
     // FastSS deletion-neighborhood fuzzy join (record linkage, lev <= 1)
     "x_fuzzy_join"       -> ((s, d) =>
       graft.ext.link.FuzzyJoin.customerNameDups(s, d)),
+    // the depth-2 neighborhood (lev <= 2, FastSS proper)
+    "x_fuzzy_join2"      -> ((s, d) =>
+      graft.ext.link.FuzzyJoin.customerNameDups2(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
@@ -2003,6 +2006,15 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // depth-2 fuzzy join: same exhaustive oracle at lev <= 2, 1-in-40
+    "x_fuzzy_join2" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey % 40 = 0 AND c_name IS NOT NULL)
+        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     // PRF expansion: the shared BM25 CTE chain picks the top-10 feedback
     // docs, then terms rank by total feedback tf (query terms excluded)
     "x_rag_prf" -> s"""$bm25Ctes,

@@ -24,38 +24,64 @@ import org.apache.spark.sql.functions._
   * the shuffled 8-byte variant key only ever ADD candidates, never lose
   * one).
   *
-  * Scale shape: the explode is (len+1) variants per row — shuffle volume
-  * ∝ corpus × key length, each key an 8-byte xxhash64, never the record
-  * payload; bucket sizes are ∝ true neighborhoods (no corpus-sized
-  * block), and the verify join touches candidates only. The oracle's
-  * all-pairs form is the yardstick, quadratic by construction — the gate
-  * bounds ITS cost with a deterministic 1-in-5 key slice, same policy as
-  * the kNN gates. Distance > 1 generalizes by indexing deeper deletion
-  * neighborhoods (FastSS proper); the gate runs the d ≤ 1 form.
+  * The depth generalizes (FastSS proper): `maxDist = k` indexes the
+  * up-to-k-deletion neighborhood — Bocek et al.'s lemma gives that two
+  * strings within edit distance k share a common member of their
+  * k-deletion neighborhoods, so the same variant equi-join stays a
+  * complete candidate generator at any k; variant count per key grows as
+  * Σ C(len, j), j ≤ k (len+1 at k=1, +C(len,2) at k=2), and bucket
+  * sizes grow with the neighborhood radius — k is the recall/cost dial.
+  *
+  * Scale shape: the explode is the per-row variant count — shuffle
+  * volume ∝ corpus × C(key length, k), each key an 8-byte xxhash64,
+  * never the record payload; bucket sizes are ∝ true neighborhoods (no
+  * corpus-sized block), and the verify join touches candidates only.
+  * The oracle's all-pairs form is the yardstick, quadratic by
+  * construction — the gates bound ITS cost with deterministic key
+  * slices, same policy as the kNN gates.
   */
 object FuzzyJoin {
 
-  /** All deletion-neighborhood variants of `s`: itself plus each
-    * single-position deletion.
+  /** All single-position deletions of `s` (without `s` itself). */
+  private def deletions1(s: Column): Column =
+    transform(sequence(lit(1), length(s)),
+      // suffix length = full string length: always >= the remainder, so
+      // no key length can truncate a variant (a fixed cap would silently
+      // break candidate completeness for keys longer than it)
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+
+  /** Every two-position deletion of `s` (i < j): chars [1,i-1] ++
+    * [i+1,j-1] ++ [j+1,len]. Empty when len < 2.
     */
-  private def deletionVariants(s: Column): Column =
-    concat(array(s),
-      transform(sequence(lit(1), length(s)),
-        // suffix length = full string length: always >= the remainder, so
-        // no key length can truncate a variant (a fixed cap would silently
-        // break candidate completeness for keys longer than it)
-        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+  private def deletions2(s: Column): Column =
+    flatten(transform(sequence(lit(1), length(s) - 1), i =>
+      transform(sequence(i + 1, length(s)), j =>
+        concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, j - i - 1),
+          s.substr(j + 1, length(s))))))
+
+  /** The up-to-`maxDist`-deletion neighborhood of `s`, itself included. */
+  private def deletionVariants(s: Column, maxDist: Int): Column =
+    maxDist match {
+      case 1 => concat(array(s), deletions1(s))
+      case 2 => concat(array(s), deletions1(s),
+        when(length(s) >= 2, deletions2(s))
+          .otherwise(array().cast("array<string>")))
+    }
 
   /** Pairs of records whose `name` strings are within Levenshtein
-    * distance 1, as `(a_key, b_key, dist)` with `a_key < b_key`.
+    * distance `maxDist` (1 or 2), as `(a_key, b_key, dist)` with
+    * `a_key < b_key`.
     */
   def nearKeyPairs(records: DataFrame, keyCol: String,
-      nameCol: String): DataFrame = {
+      nameCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods implemented for maxDist 1 or 2: $maxDist")
     val v = records
       .filter(col(nameCol).isNotNull)
       .select(col(keyCol).as("k"), col(nameCol).as("n"))
       .select(col("k"), col("n"),
-        explode(deletionVariants(col("n"))).as("variant"))
+        explode(deletionVariants(col("n"), maxDist)).as("variant"))
       .select(col("k"), col("n"), xxhash64(col("variant")).as("vh"))
     val a = v.select(col("k").as("a_key"), col("n").as("a_name"),
       col("vh"))
@@ -67,7 +93,7 @@ object FuzzyJoin {
       .distinct() // a pair may share several variants (e.g. equal names)
       .select(col("a_key"), col("b_key"),
         levenshtein(col("a_name"), col("b_name")).as("dist"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
   }
 
   /** Gate entry: near-duplicate customer names on a deterministic 1-in-5
@@ -80,6 +106,19 @@ object FuzzyJoin {
       spark.read.parquet(s"$dir/customer.parquet")
         .filter(pmod(col("c_custkey"), lit(every)) === 0L),
       "c_custkey", "c_name")
+
+  /** Gate entry for the depth-2 neighborhood: distance ≤ 2 pairs on a
+    * deterministic 1-in-40 slice — the ≤ 2 result set is an order of
+    * magnitude denser than ≤ 1 (two free digit positions) and dist-1
+    * pairs duplicate across ~len shared variants, so the slice keeps the
+    * oracle's quadratic side, the candidate-join volume, and the RESULT
+    * row count proportionate.
+    */
+  def customerNameDups2(spark: SparkSession, dir: String): DataFrame =
+    nearKeyPairs(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .filter(pmod(col("c_custkey"), lit(40L)) === 0L),
+      "c_custkey", "c_name", maxDist = 2)
 
   /** Entity resolution end to end: the fuzzy pairs are EDGES, and
     * transitively linked records are one real-world entity — exactly the

@@ -1602,6 +1602,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("depth-2 neighborhood: two-edit pairs found, naive-equivalent") {
+    import spark.implicits._
+    // two substitutions ("abcdef"~"axcxef"), sub+delete ("abcdef"~"axcde"),
+    // two inserts ("abcdef"~"abQcdeRf"); "zzzzzz" is 6 edits from all
+    val recs = Seq((1L, "abcdef"), (2L, "axcxef"), (3L, "axcde"),
+      (4L, "abQcdeRf"), (5L, "zzzzzz")).toDF("id", "name")
+    val got = FuzzyJoin.nearKeyPairs(recs, "id", "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 2 && got((1L, 3L)) == 2 && got((1L, 4L)) == 2)
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // completeness vs naive lev <= 2 on real names (the gate's slice)
+    val c = spark.read
+      .parquet("/root/testdata/sf0.01/customer.parquet")
+      .filter(pmod(col("c_custkey"), lit(40L)) === 0L)
+      .select(col("c_custkey"), col("c_name"))
+    val naive = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+      .count()
+    val fast = FuzzyJoin.customerNameDups2(spark, "/root/testdata/sf0.01")
+      .count()
+    assert(fast == naive && naive > 0, s"FastSS $fast vs naive $naive")
+  }
+
   test("long keys: variants are never truncated (1200-char insert pair)") {
     import spark.implicits._
     // regression: a fixed suffix cap (999) silently truncated deletion

@@ -90,6 +90,7 @@ class ScaleSpec extends SparkSpec {
       "x_profile_approx", "x_skew_report", "x_tfidf_top",
       "x_multimodal", "x_multimodal_frames", "x_multimodal_resize",
       "x_multimodal_phash", "x_multimodal_afp", "x_fuzzy_join",
+      "x_fuzzy_join2",
       // pure batch plans (1-row query frames broadcast: BNLJ is fine)
       "x_ann_topk", "x_rag_bm25", "x_rag_fuse", "x_rag_passage",
       "x_rag_prf")
