@@ -102,6 +102,8 @@ object SparkEntry {
     "p_resample_ffill"   -> ((s, d) => EventOps.resampleFfill(s, d)),
     // OHLC downsampling bars: first/last via min_by/max_by partial aggs
     "p_ohlc_bars"        -> ((s, d) => EventOps.ohlcBars(s, d)),
+    // linear interpolation between the bracketing readings (two as-ofs)
+    "p_resample_interp"  -> ((s, d) => EventOps.resampleInterp(s, d)),
     "q24_interval_join"  -> Analytics.q24IntervalJoin _,
     "q24_interval_rule"  -> Analytics.q24IntervalJoinAuto _,
     "q25_freq_items"     -> Analytics.q25FreqItems _,
@@ -475,6 +477,51 @@ object SparkEntry {
         |  strftime(slot_ts, '%Y-%m-%d %H:%M:%S') AS slot_ts,
         |  event_id AS s_no, round(value, 2) AS value
         |FROM j WHERE rn = 1""".stripMargin,
+    // linear interpolation: prev = latest at-or-before (max event_id on
+    // ties), next = earliest strictly-after (max event_id on ties);
+    // micros-as-double blend in the same op order as the engine
+    "p_resample_interp" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 21600)
+        |      AS BIGINT) AS s0,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP))) / 21600)
+        |      AS BIGINT) AS s1
+        |  FROM events),
+        |probes AS (
+        |  SELECT u.station_id,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + g.slot * 21600 * INTERVAL 1 SECOND AS slot_ts
+        |  FROM (SELECT DISTINCT user_id AS station_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(range(s0, s1 + 1)) AS slot FROM b) g),
+        |prev AS (
+        |  SELECT p.station_id, p.slot_ts, e.event_id AS s_no_prev,
+        |    epoch_us(CAST(e.ts AS TIMESTAMP)) AS t0, e.value AS v0,
+        |    row_number() OVER (PARTITION BY p.station_id, p.slot_ts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC)
+        |      AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.station_id
+        |   AND CAST(e.ts AS TIMESTAMP) <= p.slot_ts),
+        |nxt AS (
+        |  SELECT p.station_id, p.slot_ts, e.event_id AS s_no_next,
+        |    epoch_us(CAST(e.ts AS TIMESTAMP)) AS t1, e.value AS v1,
+        |    row_number() OVER (PARTITION BY p.station_id, p.slot_ts
+        |      ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id DESC)
+        |      AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.station_id
+        |   AND CAST(e.ts AS TIMESTAMP) > p.slot_ts)
+        |SELECT p.station_id,
+        |  strftime(p.slot_ts, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+        |  pr.s_no_prev, nx.s_no_next,
+        |  round(pr.v0 + (nx.v1 - pr.v0) *
+        |    (CAST(epoch_us(p.slot_ts) - pr.t0 AS DOUBLE)
+        |     / CAST(nx.t1 - pr.t0 AS DOUBLE)), 4) AS v_interp
+        |FROM probes p
+        |JOIN prev pr ON pr.station_id = p.station_id
+        |  AND pr.slot_ts = p.slot_ts AND pr.rn = 1
+        |JOIN nxt nx ON nx.station_id = p.station_id
+        |  AND nx.slot_ts = p.slot_ts AND nx.rn = 1""".stripMargin,
     // OHLC bars: first/last replayed as rn=1 over both orderings
     "p_ohlc_bars" ->
       """WITH e AS (

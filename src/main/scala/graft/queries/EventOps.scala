@@ -959,6 +959,59 @@ object EventOps {
         round(col("matched.value"), 2).as("value"))
   }
 
+  /** Linear-interpolation resampling — [[resampleFfill]]'s interior
+    * twin (pandas `resample().interpolate()`): each grid slot takes the
+    * time-weighted blend of its station's bracketing readings,
+    * `v0 + (v1 − v0)·(slot − t0)/(t1 − t0)` over microsecond longs cast
+    * to double (every op correctly-rounded IEEE in both engines, rounded
+    * to 4 for hash stability). The bracket comes from TWO passes of the
+    * same as-of machinery — backward inclusive for (t0, v0), FORWARD
+    * STRICT for (t1, v1), so t1 > slot ≥ t0 and the denominator can
+    * never be zero — joined back on the grid key. Slots missing either
+    * bracket (before a station's first event / after its last) surface
+    * with null `v_interp` and the missing side's null s_no, not dropped.
+    * Cost: two union+window as-of passes (zero Join nodes each) plus one
+    * grid-keyed join of the two |stations|·|slots| narrow frames.
+    */
+  def resampleInterp(spark: SparkSession, dir: String,
+      slotSeconds: Long = 21600L): DataFrame = {
+    require(slotSeconds > 0, s"slotSeconds must be positive: $slotSeconds")
+    val ev = events(spark, dir)
+    val bounds = ev.agg(
+      floor(unix_timestamp(min(col("ts"))) / slotSeconds).cast("long")
+        .as("s0"),
+      floor(unix_timestamp(max(col("ts"))) / slotSeconds).cast("long")
+        .as("s1"))
+    val probes = ev.select(col("user_id").as("station_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("station_id"),
+        explode(sequence(col("s0"), col("s1"))).as("slot"))
+      .select(col("station_id"),
+        timestamp_seconds(col("slot") * slotSeconds).as("slot_ts"))
+    val build = ev.select(col("user_id").as("station_id"), col("ts"),
+      col("event_id"), col("value"))
+    val back = graft.operators.AsOfJoin.asOf(probes, build,
+        Seq("station_id"), "slot_ts", "ts", buildTieBreak = Seq("event_id"))
+      .select(col("station_id"), col("slot_ts"),
+        unix_micros(col("matched.ts")).as("t0"),
+        col("matched.event_id").as("s_no_prev"),
+        col("matched.value").as("v0"))
+    val fwd = graft.operators.AsOfJoin.asOf(probes, build,
+        Seq("station_id"), "slot_ts", "ts", buildTieBreak = Seq("event_id"),
+        strict = true, forward = true)
+      .select(col("station_id"), col("slot_ts"),
+        unix_micros(col("matched.ts")).as("t1"),
+        col("matched.event_id").as("s_no_next"),
+        col("matched.value").as("v1"))
+    back.join(fwd, Seq("station_id", "slot_ts"))
+      .select(col("station_id"),
+        date_format(col("slot_ts"), "yyyy-MM-dd HH:mm:ss").as("slot_ts"),
+        col("s_no_prev"), col("s_no_next"),
+        round(col("v0") + (col("v1") - col("v0")) *
+          ((unix_micros(col("slot_ts")) - col("t0")).cast("double") /
+            (col("t1") - col("t0")).cast("double")), 4).as("v_interp"))
+  }
+
   /** Downsampling to OHLC bars — [[resampleFfill]]'s aggregate twin
     * (upsample fills gaps; downsample summarizes dense slots): per
     * (station, epoch-aligned 6-hour slot), open = first reading, close =

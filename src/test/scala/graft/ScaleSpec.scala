@@ -75,7 +75,7 @@ class ScaleSpec extends SparkSpec {
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_resample_ffill",
-      "p_ohlc_bars",
+      "p_ohlc_bars", "p_resample_interp",
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
@@ -382,6 +382,38 @@ class ScaleSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", -1L, -1.0),  // 00:30 is after 00:00
       (2L, "2024-01-01 06:00:00", 200L, 5.0),
       (2L, "2024-01-01 12:00:00", 200L, 5.0)), out.toString)
+  }
+
+  test("resample interp: time-weighted blend, edge slots null") {
+    import org.apache.spark.sql.types._
+    val scratch = graft.util.Scratch.dir("graft_interp").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A brackets slots 06:00 (frac (6-1)/(13.5-1) = 0.4 -> 1.4) and
+    // 12:00 (frac 11/12.5 = 0.88 -> 1.88); B has one event -> no slot
+    // has both brackets, every B interp is null
+    val rows = Seq(
+      org.apache.spark.sql.Row(100L, t("2024-01-01 01:00:00"), 1L, 1.0),
+      org.apache.spark.sql.Row(101L, t("2024-01-01 13:30:00"), 1L, 2.0),
+      org.apache.spark.sql.Row(200L, t("2024-01-01 00:30:00"), 2L, 5.0))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    val out = graft.queries.EventOps.resampleInterp(spark, scratch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -999.0 else r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00", -1L, 100L, -999.0),
+      (1L, "2024-01-01 06:00:00", 100L, 101L, 1.4),
+      (1L, "2024-01-01 12:00:00", 100L, 101L, 1.88),
+      (2L, "2024-01-01 00:00:00", -1L, 200L, -999.0),
+      (2L, "2024-01-01 06:00:00", 200L, -1L, -999.0),
+      (2L, "2024-01-01 12:00:00", 200L, -1L, -999.0)), out.toString)
   }
 
   test("OHLC bars: first/last by (ts, event_id), partial-agg plan") {
