@@ -236,4 +236,65 @@ class PropertySpec extends SparkSpec {
     assert(dists.head == 0)
     assert(dists(1) < dists(3), s"dists=$dists")
   }
+
+  test("FastSS fuzzy join == brute-force levenshtein at depths 1 and 2") {
+    // small alphabet + short lengths makes distance-1/2 pairs dense, so
+    // the completeness lemma is exercised on every edit mix (including
+    // empty strings and equal strings under distinct keys)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = samples(for {
+      n <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString, 80)
+    val recs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val expected = (for {
+        i <- strs.indices; j <- strs.indices if i < j
+        d = lev(strs(i), strs(j)) if d <= k
+      } yield (i.toLong, j.toLong, d)).toSet
+      val got = graft.ext.link.FuzzyJoin
+        .nearKeyPairs(recs, "id", "name", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == expected,
+        s"k=$k: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("training shuffle equals a plain-Scala md5 reference computation") {
+    import graft.ext.corpus.Corpus
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draws(id: Long): (Int, Long) = {
+      val d = md.digest(id.toString.getBytes("UTF-8"))
+      def be(off: Int): java.math.BigInteger =
+        new java.math.BigInteger(1, d.slice(off, off + 8))
+      (be(0).mod(java.math.BigInteger.valueOf(8)).intValue,
+        be(8).mod(java.math.BigInteger.valueOf(1L << 40)).longValue)
+    }
+    val ref = ids.map(id => (id, draws(id)))
+      .groupBy(_._2._1)
+      .map { case (shard, members) =>
+        val ordered = members.sortBy { case (id, (_, draw)) => (draw, id) }
+        val orderSum = ordered.zipWithIndex
+          .map { case ((id, _), pos) => BigInt(pos + 1) * id }.sum
+        shard -> (members.length.toLong, members.map(_._1).sum, orderSum)
+      }
+    val got = Corpus.trainingShuffle(spark, dir).collect()
+      .map(r => r.getAs[Int]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_ids"),
+          BigInt(r.getAs[java.math.BigDecimal]("order_sum").toBigInteger))))
+      .toMap
+    assert(got == ref, s"got=$got ref=$ref")
+  }
 }
