@@ -222,6 +222,8 @@ object SparkEntry {
     "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
     // pseudo-relevance-feedback expansion terms from the BM25 top-10
     "x_rag_prf"          -> ((s, d) => TextAnalysis.prfExpand(s, d)),
+    // snippet extraction around the first query-term hit in the top-20
+    "x_rag_snippet"      -> ((s, d) => TextAnalysis.snippets(s, d)),
     // FastSS deletion-neighborhood fuzzy join (record linkage, lev <= 1)
     "x_fuzzy_join"       -> ((s, d) =>
       graft.ext.link.FuzzyJoin.customerNameDups(s, d)),
@@ -2062,6 +2064,26 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // snippets: earliest query-term position (DuckDB list_position
+    // returns 0 for ABSENT — nullif maps it to Spark's null-for-absent
+    // so least skips missing terms on both engines) and the +-5-token
+    // window, left-clamped, right-cut by slice semantics
+    "x_rag_snippet" -> s"""$bm25Ctes,
+        |topd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, sum(s) AS b FROM s GROUP BY 1
+        |    ORDER BY b DESC, doc_id ASC LIMIT 20)),
+        |pos AS (
+        |  SELECT d.doc_id, d.t,
+        |    least(nullif(list_position(d.t, 'spark'), 0),
+        |      nullif(list_position(d.t, 'vector'), 0),
+        |      nullif(list_position(d.t, 'dup'), 0)) AS first_pos
+        |  FROM d JOIN topd USING (doc_id))
+        |SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+        |  array_to_string(
+        |    t[CAST(greatest(1, first_pos - 5) AS BIGINT)
+        |      : CAST(first_pos + 5 AS BIGINT)], ' ') AS snippet
+        |FROM pos""".stripMargin,
     // PRF expansion: the shared BM25 CTE chain picks the top-10 feedback
     // docs, then terms rank by total feedback tf (query terms excluded)
     "x_rag_prf" -> s"""$bm25Ctes,

@@ -613,6 +613,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Snippet extraction for retrieval results — the presentation step a
+    * serving stack runs on its top-k: for each [[bm25TopK]] hit, find
+    * the FIRST occurrence of any query term (earliest position across
+    * terms — `least` over per-term positions, absent terms null) and cut
+    * the ±`context`-token window around it. Pure narrow projection over
+    * k broadcast doc_ids after the retrieval — the corpus is touched
+    * only by the scan that joins the top-k, and the window arithmetic
+    * (1-based positions, clamped left edge, length cut at the array end
+    * by slice semantics on both engines) is integer-exact.
+    */
+  def snippets(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20, context: Int = 5): DataFrame = {
+    require(context >= 0, s"context must be non-negative: $context")
+    val terms = queryTerms.distinct
+    val top = bm25TopK(spark, dir, queryTerms, k).select(col("doc_id"))
+    val firstPos = least(terms.map(tm =>
+      when(array_position(col("t"), lit(tm)) === 0L, lit(null))
+        .otherwise(array_position(col("t"), lit(tm)))): _*)
+    val start = greatest(lit(1L), col("first_pos") - context)
+    docs(spark, dir).join(broadcast(top), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("first_pos", firstPos)
+      .select(col("doc_id"), col("first_pos"),
+        concat_ws(" ", slice(col("t"), start.cast("int"),
+          (col("first_pos") + context - start + 1).cast("int")))
+          .as("snippet"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion — the standard way a RAG
     * stack combines its lexical ([[bm25TopK]]) and dense
     * ([[graft.ext.sim.Similarity.bruteForceTopK]]) retrievers: each list

@@ -1101,6 +1101,30 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) <= nChunks(r.getLong(0))))
   }
 
+  test("snippets: earliest term hit, clamped window, term always present") {
+    val scratch = graft.util.Scratch.dir("graft_snip").toString
+    import spark.implicits._
+    Seq((1L, "red red blue"), (2L, "green red"),
+      (3L, "blue blue blue green"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextAnalysis.snippets(spark, scratch,
+        queryTerms = Seq("red", "blue"), k = 10, context = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // doc1: red@1 (blue@3 later) -> left-clamped window "red red";
+    // doc2: red@2 -> centered "green red" (right edge cut by doc end);
+    // doc3: blue@1 -> "blue blue"
+    assert(out == Set((1L, 1L, "red red"), (2L, 2L, "green red"),
+      (3L, 1L, "blue blue")), out.toString)
+    // corpus: every gate snippet contains a query term at a real position
+    val q = Set("spark", "vector", "dup")
+    TextAnalysis.snippets(spark, "/root/testdata/sf0.001").collect()
+      .foreach { r =>
+        assert(r.getLong(1) >= 1L)
+        assert(r.getString(2).split(" ").exists(q), r.toString) }
+  }
+
   test("PRF expansion: feedback terms from the bm25 top docs, query excluded") {
     val scratch = graft.util.Scratch.dir("graft_prf").toString
     import spark.implicits._
