@@ -110,6 +110,8 @@ object SparkEntry {
     // count-min sketch point frequencies — the grid AND every estimate
     // rebuilt by the oracle (portable md5-byte row hashes)
     "q27_cms_freq"       -> ((s, d) => Analytics.q27CmsFreq(s, d)),
+    // exact integer covariance moments (FP corr is order-dependent)
+    "q28_covar"          -> ((s, d) => Analytics.q28CovarSums(s, d)),
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
@@ -590,6 +592,23 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
         |  FROM c) t
         |WHERE rank <= 10""".stripMargin,
+    // covariance moments: integer cents x hour — every sum exact, the
+    // covariance numerator integer; corr/covar are a division away
+    "q28_covar" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(xc) AS BIGINT) AS sum_xc,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(xc*y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(xc*xc) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y*y) AS BIGINT) AS sum_y2,
+        |  CAST(count(*) * sum(xc*y) - sum(xc) * sum(y) AS BIGINT)
+        |    AS cov_num
+        |FROM e GROUP BY 1""".stripMargin,
     // count-min sketch: the oracle REBUILDS the depth×width grid from the
     // same md5-byte row hashes (hex pair 17+2r = byte r of md5-low-64,
     // what the aggregate hashes) and replays every min-over-rows estimate

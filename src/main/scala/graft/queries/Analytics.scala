@@ -493,6 +493,34 @@ object Analytics {
         est.as("cms_est"))
   }
 
+  /** Covariance/correlation moments, order-proof: Spark's `corr` /
+    * `covar_samp` builtins sum doubles, so their low bits depend on
+    * reduction order — unusable under a value-hash oracle and subtly
+    * nondeterministic across retries at scale. The gate instead emits
+    * the EXACT integer moments between value (the deterministic
+    * `floor(v·100 + 0.5)` cents, the same quantization the salted-agg
+    * gate uses) and hour-of-day — n, Σx, Σy, Σxy, Σx², Σy² — plus the
+    * integer covariance numerator `n·Σxy − Σx·Σy`; covariance and
+    * Pearson correlation are one division away from these on the
+    * client, and the moments themselves merge associatively (partial
+    * aggregates, map-side combine), which the FP forms only pretend to.
+    * Long bounds: Σx² ≈ cents²·rows overflows past ~10¹⁸/2.4·10⁹ ≈
+    * 4·10⁸ rows per group at this value range — aggregate the moments
+    * in DECIMAL(38,0) beyond that (the dsir precedent).
+    */
+  def q28CovarSums(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("xc"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sum_xc"), sum(col("y")).as("sum_y"),
+        sum(col("xc") * col("y")).as("sum_xy"),
+        sum(col("xc") * col("xc")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .withColumn("cov_num", expr("n * sum_xy - sum_xc * sum_y"))
+
   /** Analytic window-function suite over each station's ordered timeline:
     * lag/lead navigation, ntile quartile, percent_rank/cume_dist
     * distribution ranks, and a 4-row rolling min/max. One keyed window —

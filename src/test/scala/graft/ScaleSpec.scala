@@ -70,7 +70,7 @@ class ScaleSpec extends SparkSpec {
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
       "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
-      "q25_freq_items", "q26_window_suite", "q27_cms_freq",
+      "q25_freq_items", "q26_window_suite", "q27_cms_freq", "q28_covar",
       "p_json_parse", "p_filter_alert", "p_normalize", "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
@@ -414,6 +414,64 @@ class ScaleSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", -1L, 200L, -999.0),
       (2L, "2024-01-01 06:00:00", 200L, -1L, -999.0),
       (2L, "2024-01-01 12:00:00", 200L, -1L, -999.0)), out.toString)
+  }
+
+  test("covariance moments equal a driver-side exact computation") {
+    val dir = "/root/testdata/sf0.001"
+    // recompute from the raw rows in plain Scala (BigInt: no overflow,
+    // no ordering concerns) and compare every emitted moment
+    val rows = graft.util.EventTs.readEvents(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("xc"),
+        hour(col("ts")).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = rows.groupBy(_._1).map { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val sx = rs.map(r => BigInt(r._2)).sum; val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val sx2 = rs.map(r => BigInt(r._2) * r._2).sum
+      val sy2 = rs.map(r => BigInt(r._3) * r._3).sum
+      t -> (n, sx, sy, sxy, sx2, sy2, n * sxy - sx * sy)
+    }
+    val got = graft.queries.Analytics.q28CovarSums(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+          BigInt(r.getLong(4)), BigInt(r.getLong(5)), BigInt(r.getLong(6)),
+          BigInt(r.getLong(7))))).toMap
+    assert(got == ref, s"moments diverged")
+    // sanity anchor: covariance derived from the integer moments tracks
+    // Spark's FP covar_pop (cents scale) within FP tolerance
+    got.foreach { case (t, (n, sx, sy, sxy, _, _, num)) =>
+      val covInt = num.toDouble / (n.toDouble * n.toDouble)
+      val covFp = graft.util.EventTs.readEvents(spark, dir)
+        .filter(col("event_type") === t)
+        .agg(covar_pop(
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").cast("double"),
+          hour(col("ts")).cast("double")))
+        .collect().head.getDouble(0)
+      assert(math.abs(covInt - covFp) < 1e-6 * math.max(1.0, covFp.abs),
+        s"$t: $covInt vs $covFp")
+    }
+  }
+
+  test("resample plans: ffill is join-free; interp joins once on the grid") {
+    val dir = "/root/testdata/sf0.001"
+    def dataJoins(plan: String): Int =
+      "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+        .findAllIn(plan).size
+    // forward fill = ONE as-of pass: union+window, zero DATA joins (the
+    // 1-row slot-bounds broadcast plans as BNLJ — grid arithmetic, not a
+    // data join) and never a cartesian
+    val ffill = graft.queries.EventOps.resampleFfill(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dataJoins(ffill) == 0, ffill.take(1200))
+    assert(!ffill.contains("CartesianProduct"), ffill.take(1200))
+    // interpolation = two as-of passes + exactly ONE grid-keyed data
+    // join; the quadratic per-probe history scan shape must never appear
+    val interp = graft.queries.EventOps.resampleInterp(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dataJoins(interp) == 1, interp.take(1200))
+    assert(!interp.contains("CartesianProduct"), interp.take(1200))
   }
 
   test("OHLC bars: first/last by (ts, event_id), partial-agg plan") {
