@@ -98,6 +98,11 @@ object SparkEntry {
     // shard/order draws; order_sum pins the exact global permutation
     "x_corpus_shuffle" -> ((s, d) =>
       graft.ext.corpus.Corpus.trainingShuffle(s, d)),
+    // remote-diagnosis micro-gate: the raw (doc_id, shard, draw) rows
+    // behind the shuffle for doc_id < 100 — a driver red here names the
+    // exact doc and draw that diverged
+    "x_corpus_shuffle_draws" -> ((s, d) =>
+      graft.ext.corpus.Corpus.trainingShuffleDraws(s, d)),
     // regular-grid resample + forward fill through the as-of machinery
     "p_resample_ffill"   -> ((s, d) => EventOps.resampleFfill(s, d)),
     // OHLC downsampling bars: first/last via min_by/max_by partial aggs
@@ -218,6 +223,10 @@ object SparkEntry {
     "x_index_postings"   -> TextAnalysis.invertedIndexReport _,
     "x_index_lookup"     -> TextAnalysis.termLookupReport _,
     "x_rag_bm25"         -> TextAnalysis.bm25Report _,
+    // remote-diagnosis micro-gate: per-(doc, term) scorer operands and
+    // factors for the top-20 — a driver red here names the exact
+    // diverging quantity instead of one opaque summed score
+    "x_rag_bm25_parts"   -> ((s, d) => TextAnalysis.bm25Parts(s, d)),
     "x_rag_fuse"         -> TextAnalysis.rrfReport _,
     "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // passage-level retrieval: chunk-granular BM25 + MaxP doc aggregation
@@ -325,7 +334,7 @@ object SparkEntry {
         |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
         |  FROM events GROUP BY event_type)
         |SELECT s.event_type, x.exact_distinct,
-        |  CAST(s.kth AS DECIMAL(21,0)) AS kth_hash,
+        |  CAST(s.kth AS DECIMAL(22,0)) AS kth_hash,
         |  CASE WHEN s.kth IS NULL THEN s.nd = x.exact_distinct
         |    ELSE abs(255.0 * 18446744073709551616.0 / CAST(s.kth AS DOUBLE)
         |      - x.exact_distinct) / x.exact_distinct <= 0.1
@@ -757,8 +766,8 @@ object SparkEntry {
       """SELECT event_type, upper(event_type) AS upper_t,
         |  substr(event_type, 1, 3) AS prefix3,
         |  lpad(event_type, 10, '_') AS padded,
-        |  length(event_type) AS len,
-        |  levenshtein(event_type, 'click') AS dist_click,
+        |  CAST(length(event_type) AS INTEGER) AS len,
+        |  CAST(levenshtein(event_type, 'click') AS INTEGER) AS dist_click,
         |  concat_ws('-', 'evt', event_type) AS tagged
         |FROM (SELECT DISTINCT event_type FROM events) q""".stripMargin,
     "p_json_parse" ->
@@ -940,17 +949,21 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1""".stripMargin,
     // training shuffle: the oracle replays both content-addressed draws
-    // (shard = high md5 8 bytes, order = low 8 bytes) and the per-shard
-    // permutation; order_sum = Σ pos·doc_id pins every position
+    // (shard = md5 hex chars 1-12, order = chars 13-24 — 48-bit values,
+    // so both engines stay far from the 2^63 sign boundary; the r8 form's
+    // 16-hex UBIGINT-vs-DECIMAL(20,0) pairing was the hash-red suspect)
+    // and the per-shard permutation; order_sum = Σ pos·doc_id pins every
+    // position and is CAST to BIGINT to match the engine's Long (DuckDB's
+    // bare sum would widen to HUGEINT and fail the typed hash)
     "x_corpus_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    CAST(CAST(concat('0x',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
-        |      AS UBIGINT) % 8 AS INTEGER) AS shard,
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) % 8 AS INTEGER) AS shard,
         |    CAST(concat('0x',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 17, 16))
-        |      AS UBIGINT) % 1099511627776 AS draw
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 13, 12))
+        |      AS BIGINT) % 1099511627776 AS draw
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, shard,
@@ -959,8 +972,19 @@ object SparkEntry {
         |  FROM d)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-        |  sum(pos * doc_id) AS order_sum
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS order_sum
         |FROM r GROUP BY shard""".stripMargin,
+    // per-doc draw dump for doc_id < 100: remote diagnosis companion to
+    // x_corpus_shuffle — a red row names the doc and the diverging draw
+    "x_corpus_shuffle_draws" ->
+      """SELECT doc_id,
+        |  CAST(CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT) % 8 AS INTEGER) AS shard,
+        |  CAST(concat('0x',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 13, 12))
+        |    AS BIGINT) % 1099511627776 AS draw
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     // α=0.5 temperature: sqrt and division are correctly-rounded IEEE ops,
     // so the integer thresholds agree bit-for-bit across engines
     "x_corpus_mixture" ->
@@ -1101,8 +1125,9 @@ object SparkEntry {
     "x_dedup_stream" -> deltaVsIndexOracle,
     "x_text_tokens" ->
       """SELECT doc_id,
-        |  len(str_split(trim(text), ' ')) AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |  CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
         |    AS n_lexer_tokens
         |FROM documents""".stripMargin,
     // the classifier is integer end to end (hash bucket -> weight formula
@@ -1121,7 +1146,8 @@ object SparkEntry {
          |  raw_score * 4 > n_tokens AS keep
          |FROM sc""".stripMargin,
     "x_text_quality" ->
-      """SELECT doc_id, length(text) AS n_chars_actual, len(t) AS n_tokens,
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
         |  round(len(list_filter(t, x -> list_contains(
         |    ['the','a','an','and','or','of','to','in','is','it'], x)))
         |    * 1.0 / len(t), 4) AS stopword_ratio,
@@ -1141,14 +1167,18 @@ object SparkEntry {
         |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS pred_lang
         |FROM (
         |  SELECT doc_id, lang AS declared_lang,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['the','and','of','to','a','in','is','that'], x))) AS n_en,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['der','die','und','das','ist','ein','nicht','mit'], x))) AS n_de,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['el','la','de','que','y','los','un','es'], x))) AS n_es,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['le','la','les','et','des','un','une','est'], x))) AS n_fr
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','that'], x)))
+        |      AS INTEGER) AS n_en,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['der','die','und','das','ist','ein','nicht','mit'], x)))
+        |      AS INTEGER) AS n_de,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['el','la','de','que','y','los','un','es'], x)))
+        |      AS INTEGER) AS n_es,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['le','la','les','et','des','un','une','est'], x)))
+        |      AS INTEGER) AS n_fr
         |  FROM (SELECT doc_id, lang, str_split(trim(lower(text)), ' ') AS tk
         |        FROM documents) q) s""".stripMargin,
     "x_text_fingerprint" ->
@@ -1203,12 +1233,14 @@ object SparkEntry {
         |         || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS a
         |  FROM documents)
         |SELECT doc_id,
-        |  len(regexp_extract_all(a,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(a,
-        |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?')) AS n_phones,
-        |  len(regexp_extract_all(a,
-        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS n_ips,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?'))
+        |    AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS INTEGER) AS n_ips,
         |  md5(regexp_replace(regexp_replace(regexp_replace(a,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:-[0-9]{4})?', '<PHONE>', 'g'),
@@ -1231,8 +1263,8 @@ object SparkEntry {
         |    AS chunk_hash
         |FROM ch""".stripMargin,
     "x_text_repetition" ->
-      """SELECT doc_id, len(t) AS n_tokens,
-        |  len(list_distinct(t)) AS n_distinct_tokens,
+      """SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens,
         |  round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4)
         |    AS token_dup_ratio,
         |  CASE WHEN len(t) >= 2 THEN round(1.0 -
@@ -1603,7 +1635,7 @@ object SparkEntry {
         |GROUP BY label""".stripMargin,
     "x_multimodal" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS kind,
-         |  length(text) AS n_bytes,
+         |  CAST(length(text) AS INTEGER) AS n_bytes,
          |  CAST(fp % 640 AS INTEGER) + 1 AS width,
          |  CAST((fp // 640) % 480 AS INTEGER) + 1 AS height,
          |  fp AS checksum, true AS ok
@@ -1760,7 +1792,7 @@ object SparkEntry {
          |    array_to_string(list_transform(range(0, length(text) // 4),
          |      i -> substr(text, CAST(i * 4 + 1 AS INTEGER), 1)), '') AS rt
          |  FROM documents)
-         |SELECT media_id, length(rt) AS n_bytes,
+         |SELECT media_id, CAST(length(rt) AS INTEGER) AS n_bytes,
          |  ${duckPolyHash("rt")} AS checksum
          |FROM r""".stripMargin,
     // frame sampling is integer stride math over ASCII payload bytes, so
@@ -1782,7 +1814,8 @@ object SparkEntry {
          |    substr(text, CAST(i * stride + 1 AS INTEGER),
          |      CAST(LEAST(32, len - i * stride) AS INTEGER)) AS frame
          |  FROM g)
-         |SELECT media_id, frame_idx, length(frame) AS frame_bytes,
+         |SELECT media_id, frame_idx,
+         |  CAST(length(frame) AS INTEGER) AS frame_bytes,
          |  ${duckPolyHash("frame")} AS frame_checksum
          |FROM fr""".stripMargin,
     // one keyed window serves all seven functions; rolling extrema (not
@@ -1949,9 +1982,25 @@ object SparkEntry {
     // all operands are non-negative — keep intermediates non-negative or
     // the engines round differently — see TextAnalysis.bm25TopK's scaladoc
     "x_rag_bm25" -> s"""$bm25Ctes
-        |SELECT doc_id, sum(s) AS bm25_e6, count(*) AS n_terms_hit
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_e6,
+        |  count(*) AS n_terms_hit
         |FROM s GROUP BY 1
         |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // component dump for the bm25 scorer: every operand and both factor
+    // values per (doc, term) of the top-20 — a remote-red here names the
+    // exact diverging quantity (r8's driver-only hash reds motivated it)
+    "x_rag_bm25_parts" -> s"""$bm25Ctes,
+        |top AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_e6 FROM s
+        |    GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20))
+        |SELECT doc_id, term, tf, df, dl, n_docs, t_total,
+        |  (2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1) AS idf_e6,
+        |  44 * tf * 1000000
+        |    // (20 * tf + 6 + (18 * dl * n_docs // t_total)) AS tfc_e6
+        |FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |JOIN top USING (doc_id)""".stripMargin,
     // RRF hybrid fusion: rank (not score) each leg's top 20 — the lexical
     // leg replays the x_rag_bm25 oracle via the shared CTE chain, the
     // dense leg the x_ann_topk oracle at k=20 — then each contributes
@@ -2038,7 +2087,8 @@ object SparkEntry {
         |    t[chunk_id*24+1 : chunk_id*24+32] AS ct,
         |    CAST(least(32, len(t) - chunk_id * 24) AS BIGINT) AS dl
         |  FROM ch),
-        |stats AS (SELECT count(*) AS n_ch, sum(dl) AS t_total FROM cht),
+        |stats AS (SELECT count(*) AS n_ch,
+        |          CAST(sum(dl) AS BIGINT) AS t_total FROM cht),
         |tf AS (
         |  SELECT doc_id, chunk_id, term, count(*) AS tf
         |  FROM (SELECT doc_id, chunk_id, unnest(ct) AS term FROM cht)
@@ -2047,13 +2097,13 @@ object SparkEntry {
         |s AS (
         |  SELECT doc_id, chunk_id,
         |    ((2 * (n_ch - df) + 1) * 1000000 // (2 * df + 1))
-        |      * (44 * tf * t_total * 1000000
-        |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_ch))
+        |      * (44 * tf * 1000000
+        |         // (20 * tf + 6 + (18 * dl * n_ch // t_total)))
         |      // 1000000 AS s
         |  FROM tf JOIN dft USING (term) JOIN cht USING (doc_id, chunk_id)
         |  CROSS JOIN stats),
         |pc AS (
-        |  SELECT doc_id, chunk_id, sum(s) AS chunk_e6
+        |  SELECT doc_id, chunk_id, CAST(sum(s) AS BIGINT) AS chunk_e6
         |  FROM s GROUP BY 1, 2),
         |best AS (
         |  SELECT doc_id, chunk_id AS best_chunk_id, chunk_e6 AS passage_e6,
@@ -2370,7 +2420,8 @@ object SparkEntry {
       |GROUP BY user_id, sid""".stripMargin
 
   private val q6Oracle =
-    """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal, bal_rank
+    """SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal,
+      |  CAST(bal_rank AS INTEGER) AS bal_rank
       |FROM (
       |  SELECT s_name, s_nationkey, s_acctbal,
       |    row_number() OVER (PARTITION BY s_nationkey
@@ -2470,15 +2521,25 @@ object SparkEntry {
       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** The BM25 scoring CTE chain (exact integer rationals — see
-    * TextAnalysis.bm25TopK's scaladoc), shared by the x_rag_bm25 oracle
-    * and the x_rag_fuse oracle's lexical leg so the two can never drift.
+    * TextAnalysis.bm25TopK's scaladoc), shared by the x_rag_bm25 /
+    * x_rag_bm25_parts oracles and the x_rag_fuse oracle's lexical leg so
+    * they can never drift. Two typed-hash guards learned from the r8
+    * driver reds: `t_total` is CAST to BIGINT (DuckDB's bare sum(BIGINT)
+    * widens to HUGEINT, which then infects every downstream arithmetic
+    * column where Spark emits Long — schema-loose but hash-strict
+    * checkers reject the pair), and t_total is divided OUT of the tf
+    * fraction so no intermediate carries a corpus-token-count factor
+    * (the r7/r8 form's 44·tf·T·1e6 numerator wraps Spark's Long on a
+    * large corpus while DuckDB HUGEINT stays exact — the leading
+    * explanation for a driver-corpus-only divergence).
     */
   private val bm25Ctes =
     """WITH d AS (
       |  SELECT doc_id, str_split(trim(text), ' ') AS t
       |  FROM documents WHERE text IS NOT NULL),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl),
+      |stats AS (SELECT count(*) AS n_docs,
+      |          CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
@@ -2487,8 +2548,8 @@ object SparkEntry {
       |s AS (
       |  SELECT doc_id,
       |    ((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1))
-      |      * (44 * tf * t_total * 1000000
-      |         // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+      |      * (44 * tf * 1000000
+      |         // (20 * tf + 6 + (18 * dl * n_docs // t_total)))
       |      // 1000000 AS s
       |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
       |  CROSS JOIN stats)""".stripMargin

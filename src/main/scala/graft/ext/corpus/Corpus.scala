@@ -537,25 +537,60 @@ object Corpus {
     * parallelism dial. The report's per-shard `row_number` window runs
     * the IDENTICAL one-task-per-shard ordered pass, so the gate measures
     * the real write shape. `order_sum` = Σ pos·doc_id pins the exact
-    * permutation (any swap of two positions changes it); it aggregates
-    * in DECIMAL(38,0) because pos·doc_id exceeds Long once shards reach
-    * ~1e9 docs with ~1e10 ids — matching DuckDB's automatic HUGEINT sum.
+    * permutation (any swap of two positions changes it).
+    *
+    * Sign-safety and type discipline (round 9, after two rounds of
+    * driver-only hash reds): both draws come from 12-hex-char (48-bit)
+    * md5 substrings — chars 1–12 assign the shard, chars 13–24 the
+    * within-shard order — so neither engine ever parses 16 hex chars
+    * into the 2^63 sign boundary (the r8 form paired Spark's
+    * `conv(…,16,10) → DECIMAL(20,0)` against DuckDB's UBIGINT cast,
+    * two different unsigned-edge semantics). Every emitted aggregate is
+    * BIGINT: `sum(pos·doc_id)` fits Long while shard_rows·max_doc_id
+    * stays under ~9.2e18 (e.g. 1e8-doc shards of 1e10 ids) — the gate
+    * corpus sits orders of magnitude under that, and a deployment past
+    * it widens this one aggregate to DECIMAL(38,0) on BOTH sides rather
+    * than relying on DuckDB's silent HUGEINT promotion, which the
+    * driver's typed hash check rejects against a DECIMAL/BIGINT column.
     */
   def trainingShuffle(spark: SparkSession, dir: String, nShards: Int = 8,
       grain: Long = 1L << 40): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val d = docs(spark, dir).select(col("doc_id"))
       .withColumn("shard",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 16), " +
-          s"16, 10) AS DECIMAL(20,0)) % $nShards").cast("int"))
-      .withColumn("draw", md5Draw(grain).cast("long"))
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
+          s"16, 10) AS BIGINT) % $nShards").cast("int"))
+      .withColumn("draw",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), " +
+          s"16, 10) AS BIGINT) % $grain"))
     d.withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_ids"),
-        sum(expr("CAST(pos AS DECIMAL(38,0)) * doc_id")).as("order_sum"))
+        sum(expr("CAST(pos AS BIGINT) * doc_id")).as("order_sum"))
   }
+
+  /** Draw dump behind the `x_corpus_shuffle_draws` micro-gate:
+    * `(doc_id, shard, draw)` from [[trainingShuffle]]'s two
+    * content-addressed md5 draws for `doc_id < idCap` — the remote-
+    * diagnosis companion to the aggregate gate (same motivation as
+    * [[graft.ext.text.TextAnalysis.bm25Parts]]): if a driver
+    * environment ever disagrees on the permutation again, the red rows
+    * name the exact doc_id and which of the two draws diverged. The
+    * id filter pushes to the scan, so the gate costs one pruned read.
+    */
+  def trainingShuffleDraws(spark: SparkSession, dir: String,
+      nShards: Int = 8, grain: Long = 1L << 40,
+      idCap: Long = 100L): DataFrame =
+    docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < idCap)
+      .withColumn("shard",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
+          s"16, 10) AS BIGINT) % $nShards").cast("int"))
+      .withColumn("draw",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), " +
+          s"16, 10) AS BIGINT) % $grain"))
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rate every document by

@@ -484,14 +484,27 @@ object TextAnalysis {
     *      ~6666 where the log contributes ~8.8). This is a deliberate
     *      BM25-LIKE integer scorer chosen for oracle stability, not BM25
     *      fidelity),
-    *   tfc_e6  = 44·tf·T·SCALE div (20·T·tf + 6·T + 18·dl·N)
+    *   tfc_e6  = 44·tf·SCALE div (20·tf + 6 + (18·dl·N div T))
     *     (tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 6/5,
-    *      b = 3/4, avgdl = T/N, cleared to one integer fraction; the
-    *      44·tf·T·SCALE numerator overflows Long once tf·T exceeds
-    *      ~2.1e11 — e.g. a 1e9-token corpus with tf ≈ 200 — so the
-    *      integer form is bounded to corpora under ~1e10 total tokens;
-    *      past that, divide T out of the fraction first or use the
-    *      production double path),
+    *      b = 3/4, avgdl = T/N, cleared to one integer fraction and T
+    *      then DIVIDED OUT of numerator and denominator — the rounds-7/8
+    *      form kept T in both (44·tf·T·SCALE div (20·T·tf + 6·T +
+    *      18·dl·N)), whose numerator silently wraps Long once tf·T
+    *      exceeds ~2.1e11 (a 1e9-token corpus at tf ≈ 200) while the
+    *      DuckDB oracle's HUGEINT stays exact, so a large-enough corpus
+    *      diverges the two engines value-first, ranking-later. The
+    *      divided-out form's intermediates are 44·tf·SCALE (≤ 4.4e7·dl)
+    *      and 18·dl·N (Long-safe to N ~ 5e13 docs at dl 1e4) — corpus
+    *      token count T no longer bounds anything. The inner
+    *      `18·dl·N div T` floor makes this a slightly different
+    *      fixed-point approximation than the cleared fraction (the length
+    *      normalizer quantizes to 1/18ths of avgdl); both engines compute
+    *      the identical value because the inner div is the same
+    *      non-negative floor on both sides. Remaining Long bound: the
+    *      idf·tfc product, ≤ (2N+1)·SCALE·2.2·SCALE ⇒ Long-safe to
+    *      N ≈ 2e6 collection units; gate corpora sit far under it, and
+    *      production at larger N swaps the linear-odds idf for the
+    *      log-double path below anyway),
     * and a doc's score is Σ idf_e6·tfc_e6 div SCALE over its matched
     * terms — overflow-free at gate scale and bit-identical in DuckDB
     * (floor division — DuckDB's `//` — and truncation — Spark's DIV —
@@ -518,11 +531,51 @@ object TextAnalysis {
     * the drift the shared definition exists to prevent — keep every
     * operand non-negative (see [[bm25TopK]]'s scaladoc for why).
     */
-  private def bm25ScoreE6(Scale: Long): Column =
+  private[graft] def bm25ScoreE6(Scale: Long): Column =
     expr(s"""((2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1))
-            | * (44 * tf * t_total * $Scale
-            |    DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+            | * (44 * tf * $Scale
+            |    DIV (20 * tf + 6 + (18 * dl * n_docs DIV t_total)))
             | DIV $Scale""".stripMargin)
+
+  /** Component dump behind the `x_rag_bm25_parts` micro-gate: for each
+    * (doc, term) of [[bm25TopK]]'s top-`k` documents, every operand and
+    * both factor values of [[bm25ScoreE6]] — `tf, df, dl, n_docs,
+    * t_total, idf_e6, tfc_e6`. The round-8 driver hash-rejected
+    * `x_rag_bm25`/`x_rag_passage` while the full local chain passed at
+    * all three SFs; this gate exists so a remote red names WHICH operand
+    * or factor the two environments disagree on instead of one opaque
+    * summed score. Same plan shape as the scorer (filtered explode,
+    * broadcast df/stats, top-k heap) — adds one extra broadcast join of
+    * the 20-row top-k, so suite cost is unchanged.
+    */
+  def bm25Parts(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20): DataFrame = {
+    val Scale = 1000000L
+    val terms = queryTerms.distinct
+    val top = bm25TopK(spark, dir, queryTerms, k).select(col("doc_id"))
+    val d = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("t_total"),
+        expr(s"(2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1)")
+          .as("idf_e6"),
+        expr(s"""44 * tf * $Scale
+                | DIV (20 * tf + 6 + (18 * dl * n_docs DIV t_total))"""
+          .stripMargin).as("tfc_e6"))
+  }
 
   def bm25TopK(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
@@ -569,8 +622,9 @@ object TextAnalysis {
     * (MaxP). Ties on the max pick the smallest chunk_id; `n_chunks_hit`
     * counts the doc's chunks matching ≥ 1 query term. The arithmetic
     * portability contract (non-negative floor/truncate coincidence,
-    * Long overflow bound ~1e10 corpus tokens) is [[bm25TopK]]'s,
-    * unchanged.
+    * t_total divided out of the tf fraction so corpus token count bounds
+    * nothing, Long-safe to ~2e6 collection units via the idf·tfc
+    * product) is [[bm25TopK]]'s, unchanged.
     *
     * Scale shape: chunking is a narrow per-row explode riding the scan;
     * the tf explode is FILTERED to query terms before aggregating, so

@@ -505,8 +505,15 @@ object Analytics {
     * client, and the moments themselves merge associatively (partial
     * aggregates, map-side combine), which the FP forms only pretend to.
     * Long bounds: Σx² ≈ cents²·rows overflows past ~10¹⁸/2.4·10⁹ ≈
-    * 4·10⁸ rows per group at this value range — aggregate the moments
-    * in DECIMAL(38,0) beyond that (the dsir precedent).
+    * 4·10⁸ rows per group at this value range, and `cov_num`'s
+    * INTERMEDIATE PRODUCTS bind even earlier: n·Σxy and Σx·Σy each
+    * reach ~(rows·cents)·(rows·hours) ≈ rows²·cents·23, past 2^63 near
+    * ~2·10⁷ rows per group — before the true cov_num (their difference)
+    * does. The engines also disagree past the bound in DIFFERENT ways:
+    * Spark Long wraps silently (legacy) or throws (ANSI), while the
+    * DuckDB oracle computes the products in HUGEINT and only its final
+    * BIGINT cast raises. Past ~10⁷ rows per group, compute the moments
+    * AND cov_num in DECIMAL(38,0) on both sides (the dsir precedent).
     */
   def q28CovarSums(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -279,8 +279,7 @@ class CorpusSpec extends SparkSpec {
     val total = docs.count()
     val out = Corpus.trainingShuffle(spark, dir).collect()
       .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
-        r.getAs[Long]("sum_ids"),
-        r.getAs[java.math.BigDecimal]("order_sum")))
+        r.getAs[Long]("sum_ids"), r.getAs[Long]("order_sum")))
       .sortBy(_._1)
     // every document in exactly one shard (counts and id-sums partition)
     assert(out.map(_._2).sum == total)
@@ -294,23 +293,22 @@ class CorpusSpec extends SparkSpec {
     // content-addressed: bit-identical rerun
     val again = Corpus.trainingShuffle(spark, dir).collect()
       .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
-        r.getAs[Long]("sum_ids"),
-        r.getAs[java.math.BigDecimal]("order_sum")))
+        r.getAs[Long]("sum_ids"), r.getAs[Long]("order_sum")))
       .sortBy(_._1)
     assert(out.sameElements(again))
     // the within-shard order is a real permutation, not doc_id order:
     // order_sum must differ from the id-ordered checksum in some shard
     val byId = docs.select(col("doc_id"),
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 16), " +
-          "16, 10) AS DECIMAL(20,0)) % 8").cast("int").as("shard"))
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
+          "16, 10) AS BIGINT) % 8").cast("int").as("shard"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
           .orderBy(col("doc_id"))))
       .groupBy(col("shard"))
-      .agg(sum(expr("CAST(pos AS DECIMAL(38,0)) * doc_id")).as("order_sum"))
+      .agg(sum(expr("CAST(pos AS BIGINT) * doc_id")).as("order_sum"))
       .collect().map(r => (r.getAs[Int]("shard"),
-        r.getAs[java.math.BigDecimal]("order_sum"))).toMap
-    assert(out.exists { case (s, _, _, os) => byId(s).compareTo(os) != 0 },
+        r.getAs[Long]("order_sum"))).toMap
+    assert(out.exists { case (s, _, _, os) => byId(s) != os },
       "hash order coincides with doc_id order in every shard")
   }
 }

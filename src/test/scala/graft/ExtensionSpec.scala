@@ -1055,6 +1055,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("bm25 scorer survives corpus token counts near 2^63/44") {
+    import spark.implicits._
+    // a corpus token count that overflowed the r7/r8 cleared-fraction
+    // form's 44·tf·t_total·SCALE numerator; the divided-out form's
+    // intermediates stay bounded by 44·tf·SCALE and 18·dl·n_docs
+    val tT = Long.MaxValue / 44 - 7
+    val rows = Seq((200L, 3L, 500L, 1000000L, tT))
+      .toDF("tf", "df", "dl", "n_docs", "t_total")
+    val got = rows.select(TextAnalysis.bm25ScoreE6(1000000L).as("s"))
+      .collect().head.getLong(0)
+    val S = BigInt(1000000)
+    def ref(tf: BigInt, df: BigInt, dl: BigInt, n: BigInt,
+        t: BigInt): BigInt = {
+      val idf = (2 * (n - df) + 1) * S / (2 * df + 1)
+      val tfc = 44 * tf * S / (20 * tf + 6 + (18 * dl * n / t))
+      idf * tfc / S
+    }
+    val want = ref(200, 3, 500, 1000000, BigInt(tT))
+    assert(BigInt(got) == want && got > 0L, s"got=$got want=$want")
+    // the old form cannot survive these operands — it throws under ANSI
+    // (Spark 4 default) or silently wraps legacy; pin the hazard is real
+    val oldVal = try Some(rows.select(expr(
+        """((2 * (n_docs - df) + 1) * 1000000 DIV (2 * df + 1))
+          | * (44 * tf * t_total * 1000000
+          |    DIV (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs))
+          | DIV 1000000""".stripMargin).as("s"))
+        .collect().head.getLong(0))
+      catch { case _: Exception => None }
+    assert(oldVal.forall(v => BigInt(v) != want),
+      s"old cleared-fraction form unexpectedly correct: $oldVal")
+  }
+
+  test("bm25 parts gate: factors recombine to the gate scores") {
+    // the micro-gate's per-(doc, term) factors must reproduce the
+    // aggregate gate exactly: sum over terms of idf*tfc div SCALE = score
+    val parts = TextAnalysis.bm25Parts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("idf_e6") * r.getAs[Long]("tfc_e6") / 1000000L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val top = TextAnalysis.bm25TopK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(parts == top, s"parts=$parts top=$top")
+  }
+
   test("passage MaxP: hand-computed chunk scores, tie to min chunk, topk") {
     val scratch = graft.util.Scratch.dir("graft_passage").toString
     import spark.implicits._

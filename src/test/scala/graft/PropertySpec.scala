@@ -275,26 +275,34 @@ class PropertySpec extends SparkSpec {
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
     val md = java.security.MessageDigest.getInstance("MD5")
+    // round-9 draw contract: md5 hex chars 1-12 (= bytes 0-5) assign the
+    // shard, chars 13-24 (= bytes 6-11) the within-shard order — 48-bit
+    // values, sign-safe in every engine's 64-bit integer type
     def draws(id: Long): (Int, Long) = {
       val d = md.digest(id.toString.getBytes("UTF-8"))
       def be(off: Int): java.math.BigInteger =
-        new java.math.BigInteger(1, d.slice(off, off + 8))
+        new java.math.BigInteger(1, d.slice(off, off + 6))
       (be(0).mod(java.math.BigInteger.valueOf(8)).intValue,
-        be(8).mod(java.math.BigInteger.valueOf(1L << 40)).longValue)
+        be(6).mod(java.math.BigInteger.valueOf(1L << 40)).longValue)
     }
     val ref = ids.map(id => (id, draws(id)))
       .groupBy(_._2._1)
       .map { case (shard, members) =>
         val ordered = members.sortBy { case (id, (_, draw)) => (draw, id) }
         val orderSum = ordered.zipWithIndex
-          .map { case ((id, _), pos) => BigInt(pos + 1) * id }.sum
+          .map { case ((id, _), pos) => (pos + 1).toLong * id }.sum
         shard -> (members.length.toLong, members.map(_._1).sum, orderSum)
       }
     val got = Corpus.trainingShuffle(spark, dir).collect()
       .map(r => r.getAs[Int]("shard") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_ids"),
-          BigInt(r.getAs[java.math.BigDecimal]("order_sum").toBigInteger))))
+          r.getAs[Long]("order_sum"))))
       .toMap
     assert(got == ref, s"got=$got ref=$ref")
+    // the per-doc dump gate exposes the same two draws row-by-row
+    val dumped = Corpus.trainingShuffleDraws(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val wantDump = ids.filter(_ < 100L).map(id => id -> draws(id)).toMap
+    assert(dumped == wantDump, s"draw dump mismatch")
   }
 }

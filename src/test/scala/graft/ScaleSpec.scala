@@ -92,8 +92,9 @@ class ScaleSpec extends SparkSpec {
       "x_multimodal_phash", "x_multimodal_afp", "x_fuzzy_join",
       "x_fuzzy_join2",
       // pure batch plans (1-row query frames broadcast: BNLJ is fine)
-      "x_ann_topk", "x_rag_bm25", "x_rag_fuse", "x_rag_passage",
-      "x_rag_prf", "x_rag_snippet")
+      "x_ann_topk", "x_rag_bm25", "x_rag_bm25_parts", "x_rag_fuse",
+      "x_rag_passage", "x_rag_prf", "x_rag_snippet",
+      "x_corpus_shuffle_draws")
     // completeness gate: every registered query must be EXPLICITLY either
     // swept or excluded-with-a-reason — a new gate that is neither fails
     // here, so the sweep can never silently drift from the registry (it
