@@ -611,6 +611,54 @@ object TextAnalysis {
   def bm25Report(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(spark, dir)
 
+  /** PRODUCTION-path BM25: true Okapi scoring in doubles — the form the
+    * gate scorer's scaladoc defers to past its integer bounds. Same plan
+    * as [[bm25TopK]] (filtered explode → broadcast df/stats →
+    * TakeOrderedAndProject); only the arithmetic differs:
+    *   idf = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene's +1 form, so
+    *         idf stays positive even when df > N/2 — a raw RSJ log goes
+    *         negative there and a matching doc could rank below a
+    *         non-matching one),
+    *   tfc = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),  k1 1.2, b 0.75.
+    * No overflow at ANY corpus size (doubles), no oracle: libm `log` is
+    * not correctly rounded, so cross-engine bit-equality cannot be
+    * promised — this path is spec-tested against a plain-Scala reference
+    * and rank-compared to the integer gate form instead. The score is
+    * rounded to 6 dp to keep result files stable across JVMs at equal
+    * summation order (the per-doc sum has ≤ |query| addends in one
+    * partial, so order IS fixed).
+    */
+  def bm25TopKOkapi(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKOkapi needs at least one query term")
+    val terms = queryTerms.distinct
+    val d = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("t_total").cast("double") / col("n_docs")
+    val tfc = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfc).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Passage-level retrieval with MaxP document aggregation (Dai &
     * Callan 2019, "Deeper Text Understanding for IR with Contextual
     * Neural Language Modeling"): long documents dilute whole-document

@@ -1055,6 +1055,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("Okapi double-path BM25 matches a plain-Scala reference") {
+    val scratch = graft.util.Scratch.dir("graft_bm25d").toString
+    import spark.implicits._
+    Seq((1L, "red red blue"), (2L, "red green"),
+      (3L, "blue blue blue green"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    // N = 3 docs, T = 9 tokens, avgdl = 3; df(red) = df(blue) = 2
+    def idf(df: Int, n: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfc(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val want = Map(
+      1L -> (idf(2, 3) * tfc(2, 3) + idf(2, 3) * tfc(1, 3)),
+      2L -> idf(2, 3) * tfc(1, 2),
+      3L -> idf(2, 3) * tfc(3, 4))
+    val out = TextAnalysis
+      .bm25TopKOkapi(spark, scratch, queryTerms = Seq("red", "blue"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toList == List(1L, 3L, 2L),
+      s"okapi ranking: ${out.toList}")
+    out.foreach { case (id, s, _) =>
+      assert(math.abs(s - want(id)) < 1e-6, s"doc $id: $s vs ${want(id)}") }
+    assert(out.find(_._1 == 1L).get._3 == 2L)
+    // corpus: the double path must agree with the integer gate form on
+    // what matters — the rare term's idf dominance (same assertion the
+    // integer spec makes) and a large top-20 overlap between the two
+    val okapi = TextAnalysis.bm25TopKOkapi(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val gate = TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert((okapi & gate).size >= 10,
+      s"integer and double rankings diverged: ${okapi & gate}")
+    val plan = TextAnalysis.bm25TopKOkapi(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("bm25 scorer survives corpus token counts near 2^63/44") {
     import spark.implicits._
     // a corpus token count that overflowed the r7/r8 cleared-fraction
