@@ -228,6 +228,10 @@ object SparkEntry {
     // diverging quantity instead of one opaque summed score
     "x_rag_bm25_parts"   -> ((s, d) => TextAnalysis.bm25Parts(s, d)),
     "x_rag_fuse"         -> TextAnalysis.rrfReport _,
+    // winnowing (MOSS) fingerprint selection: min k-gram hash per window
+    // of w — guaranteed shared fingerprint for any shared substring of
+    // >= w+k-1 tokens; narrow per-row arrays, zero shuffles
+    "x_text_winnow"      -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // passage-level retrieval: chunk-granular BM25 + MaxP doc aggregation
     "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
@@ -1187,6 +1191,37 @@ object SparkEntry {
          |  ${duckPolyHash("lower(regexp_replace(text, '\\s+', ' ', 'g'))")}
          |    AS normalized_fingerprint
          |FROM documents""".stripMargin,
+    // winnowing: min 3-gram hash per window of 4, dedup'd per doc; the
+    // oracle replays gram hashing, windowed minima (range is
+    // end-EXCLUSIVE here vs Spark's inclusive sequence — the greatest()
+    // bounds differ by one for that reason), and the order-free sum.
+    // Outer lambda var is j: duckPolyHash's body binds i internally and
+    // would shadow an outer i
+    "x_text_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL THEN NULL
+         |         ELSE str_split(trim(text), ' ') END AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN t IS NULL OR len(t) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |      j -> ${duckPolyHash("t[j] || ' ' || t[j+1] || ' ' || t[j+2]")})
+         |    END AS gh
+         |  FROM toks),
+         |f AS (
+         |  SELECT doc_id, gh,
+         |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+         |    ELSE list_distinct(list_transform(
+         |      range(1, greatest(2, len(gh) - 2)),
+         |      j -> list_min(gh[j:j+3]))) END AS fp
+         |  FROM g)
+         |SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
+         |  CAST(len(fp) AS INTEGER) AS n_fingerprints,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fp),
+         |    (a, x) -> a + x) AS BIGINT) AS fp_sum
+         |FROM f""".stripMargin,
     // the SQL-registered polyhash must produce the same fold the Column
     // API produces — certifying the function-registration surface
     "x_sql_surface" ->

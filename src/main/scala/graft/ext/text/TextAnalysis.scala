@@ -659,6 +659,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): the guarantee-bearing fingerprint SELECTION that
+    * the flat [[graft.functions.PolyHash]] document checksum and the
+    * MinHash sketches don't give — pick the MINIMUM k-gram hash in every
+    * window of `w` consecutive k-grams, so any shared substring of at
+    * least w + k − 1 tokens between two documents is guaranteed to share
+    * at least one selected fingerprint (local, position-robust substring
+    * dedup/plagiarism detection; MinHash only bounds whole-document
+    * resemblance). Selected minima are deduplicated per document and
+    * summarized as a count + an order-free sum (each hash < 2^30 by
+    * PolyHash's modulus, so the sum is Long-exact to ~8e9 fingerprints
+    * per document — far past any real document).
+    *
+    * Documents with fewer than w k-grams get one window covering all of
+    * them (one fingerprint; standard boundary choice), and docs shorter
+    * than k tokens surface with zero counts rather than vanishing.
+    *
+    * Scale shape: entirely narrow per-row array expressions riding the
+    * scan (shingle → codegen'd PolyHash per gram → windowed array_min →
+    * array_distinct → aggregate) — zero shuffles, zero joins; the
+    * follow-on candidate join (who shares a fingerprint?) is the same
+    * banded equi-join shape as the LSH path and reuses its machinery.
+    * Every step is integer-exact, so the DuckDB oracle replays it
+    * verbatim.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    import graft.functions.PolyHash.poly_hash
+    val gh = transform(
+      graft.functions.ShingleArray.shingle_array_all(col("t"), k),
+      s => poly_hash(s))
+    val minima = transform(
+      sequence(lit(1), greatest(lit(1), size(col("gh")) - (w - 1))),
+      i => array_min(slice(col("gh"), i, lit(w))))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null)).otherwise(tokens(col("text")))
+          .as("t"))
+      .select(col("doc_id"),
+        when(col("t").isNull || size(col("t")) < k, array().cast("array<long>"))
+          .otherwise(gh).as("gh"))
+      .select(col("doc_id"), col("gh"),
+        when(size(col("gh")) === 0, array().cast("array<long>"))
+          .otherwise(array_distinct(minima)).as("fp"))
+      .select(col("doc_id"),
+        size(col("gh")).as("n_grams"),
+        size(col("fp")).as("n_fingerprints"),
+        aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+  }
+
   /** Passage-level retrieval with MaxP document aggregation (Dai &
     * Callan 2019, "Deeper Text Understanding for IR with Contextual
     * Neural Language Modeling"): long documents dilute whole-document

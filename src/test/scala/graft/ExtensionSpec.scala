@@ -1055,6 +1055,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("winnowing fingerprints match a plain-Scala reference; guarantee holds") {
+    val scratch = graft.util.Scratch.dir("graft_winnow").toString
+    import spark.implicits._
+    // doc1: 6 tokens -> 4 trigrams -> one window (4-4+1) -> 1 fingerprint
+    // doc2: 9 tokens -> 7 trigrams -> 4 windows
+    // doc3: shares doc2's last 6 tokens = w+k-1 -> MUST share a fingerprint
+    // doc4: 2 tokens (< k) -> zero grams; doc5 null text -> zero grams
+    val d2 = "p q r s t u v w x"
+    val d3 = "z z z " + d2.split(" ").drop(3).mkString(" ")
+    Seq((1L, "a b c d e f"), (2L, d2), (3L, d3), (4L, "a b"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    def fps(text: String): Set[Long] = {
+      val t = text.trim.split(" ")
+      if (t.length < 3) Set.empty
+      else {
+        val gh = t.sliding(3).map(g => ph(g.mkString(" "))).toVector
+        (1 to math.max(1, gh.length - 3)).map(i =>
+          gh.slice(i - 1, i + 3).min).toSet
+      }
+    }
+    val out = TextAnalysis.winnowFingerprints(spark, scratch).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    for ((id, text) <- Seq(1L -> "a b c d e f", 2L -> d2, 3L -> d3)) {
+      val f = fps(text)
+      val nGrams = text.split(" ").length - 2
+      assert(out(id) == ((nGrams, f.size, f.sum)),
+        s"doc $id: ${out(id)} vs ($nGrams, ${f.size}, ${f.sum})")
+    }
+    assert(out(4L) == ((0, 0, 0L)) && out(5L) == ((0, 0, 0L)))
+    // the winnowing guarantee: a shared substring of >= w+k-1 = 6 tokens
+    // forces a shared selected fingerprint between the two documents
+    assert((fps(d2) & fps(d3)).nonEmpty, "guarantee violated")
+  }
+
   test("Okapi double-path BM25 matches a plain-Scala reference") {
     val scratch = graft.util.Scratch.dir("graft_bm25d").toString
     import spark.implicits._
