@@ -232,6 +232,12 @@ object SparkEntry {
     // of w — guaranteed shared fingerprint for any shared substring of
     // >= w+k-1 tokens; narrow per-row arrays, zero shuffles
     "x_text_winnow"      -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
+    // df-capped candidate join over shared winnow fingerprints: the
+    // substring-level dedup step (pairs sharing >= 2 selected minima);
+    // contiguous 512-doc block per the suite cost rule (a mod-slice
+    // destroys the adjacent-id near-dup pairs) — see winnowPairs's doc
+    "x_text_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(s, d, idCap = 512L)),
     "x_rag_mmr"          -> ((s, d) => Similarity.mmrRerank(s, d)),
     // passage-level retrieval: chunk-granular BM25 + MaxP doc aggregation
     "x_rag_passage"      -> ((s, d) => TextAnalysis.passageTopK(s, d)),
@@ -1197,31 +1203,26 @@ object SparkEntry {
     // bounds differ by one for that reason), and the order-free sum.
     // Outer lambda var is j: duckPolyHash's body binds i internally and
     // would shadow an outer i
-    "x_text_winnow" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN text IS NULL THEN NULL
-         |         ELSE str_split(trim(text), ' ') END AS t
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    CASE WHEN t IS NULL OR len(t) < 3 THEN CAST([] AS BIGINT[])
-         |    ELSE list_transform(range(1, len(t) - 1),
-         |      j -> ${duckPolyHash("t[j] || ' ' || t[j+1] || ' ' || t[j+2]")})
-         |    END AS gh
-         |  FROM toks),
-         |f AS (
-         |  SELECT doc_id, gh,
-         |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
-         |    ELSE list_distinct(list_transform(
-         |      range(1, greatest(2, len(gh) - 2)),
-         |      j -> list_min(gh[j:j+3]))) END AS fp
-         |  FROM g)
+    "x_text_winnow" -> s"""$winnowCtes
          |SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
          |  CAST(len(fp) AS INTEGER) AS n_fingerprints,
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fp),
          |    (a, x) -> a + x) AS BIGINT) AS fp_sum
          |FROM f""".stripMargin,
+    // winnow candidate pairs: unnest the same fp sets (contiguous
+    // 512-doc block, matching the engine gate), drop boilerplate
+    // fingerprints (df > 32) and singletons, self-join, keep pairs
+    // sharing >= 2
+    "x_text_winnow_pairs" -> s"""$winnowCtes,
+         |u AS (SELECT doc_id, unnest(fp) AS fh FROM f
+         |      WHERE doc_id < 512),
+         |rare AS (
+         |  SELECT fh FROM u GROUP BY fh
+         |  HAVING count(*) >= 2 AND count(*) <= 32),
+         |ku AS (SELECT doc_id, fh FROM u JOIN rare USING (fh))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM ku a JOIN ku b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // the SQL-registered polyhash must produce the same fold the Column
     // API produces — certifying the function-registration surface
     "x_sql_surface" ->
@@ -2503,6 +2504,31 @@ object SparkEntry {
     */
   private def duckClassifierWeight(tokenExpr: String): String =
     s"((${duckPolyHash(tokenExpr)} % 64) * 37 + 11) % 21 - 10"
+
+  /** The winnowing fingerprint-set CTE chain (k = 3, w = 4 — see
+    * TextAnalysis.winnowFingerprints), shared by the x_text_winnow and
+    * x_text_winnow_pairs oracles so the selection rule cannot drift.
+    */
+  private lazy val winnowCtes =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN NULL
+       |         ELSE str_split(trim(text), ' ') END AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN t IS NULL OR len(t) < 3 THEN CAST([] AS BIGINT[])
+       |    ELSE list_transform(range(1, len(t) - 1),
+       |      j -> ${duckPolyHash("t[j] || ' ' || t[j+1] || ' ' || t[j+2]")})
+       |    END AS gh
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id, gh,
+       |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+       |    ELSE list_distinct(list_transform(
+       |      range(1, greatest(2, len(gh) - 2)),
+       |      j -> list_min(gh[j:j+3]))) END AS fp
+       |  FROM g)""".stripMargin
 
   private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -685,8 +685,13 @@ object TextAnalysis {
     * Every step is integer-exact, so the DuckDB oracle replays it
     * verbatim.
     */
-  def winnowFingerprints(spark: SparkSession, dir: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
+  /** The (doc_id, n_grams, fp: array<long>) frame behind both winnow
+    * surfaces — ONE site for the selection rule (the [[winnowPairs]]
+    * guarantee only holds if the pair join uses EXACTLY the gate's
+    * fingerprints).
+    */
+  private def winnowSets(spark: SparkSession, dir: String,
+      k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
     import graft.functions.PolyHash.poly_hash
     val gh = transform(
@@ -702,13 +707,70 @@ object TextAnalysis {
       .select(col("doc_id"),
         when(col("t").isNull || size(col("t")) < k, array().cast("array<long>"))
           .otherwise(gh).as("gh"))
-      .select(col("doc_id"), col("gh"),
+      .select(col("doc_id"), size(col("gh")).as("n_grams"),
         when(size(col("gh")) === 0, array().cast("array<long>"))
           .otherwise(array_distinct(minima)).as("fp"))
-      .select(col("doc_id"),
-        size(col("gh")).as("n_grams"),
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(spark, dir, k, w)
+      .select(col("doc_id"), col("n_grams"),
         size(col("fp")).as("n_fingerprints"),
         aggregate(col("fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+
+  /** Substring-level near-dup candidates: document pairs sharing at
+    * least `minShared` selected winnowing fingerprints — the candidate
+    * join [[winnowFingerprints]]'s scaladoc promises. By the winnowing
+    * guarantee, any pair sharing a run of ≥ w + k − 1 tokens through a
+    * sub-`maxDf` fingerprint appears here; MinHash/LSH would need the
+    * whole documents to resemble each other.
+    *
+    * Scale shape: the same defense stack as the LSH band join —
+    * fingerprints are df-capped (`maxDf`) BEFORE the self-join, so
+    * boilerplate grams every document contains (the quadratic hot
+    * buckets) are dropped by a count aggregate instead of exploding the
+    * join, and the shuffle carries only 16-byte (fingerprint, doc_id)
+    * rows, never text. The df cap is the standard stop-gram trade: a
+    * substring shared by MORE than maxDf documents is boilerplate by
+    * definition and belongs to the [[graft.ext.dedup.TextDedup
+    * .duplicatedSpans]] report, not the pair list.
+    *
+    * `idCap` bounds the gate to the CONTIGUOUS block `doc_id < idCap`
+    * (a min/max-prunable scan predicate) rather than a mod-slice: the
+    * planted near-dups live at adjacent ids, so a mod-slice keeps the
+    * docs but destroys the pairs (0 result rows at sf0.01), while a
+    * block keeps the local duplicate structure intact. The cap exists
+    * because the synthetic corpus's small vocabulary makes low-df
+    * trigram collisions dense (12.6 s uncapped at sf0.1 vs ~1 s at
+    * 512 docs), while a real Zipfian corpus concentrates collisions in
+    * the df-capped head. The uncapped form is spec-exercised at
+    * sf0.001 (reference equality + LSH coverage).
+    */
+  def winnowPairs(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 32, idCap: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2 && idCap >= 1,
+      s"bad params: minShared=$minShared maxDf=$maxDf idCap=$idCap")
+    val sets = winnowSets(spark, dir, k, w)
+      .filter(col("doc_id") < idCap)
+    // materialize the (fingerprint, doc_id) table once: it feeds the df
+    // aggregate AND both self-join sides, and the fingerprinting subtree
+    // (nested array transforms over every gram) is the expensive part —
+    // same reuse pattern as TextDedup.minhashLshPairsOf
+    val fp = sets.select(col("doc_id"), explode(col("fp")).as("f"))
+      .localCheckpoint(true)
+    val rare = fp.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxDf)
+      .select(col("f"))
+    val keyed = fp.join(rare, "f")
+    keyed.select(col("f"), col("doc_id").as("d1"))
+      .join(keyed.select(col("f"), col("doc_id").as("d2")), "f")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Passage-level retrieval with MaxP document aggregation (Dai &

@@ -1092,6 +1092,30 @@ class TextAnalysisSpec extends SparkSpec {
     // the winnowing guarantee: a shared substring of >= w+k-1 = 6 tokens
     // forces a shared selected fingerprint between the two documents
     assert((fps(d2) & fps(d3)).nonEmpty, "guarantee violated")
+    // the pair join surfaces exactly the pairs the reference fp sets
+    // share (minShared=1 so the single guaranteed fingerprint suffices)
+    val texts = Map(1L -> "a b c d e f", 2L -> d2, 3L -> d3)
+    val wantPairs = (for {
+      (i, ti) <- texts; (j, tj) <- texts if i < j
+      shared = (fps(ti) & fps(tj)).size if shared >= 1
+    } yield (i, j, shared.toLong)).toSet
+    val gotPairs = TextAnalysis.winnowPairs(spark, scratch, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs == wantPairs, s"got=$gotPairs want=$wantPairs")
+  }
+
+  test("winnow pairs cover the LSH near-dup pairs on the corpus") {
+    // near-dups at jaccard >= 0.8 necessarily share token runs of >= 6
+    // (edits dense enough to break every run would destroy far more than
+    // 20% of the 3-gram shingles) — so the substring-level candidate set
+    // must contain every whole-document near-dup pair
+    val lsh = TextDedup.minhashLshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = TextAnalysis.winnowPairs(spark, dir, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert((lsh -- winnow).isEmpty,
+      s"near-dup pairs missing from winnow candidates: ${lsh -- winnow}")
   }
 
   test("Okapi double-path BM25 matches a plain-Scala reference") {

@@ -81,7 +81,8 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
       "x_text_tokens", "x_text_quality", "x_text_langid",
       "x_text_classify",
-      "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
+      "x_text_fingerprint", "x_text_winnow", "x_text_winnow_pairs",
+      "x_text_redact", "x_text_chunk",
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
       "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
       "x_corpus_mixture", "x_corpus_rebalance", "x_corpus_curriculum",
