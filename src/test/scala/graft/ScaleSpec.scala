@@ -173,6 +173,21 @@ class ScaleSpec extends SparkSpec {
       f"$perRecord%.1f B/record — document bodies leaked into the shuffle")
   }
 
+  test("winnow pair join shuffles fingerprint ids, never document bodies") {
+    // the df aggregate, both join sides, and the pair count all shuffle
+    // only (fingerprint: 8B, doc_id: 8B) rows — text stays in the scan
+    // stage. Avg text ~306 bytes at sf0.001: a leak would show up as
+    // hundreds of bytes per shuffle record.
+    val (rows, bytes, records) =
+      graft.ShuffleAudit.audit(spark, "/root/testdata/sf0.001",
+        "x_text_winnow_pairs")
+    assert(rows > 0)
+    assert(records > 0)
+    val perRecord = bytes.toDouble / records
+    assert(perRecord < 64,
+      f"$perRecord%.1f B/record — document bodies leaked into the shuffle")
+  }
+
   test("bounded-heap kNN shuffles one heap per query, not the cross product") {
     // 50 query vectors (vec_id % 10 == 0 of 500) self-joined at full
     // radius: the naive cross product is 2 500 rows. The bounded heap
