@@ -531,29 +531,32 @@ object TextAnalysis {
     * the drift the shared definition exists to prevent — keep every
     * operand non-negative (see [[bm25TopK]]'s scaladoc for why).
     */
-  private[graft] def bm25ScoreE6(Scale: Long): Column =
-    expr(s"""((2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1))
-            | * (44 * tf * $Scale
-            |    DIV (20 * tf + 6 + (18 * dl * n_docs DIV t_total)))
-            | DIV $Scale""".stripMargin)
+  // The two factor expressions composed by the score, kept as SQL
+  // strings so the score can recombine them with integer DIV (Column's
+  // `/` would widen to double): the x_rag_bm25_parts diagnostic gate
+  // decomposes the SAME strings the score multiplies, so gate and
+  // diagnosis cannot drift apart the way re-declared copies could.
+  private def bm25IdfSql(Scale: Long): String =
+    s"(2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1)"
 
-  /** Component dump behind the `x_rag_bm25_parts` micro-gate: for each
-    * (doc, term) of [[bm25TopK]]'s top-`k` documents, every operand and
-    * both factor values of [[bm25ScoreE6]] — `tf, df, dl, n_docs,
-    * t_total, idf_e6, tfc_e6`. The round-8 driver hash-rejected
-    * `x_rag_bm25`/`x_rag_passage` while the full local chain passed at
-    * all three SFs; this gate exists so a remote red names WHICH operand
-    * or factor the two environments disagree on instead of one opaque
-    * summed score. Same plan shape as the scorer (filtered explode,
-    * broadcast df/stats, top-k heap) — adds one extra broadcast join of
-    * the 20-row top-k, so suite cost is unchanged.
+  private def bm25TfcSql(Scale: Long): String =
+    s"44 * tf * $Scale DIV (20 * tf + 6 + (18 * dl * n_docs DIV t_total))"
+
+  private[graft] def bm25IdfE6(Scale: Long): Column = expr(bm25IdfSql(Scale))
+
+  private[graft] def bm25TfcE6(Scale: Long): Column = expr(bm25TfcSql(Scale))
+
+  private[graft] def bm25ScoreE6(Scale: Long): Column =
+    expr(s"(${bm25IdfSql(Scale)}) * (${bm25TfcSql(Scale)}) DIV $Scale")
+
+  /** The per-(unit, term) scoring-operand frame every BM25 surface
+    * scores over — `doc_id, term, tf, df, dl, n_docs, t_total` — built
+    * in ONE place for [[bm25TopK]], [[bm25Parts]], and
+    * [[bm25TopKOkapi]] (filtered explode → broadcast df → dl join →
+    * broadcast 1-row stats).
     */
-  def bm25Parts(spark: SparkSession, dir: String,
-      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
-      k: Int = 20): DataFrame = {
-    val Scale = 1000000L
-    val terms = queryTerms.distinct
-    val top = bm25TopK(spark, dir, queryTerms, k).select(col("doc_id"))
+  private def bm25Operands(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val d = docs(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -567,14 +570,37 @@ object TextAnalysis {
     tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .join(broadcast(top), "doc_id")
+  }
+
+  /** Component dump behind the `x_rag_bm25_parts` micro-gate: for each
+    * (doc, term) of the top-`k` documents, every operand and both factor
+    * values of [[bm25ScoreE6]] — `tf, df, dl, n_docs, t_total, idf_e6,
+    * tfc_e6`, via the SAME [[bm25IdfE6]]/[[bm25TfcE6]] expressions the
+    * score multiplies. The round-8 driver hash-rejected
+    * `x_rag_bm25`/`x_rag_passage` while the full local chain passed at
+    * all three SFs; this gate exists so a remote red names WHICH operand
+    * or factor the two environments disagree on instead of one opaque
+    * summed score. Cost: the shared operand subtree evaluates twice
+    * (once under the top-k, once under the dump — Spark shares no
+    * subplan across sinks without materialization), so the gate costs
+    * ~2× one scoring pass over the term-matching rows; at 0.96 s solo
+    * that is accepted rather than paying a checkpoint.
+    */
+  def bm25Parts(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+      k: Int = 20): DataFrame = {
+    val Scale = 1000000L
+    val operands = bm25Operands(spark, dir, queryTerms.distinct)
+    val top = operands
+      .select(col("doc_id"), bm25ScoreE6(Scale).as("s"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"))
+    operands.join(broadcast(top), "doc_id")
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
         col("n_docs"), col("t_total"),
-        expr(s"(2 * (n_docs - df) + 1) * $Scale DIV (2 * df + 1)")
-          .as("idf_e6"),
-        expr(s"""44 * tf * $Scale
-                | DIV (20 * tf + 6 + (18 * dl * n_docs DIV t_total))"""
-          .stripMargin).as("tfc_e6"))
+        bm25IdfE6(Scale).as("idf_e6"), bm25TfcE6(Scale).as("tfc_e6"))
   }
 
   def bm25TopK(spark: SparkSession, dir: String,
@@ -582,20 +608,7 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val Scale = 1000000L
-    val terms = queryTerms.distinct
-    val d = docs(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
-    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    bm25Operands(spark, dir, queryTerms.distinct)
       .select(col("doc_id"), bm25ScoreE6(Scale).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).as("bm25_e6"), count(lit(1)).as("n_terms_hit"))
@@ -632,25 +645,12 @@ object TextAnalysis {
       queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKOkapi needs at least one query term")
-    val terms = queryTerms.distinct
-    val d = docs(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
-    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val avgdl = col("t_total").cast("double") / col("n_docs")
     val tfc = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    bm25Operands(spark, dir, queryTerms.distinct)
       .select(col("doc_id"), (idf * tfc).as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("bm25"),
@@ -684,11 +684,11 @@ object TextAnalysis {
     * banded equi-join shape as the LSH path and reuses its machinery.
     * Every step is integer-exact, so the DuckDB oracle replays it
     * verbatim.
-    */
-  /** The (doc_id, n_grams, fp: array<long>) frame behind both winnow
-    * surfaces — ONE site for the selection rule (the [[winnowPairs]]
-    * guarantee only holds if the pair join uses EXACTLY the gate's
-    * fingerprints).
+    *
+    * This frame — (doc_id, n_grams, fp: array<long>) — is the ONE site
+    * for the selection rule, consumed by both [[winnowFingerprints]]
+    * (the summary gate) and [[winnowPairs]] (whose guarantee only holds
+    * if the pair join uses EXACTLY the gate's fingerprints).
     */
   private def winnowSets(spark: SparkSession, dir: String,
       k: Int, w: Int): DataFrame = {
@@ -712,6 +712,12 @@ object TextAnalysis {
           .otherwise(array_distinct(minima)).as("fp"))
   }
 
+  /** Per-document summary of [[winnowSets]]'s selection (the
+    * `x_text_winnow` gate): gram count, fingerprint count, and the
+    * order-free fingerprint sum — see winnowSets' scaladoc for the
+    * algorithm, its w+k−1 shared-substring guarantee, and the scale
+    * shape.
+    */
   def winnowFingerprints(spark: SparkSession, dir: String,
       k: Int = 3, w: Int = 4): DataFrame =
     winnowSets(spark, dir, k, w)

@@ -1099,9 +1099,17 @@ class TextAnalysisSpec extends SparkSpec {
       (i, ti) <- texts; (j, tj) <- texts if i < j
       shared = (fps(ti) & fps(tj)).size if shared >= 1
     } yield (i, j, shared.toLong)).toSet
-    val gotPairs = TextAnalysis.winnowPairs(spark, scratch, minShared = 1)
+    val pairsDf = TextAnalysis.winnowPairs(spark, scratch, minShared = 1)
+    val gotPairs = pairsDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotPairs == wantPairs, s"got=$gotPairs want=$wantPairs")
+    // the pair join must stay an equi-join on the fingerprint: this
+    // replaces the ScaleSpec sweep for this gate (its localCheckpoint
+    // truncates the sweep-visible plan at the checkpointed RDD, and the
+    // joins are exactly the part downstream of it — the upstream
+    // fingerprinting is all narrow array expressions)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
   test("winnow pairs cover the LSH near-dup pairs on the corpus") {

@@ -81,8 +81,7 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
       "x_text_tokens", "x_text_quality", "x_text_langid",
       "x_text_classify",
-      "x_text_fingerprint", "x_text_winnow", "x_text_winnow_pairs",
-      "x_text_redact", "x_text_chunk",
+      "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
       "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
       "x_corpus_mixture", "x_corpus_rebalance", "x_corpus_curriculum",
@@ -110,6 +109,11 @@ class ScaleSpec extends SparkSpec {
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
       "x_dedup_stream",
       // write/stage side effects on construction (covered by their specs)
+      // x_text_winnow_pairs: localCheckpoint materializes the fingerprint
+      // table on construction AND truncates the inspectable plan at the
+      // checkpoint — its join plan is CartesianProduct-asserted in its own
+      // spec instead
+      "x_text_winnow_pairs",
       "p_csv_roundtrip", "p_orc_roundtrip", "p_compact_files",
       "p_bucketed_join", "p_schema_evolve", "p_salted_stats",
       "x_jsonl_roundtrip", "x_sql_surface",
