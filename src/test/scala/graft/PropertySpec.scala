@@ -269,6 +269,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprints equal a plain-Scala reference on random corpora") {
+    // random docs over a deliberately tiny vocabulary (dense gram
+    // collisions, repeated grams within a doc, window ties) plus the
+    // degenerate lengths around k and w — the fixture spec covers the
+    // curated cases; this pins the selection rule on the adversarial ones
+    val vocab = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, vocab))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) =>
+        (a * 31 + (b & 0xff)) % 1000000007L)
+    def ref(text: String): (Int, Int, Long) = {
+      val t = text.trim.split(" ")
+      if (text.trim.isEmpty || t.length < 3) (0, 0, 0L)
+      else {
+        val gh = t.sliding(3).map(g => ph(g.mkString(" "))).toVector
+        val fp = (1 to math.max(1, gh.length - 3))
+          .map(i => gh.slice(i - 1, i + 3).min).toSet
+        (gh.length, fp.size, fp.sum)
+      }
+    }
+    val scratch = graft.util.Scratch.dir("graft_winnow_prop").toString
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val got = graft.ext.text.TextAnalysis.winnowFingerprints(spark, scratch)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    val want = texts.map { case (id, t) => id -> ref(t) }.toMap
+    assert(got == want,
+      s"mismatches: ${want.collect { case (k, v) if got(k) != v => (k, got(k), v) }}")
+  }
+
+  test("bm25 integer scorer equals a BigInt reference on random operands") {
+    // operands spanning the documented envelope, including the
+    // near-overflow corner (t_total to ~2^63/44) the round-9 rework
+    // exists for; the BigInt reference is overflow-free by construction
+    val gen = for {
+      tf <- Gen.choose(1L, 5000L)
+      dfv <- Gen.choose(1L, 1000000L)
+      n <- Gen.choose(dfv, 2000000L)   // df <= n_docs
+      dl <- Gen.choose(tf, 100000L)    // tf <= dl
+      t <- Gen.choose(dl, Long.MaxValue / 44 - 1)  // t_total >= dl
+    } yield (tf, dfv, dl, n, t)
+    val rows = samples(gen, 150)
+    val got = rows.toDF("tf", "df", "dl", "n_docs", "t_total")
+      .select(graft.ext.text.TextAnalysis.bm25ScoreE6(1000000L).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val S = BigInt(1000000)
+    val want = rows.map { case (tf, dfv, dl, n, t) =>
+      val idf = (2 * (BigInt(n) - dfv) + 1) * S / (2 * BigInt(dfv) + 1)
+      val tfc = 44 * BigInt(tf) * S /
+        (20 * BigInt(tf) + 6 + (18 * BigInt(dl) * n / t))
+      idf * tfc / S
+    }
+    assert(got.map(BigInt(_)) == want)
+    assert(got.forall(_ >= 0L), "scorer produced a negative score")
+  }
+
   test("training shuffle equals a plain-Scala md5 reference computation") {
     import graft.ext.corpus.Corpus
     val dir = "/root/testdata/sf0.001"
