@@ -46,6 +46,10 @@ object SparkEntry {
     "q21_except"         -> Analytics.q21Except _,
     // SURVEY §2 parity operators over the events (telemetry) table
     "p_json_parse"       -> EventOps.jsonParse _,
+    // the same parse through Spark 4's binary VARIANT encoding
+    // (try_parse_json + typed try_variant_get) — both JSON front doors
+    // pinned to one oracle
+    "p_variant_extract"  -> EventOps.variantExtract _,
     "p_filter_alert"     -> EventOps.filterAlert _,
     "p_normalize"        -> EventOps.normalize _,
     "p_latest_per_key"   -> EventOps.latestPerKey _,
@@ -781,6 +785,13 @@ object SparkEntry {
         |  concat_ws('-', 'evt', event_type) AS tagged
         |FROM (SELECT DISTINCT event_type FROM events) q""".stripMargin,
     "p_json_parse" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL""".stripMargin,
+    // identical oracle to p_json_parse BY DESIGN: the variant path must
+    // agree with the from_json path row for row
+    "p_variant_extract" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events

@@ -71,6 +71,27 @@ class QueryApiSpec extends SparkSpec {
 
 class PipelineSpec extends SparkSpec {
 
+  test("variant JSON path agrees with from_json; corrupt values drop") {
+    import graft.queries.EventOps
+    val dir = "/root/testdata/sf0.001"
+    val a = EventOps.jsonParse(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = EventOps.variantExtract(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a.nonEmpty && a == b,
+      s"paths disagree: only-json=${a -- b} only-variant=${b -- a}")
+    // the PERMISSIVE-drop contract on the variant path: corrupt JSON,
+    // non-int values, and nulls become null, never exceptions
+    import spark.implicits._
+    val out = Seq("""{"k": 7}""", "{broken", """{"k": "x"}""",
+        null.asInstanceOf[String])
+      .toDF("props")
+      .select(org.apache.spark.sql.functions.expr(
+        "try_variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.toList == List(Some(7), None, None, None), out.toList)
+  }
+
   test("end-to-end: json files → normalize → latest state + lake + alerts") {
     val srcDir = tmpDir("wire")
     val lakeDir = tmpDir("lake")
