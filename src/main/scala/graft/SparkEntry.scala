@@ -36,6 +36,8 @@ object SparkEntry {
     "q12_tumbling_window" -> Analytics.q12TumblingWindow _,
     "q13_rollup"         -> Analytics.q13Rollup _,
     "q14_pivot"          -> Analytics.q14Pivot _,
+    // native unpivot folding the pivot back to long form (zero rows kept)
+    "q14_unpivot"        -> Analytics.q14Unpivot _,
     "q15_percentiles"    -> Analytics.q15Percentiles _,
     "q15_percentiles_approx" -> Analytics.q15ApproxPercentiles _,
     "q16_session_window" -> Analytics.q16SessionWindow _,
@@ -717,6 +719,22 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // the unpivot must reproduce the dense date x type grid the pivot's
+    // zero-fill created — rebuilt here independently via cross join
+    "q14_unpivot" ->
+      """WITH dates AS (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events),
+        |t(event_type) AS (VALUES ('click'), ('view'), ('purchase'),
+        |  ('signup'), ('error')),
+        |c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.date, t.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM dates d CROSS JOIN t
+        |LEFT JOIN c ON c.date = d.date AND c.event_type = t.event_type"""
+        .stripMargin,
     "q14_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

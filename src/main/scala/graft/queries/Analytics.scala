@@ -310,6 +310,22 @@ object Analytics {
       .count()
       .na.fill(0L)
 
+  /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
+    * native melt) folds the five per-type count columns back into long
+    * form `(date, event_type, n)` — including the explicit zero rows the
+    * pivot's `na.fill` created, so the pair is a lossless round trip
+    * (the oracle rebuilds the dense date × type grid independently and
+    * must agree row for row). Unpivot is a narrow per-row generate — the
+    * only shuffle in the plan is the pivot's own aggregate; at 100 TB
+    * the wide→long fold adds zero exchange.
+    */
+  def q14Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q14Pivot(spark, dir).unpivot(
+      Array(col("date")),
+      Array(col("click"), col("view"), col("purchase"), col("signup"),
+        col("error")),
+      "event_type", "n")
+
   /** Exact percentiles (median/p90) of the event value per type — sort-based
     * exact percentile; at 100 TB swap to `approx_percentile` (t-digest,
     * partial-aggregating) and document the error bound.
