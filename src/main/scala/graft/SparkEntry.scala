@@ -35,6 +35,8 @@ object SparkEntry {
     "q11_scalar_subq"    -> Analytics.q11ScalarSubquery _,
     "q12_tumbling_window" -> Analytics.q12TumblingWindow _,
     "q13_rollup"         -> Analytics.q13Rollup _,
+    // CUBE lattice + grouping_id marker (rollup's sibling)
+    "q13_cube"           -> Analytics.q13Cube _,
     "q14_pivot"          -> Analytics.q14Pivot _,
     // native unpivot folding the pivot back to long form (zero rows kept)
     "q14_unpivot"        -> Analytics.q14Unpivot _,
@@ -719,6 +721,14 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // CUBE + the grouping_id bitmask (DuckDB GROUPING emits the same
+    // bit order as Spark's grouping_id — pinned here)
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     // the unpivot must reproduce the dense date x type grid the pivot's
     // zero-fill created — rebuilt here independently via cross join
     "q14_unpivot" ->

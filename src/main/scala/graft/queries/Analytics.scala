@@ -294,6 +294,23 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** CUBE with `grouping_id` — [[q13Rollup]]'s sibling covering the all
+    * 2^n grouping-set lattice plus the marker column real reports need:
+    * `grouping_id()`'s bitmask (bit i set ⇔ column i aggregated away)
+    * is the only way to tell a NULL that IS data from a NULL that means
+    * "subtotal", and its bit order is an engine contract worth pinning
+    * cross-engine (DuckDB's `GROUPING(a, b)` emits the same mask).
+    * Physically one pass: Spark plans cube as Expand (4 rows per input
+    * row here) + one hash aggregate — no per-grouping-set rescans; at
+    * 100 TB the Expand factor 2^n is the cost dial, which is why the
+    * gate cubes two low-cardinality columns, not ten.
+    */
+  def q13Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+
   // encoding-adaptive shared reader — see graft.util.EventTs
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.util.EventTs.readEvents(spark, dir)

@@ -65,8 +65,8 @@ class ScaleSpec extends SparkSpec {
       "q1_pricing_summary", "q3_top_orders", "q4_segment_stats",
       "q5_revenue_nation", "q6_supplier_rank", "q6_rank_topk_agg",
       "q7_brand_parts", "q8_exists_semi", "q9_anti_join", "q10_set_ops",
-      "q11_scalar_subq", "q12_tumbling_window", "q13_rollup", "q14_pivot",
-      "q14_unpivot",
+      "q11_scalar_subq", "q12_tumbling_window", "q13_rollup", "q13_cube",
+      "q14_pivot", "q14_unpivot",
       "q15_percentiles", "q15_percentiles_approx", "q16_session_window",
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
