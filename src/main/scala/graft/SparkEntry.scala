@@ -37,6 +37,8 @@ object SparkEntry {
     "q13_rollup"         -> Analytics.q13Rollup _,
     // CUBE lattice + grouping_id marker (rollup's sibling)
     "q13_cube"           -> Analytics.q13Cube _,
+    // ordered listagg (Spark 4.0) over a provably bounded domain
+    "q29_listagg"        -> Analytics.q29Listagg _,
     "q14_pivot"          -> Analytics.q14Pivot _,
     // native unpivot folding the pivot back to long form (zero rows kept)
     "q14_unpivot"        -> Analytics.q14Unpivot _,
@@ -721,6 +723,12 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // ordered listagg == string_agg with the same lexicographic ORDER BY
+    "q29_listagg" ->
+      """SELECT event_type,
+        |  string_agg(DISTINCT CAST(hour(ts) AS VARCHAR), ','
+        |    ORDER BY CAST(hour(ts) AS VARCHAR)) AS hours_csv
+        |FROM events GROUP BY event_type""".stripMargin,
     // CUBE + the grouping_id bitmask (DuckDB GROUPING emits the same
     // bit order as Spark's grouping_id — pinned here)
     "q13_cube" ->

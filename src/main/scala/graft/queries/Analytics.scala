@@ -327,6 +327,26 @@ object Analytics {
       .count()
       .na.fill(0L)
 
+  /** `listagg` (new in Spark 4.0) — ordered string aggregation, the SQL
+    * answer to "give me the group's members as one delimited cell".
+    * Determinism is the whole design problem: bare `listagg` concatenates
+    * in arrival order (unusable under a value-hash oracle, subtly flaky
+    * in production retries), so the gate pins the `WITHIN GROUP (ORDER
+    * BY ...)` form — DuckDB's `string_agg(... ORDER BY ...)` orders
+    * identically (both lexicographic on VARCHAR). Scale contract: a
+    * concatenating aggregate's state is unbounded in group size, so it
+    * belongs on PROVABLY bounded domains — here ≤ 24 distinct hour
+    * strings per type; an unbounded-member listagg at 100 TB is the
+    * sorted-postings problem and gets the inverted-index treatment
+    * (bounded arrays + explicit caps) instead.
+    */
+  def q29Listagg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("string").as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr("listagg(DISTINCT h, ',') WITHIN GROUP (ORDER BY h)")
+        .as("hours_csv"))
+
   /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
     * native melt) folds the five per-type count columns back into long
     * form `(date, event_type, n)` — including the explicit zero rows the
