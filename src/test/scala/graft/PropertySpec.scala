@@ -269,6 +269,93 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("variant_get agrees with from_json over random JSON and junk") {
+    // random well-formed {"k": n} docs interleaved with junk shapes: the
+    // two JSON front doors (from_json struct vs parse_json variant) must
+    // produce identical extractions, and junk must null out, not throw
+    val goodJson = Gen.choose(-1000000, 1000000).map(n => s"""{"k": $n}""")
+    val junk = Gen.oneOf(
+      """{"k": "str"}""", """{"k": null}""", """{"j": 5}""", "{broken",
+      "", "[]", "null", """{"k": [1]}""", """{"k": {"x": 1}}""")
+    val docs = samples(Gen.oneOf(goodJson, junk), 200).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = docs.toDF("id", "props")
+    val viaStruct = df.select(col("id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("p"))
+      .select(col("id"), col("p.k").as("k")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val viaVariant = df.select(col("id"),
+        expr("try_variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(viaStruct == viaVariant,
+      s"front doors disagree: ${viaStruct.collect {
+        case (k, v) if viaVariant(k) != v => (k, v, viaVariant(k)) }}")
+    // every good doc extracted; no exception reached this line for junk
+    val good = docs.collect { case (i, s) if s.startsWith("""{"k": """) &&
+      !s.contains("\"str\"") && !s.contains("null") && !s.contains("[") &&
+      !s.contains("{\"x\"") => i }.toSet
+    assert(good.forall(viaVariant(_).isDefined))
+  }
+
+  test("pivot/unpivot round trip conserves the long-form counts") {
+    // the unpivot of the zero-filled pivot must equal the plain
+    // groupBy count on the dense grid — checked on the corpus itself
+    val dir = "/root/testdata/sf0.001"
+    val long = graft.queries.Analytics.q14Unpivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = graft.util.EventTs.readEvents(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        col("event_type"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every real (date, type) count survives the round trip...
+    base.foreach { case (k, n) =>
+      assert(long.get(k).contains(n), s"$k: ${long.get(k)} vs $n") }
+    // ...and the extra rows are exactly the zero fills of the dense grid
+    assert(long.filterNot { case (k, _) => base.contains(k) }
+      .values.forall(_ == 0L))
+    val dates = base.keys.map(_._1).toSet
+    assert(long.size == dates.size * 5)
+  }
+
+  test("cube equals the union of its four grouping sets") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Analytics.q13Cube(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def agg(gby: Seq[String]): Seq[((Option[String], Option[String]), (Long, Double))] = {
+      val grouped = if (gby.isEmpty)
+        li.agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+      else li.groupBy(gby.map(col): _*)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+      grouped.collect().map { r =>
+        val rf = if (gby.contains("l_returnflag"))
+          Some(r.getAs[String]("l_returnflag")) else None
+        val ls = if (gby.contains("l_linestatus"))
+          Some(r.getAs[String]("l_linestatus")) else None
+        (rf, ls) -> ((r.getAs[Long]("n"), r.getAs[Double]("q")))
+      }.toSeq
+    }
+    val want =
+      agg(Seq("l_returnflag", "l_linestatus")).map { case (k, v) => (k._1, k._2, 0) -> v } ++
+      agg(Seq("l_returnflag")).map { case (k, v) => (k._1, None, 1) -> v } ++
+      agg(Seq("l_linestatus")).map { case (k, v) => (None, k._2, 2) -> v } ++
+      agg(Seq.empty).map { case (k, v) => (None, None, 3) -> v }
+    assert(got.size == want.size)
+    want.foreach { case (k, (n, q)) =>
+      val (gn, gq) = got(k)
+      assert(gn == n && gq == q, s"$k: got=($gn,$gq) want=($n,$q)")
+    }
+  }
+
   test("winnow fingerprints equal a plain-Scala reference on random corpora") {
     // random docs over a deliberately tiny vocabulary (dense gram
     // collisions, repeated grams within a doc, window ties) plus the
