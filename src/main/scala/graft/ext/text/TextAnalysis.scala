@@ -693,23 +693,22 @@ object TextAnalysis {
   private def winnowSets(spark: SparkSession, dir: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    import graft.functions.PolyHash.poly_hash
-    val gh = transform(
-      graft.functions.ShingleArray.shingle_array_all(col("t"), k),
-      s => poly_hash(s))
-    val minima = transform(
-      sequence(lit(1), greatest(lit(1), size(col("gh")) - (w - 1))),
-      i => array_min(slice(col("gh"), i, lit(w))))
+    // ONE codegen'd expression for gram-hash → windowed minima →
+    // distinct (graft.functions.WinnowFp; a PropertySpec parity test
+    // pins it bit-identical to the three-lambda declarative chain it
+    // replaced — transform(shingle_array_all)/transform(array_min ∘
+    // slice)/array_distinct — which Spark evaluates interpreted)
     docs(spark, dir)
       .select(col("doc_id"),
         when(col("text").isNull, lit(null)).otherwise(tokens(col("text")))
           .as("t"))
       .select(col("doc_id"),
-        when(col("t").isNull || size(col("t")) < k, array().cast("array<long>"))
-          .otherwise(gh).as("gh"))
-      .select(col("doc_id"), size(col("gh")).as("n_grams"),
-        when(size(col("gh")) === 0, array().cast("array<long>"))
-          .otherwise(array_distinct(minima)).as("fp"))
+        when(col("t").isNull || size(col("t")) < k, lit(0))
+          .otherwise(size(col("t")) - (k - 1)).as("n_grams"),
+        when(col("t").isNull || size(col("t")) < k,
+          array().cast("array<long>"))
+          .otherwise(graft.functions.WinnowFp.winnow_fp(col("t"), k, w))
+          .as("fp"))
   }
 
   /** Per-document summary of [[winnowSets]]'s selection (the

@@ -356,6 +356,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_fp expression == the declarative HOF chain, all (k, w)") {
+    // the fused codegen expression must stay bit-identical (values AND
+    // first-occurrence order) to the three-lambda chain it replaced,
+    // including null tokens (concatWs-skip semantics) and the short-doc
+    // boundary windows
+    val toks = samples(Gen.listOf(Gen.oneOf(
+      "a", "bb", "c", "dd", "e", null.asInstanceOf[String])), 150)
+    val df = toks.map(Tuple1(_)).toDF("t")
+    for ((k, w) <- Seq((3, 4), (2, 3), (1, 2), (4, 1))) {
+      val gh = df.select(col("t"),
+        when(size(col("t")) < k, array().cast("array<long>"))
+          .otherwise(transform(
+            graft.functions.ShingleArray.shingle_array_all(col("t"), k),
+            s => poly_hash(s))).as("gh"))
+      val hof = gh.select(
+        when(size(col("gh")) === 0, array().cast("array<long>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(lit(1), size(col("gh")) - (w - 1))),
+            i => array_min(slice(col("gh"), i, lit(w)))))).as("fp"))
+        .collect().map(_.getSeq[Long](0).toList).toSeq
+      val fused = df.select(
+        when(size(col("t")) < k, array().cast("array<long>"))
+          .otherwise(graft.functions.WinnowFp.winnow_fp(col("t"), k, w))
+          .as("fp"))
+        .collect().map(_.getSeq[Long](0).toList).toSeq
+      assert(fused == hof, s"divergence at k=$k w=$w: " +
+        fused.zip(hof).zipWithIndex.collectFirst {
+          case ((f, h), i) if f != h => s"row $i ${toks(i)}: $f vs $h" })
+    }
+  }
+
   test("winnow fingerprints equal a plain-Scala reference on random corpora") {
     // random docs over a deliberately tiny vocabulary (dense gram
     // collisions, repeated grams within a doc, window ties) plus the
