@@ -39,6 +39,11 @@ object SparkEntry {
     "q13_cube"           -> Analytics.q13Cube _,
     // ordered listagg (Spark 4.0) over a provably bounded domain
     "q29_listagg"        -> Analytics.q29Listagg _,
+    // ordered conversion funnel: click -> view -> purchase, strictly
+    // increasing timestamps, per-cohort step counts
+    "q30_funnel"         -> Analytics.q30Funnel _,
+    // retention triangle: first-seen cohort x week offset x distinct actives
+    "q31_retention"      -> Analytics.q31Retention _,
     "q14_pivot"          -> Analytics.q14Pivot _,
     // native unpivot folding the pivot back to long form (zero rows kept)
     "q14_unpivot"        -> Analytics.q14Unpivot _,
@@ -723,6 +728,37 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // ordered funnel: the same three chained conditional-mins; LEFT
+    // joins keep step-1-only users; count(col) skips nulls on both sides
+    "q30_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT strftime(t1.t1, '%Y-%m-%d') AS cohort,
+        |  count(*) AS n_step1, count(t2.t2) AS n_step2,
+        |  count(t3.t3) AS n_step3
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    // retention triangle: first-seen cohort, whole-week offsets (non-
+    // negative by construction, so floor division agrees cross-engine)
+    "q31_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST((CAST(e.ts AS DATE) - f.cohort) // 7 AS INTEGER)
+        |    AS week_off,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // ordered listagg == string_agg with the same lexicographic ORDER BY
     "q29_listagg" ->
       """SELECT event_type,

@@ -327,6 +327,64 @@ object Analytics {
       .count()
       .na.fill(0L)
 
+  /** Ordered-funnel analysis — the conversion-funnel query product
+    * analytics runs at scale: per user, the FIRST click, then the first
+    * view STRICTLY AFTER it, then the first purchase strictly after
+    * that (ordered subsequence matching, not mere co-occurrence — a
+    * purchase before the click does not count), rolled up to per-cohort
+    * step counts (cohort = date of the user's step-1 event).
+    *
+    * Expressed as three conditional-min aggregates chained by joins —
+    * each keyed on user_id, so the whole funnel is ONE shuffle key:
+    * Spark plans the aggregates map-side-partial and AQE reuses/aligns
+    * the exchanges; nothing here is per-event stateful. Strictly-greater
+    * comparisons make the result order-proof (same-timestamp events
+    * cannot smuggle a step in regardless of scan order). Deeper funnels
+    * extend the chain linearly; at 100 TB the alternative single-pass
+    * form (sort_array over per-user collected events + a fold) trades
+    * the extra aggregates for per-user memory — worth it only when
+    * per-user event counts are provably bounded.
+    */
+  def q30Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val t1 = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter(col("event_type") === "view" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .groupBy(date_format(col("t1"), "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"))
+  }
+
+  /** Cohort-retention analysis — [[q30Funnel]]'s companion: users are
+    * cohorted by their FIRST-EVER event date, and each cohort's
+    * distinct-active-user count is reported per whole-week offset from
+    * that date (the classic retention triangle). Two aggregates keyed
+    * on user_id (first-seen, then the co-keyed join back) and one
+    * count-distinct keyed on (cohort, week) — Spark plans the distinct
+    * as the standard two-phase expand, partials map-side. The week
+    * offset stays non-negative by construction (no event precedes its
+    * user's first), so integer floor division agrees across engines.
+    */
+  def q31Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(first, "user_id")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        expr("CAST(datediff(d, cohort) DIV 7 AS INT)").as("week_off"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("week_off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** `listagg` (new in Spark 4.0) — ordered string aggregation, the SQL
     * answer to "give me the group's members as one delimited cell".
     * Determinism is the whole design problem: bare `listagg` concatenates
