@@ -164,6 +164,9 @@ object SparkEntry {
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
     "x_text_tokens"      -> TextAnalysis.tokenCounts _,
+    // real BPE tokenization (greedy lowest-rank merges over the fixture
+    // vocab) as one codegen'd expression; counts + identity preview
+    "x_text_bpe"         -> TextAnalysis.bpeReport _,
     // hashed-feature linear classifier (the fastText-shaped model filter):
     // poly_hash buckets -> integer weight lookup -> per-token threshold
     "x_text_classify"    -> ((s, d) => TextAnalysis.classifyQuality(s, d)),
@@ -192,6 +195,8 @@ object SparkEntry {
       graft.ext.corpus.Corpus.leakageSafeSplit(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
     "x_pack_sequences"   -> ((s, d) => graft.ext.corpus.Corpus.packSequences(s, d)),
+    // sequence packing billed in REAL (BPE) tokens, not whitespace ones
+    "x_pack_bpe"         -> ((s, d) => graft.ext.corpus.Corpus.packSequencesBpe(s, d)),
     "x_pipeline_e2e"     -> ((s, d) => graft.ext.corpus.Corpus.pipelineReport(s, d)),
     "x_corpus_mixture"   -> ((s, d) =>
       graft.ext.corpus.Corpus.temperatureMixture(s, d)),
@@ -1232,6 +1237,55 @@ object SparkEntry {
     // the same answer through the streaming scheduler: per-micro-batch
     // flags vs the persisted index, unioned across batches
     "x_dedup_stream" -> deltaVsIndexOracle,
+    // replays the SAME merge sequence as the engine's BpeTokenize
+    // expression (rank map generated from TextAnalysis.BpeFixtureMerges,
+    // one recursive-CTE step per single leftmost-lowest-rank merge)
+    "x_text_bpe" -> s"""$bpeCtes,
+      |docw AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+      |    FROM documents)),
+      |assembled AS (
+      |  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+      |  FROM docw JOIN wordtoks USING (w) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(len(a.toks), 0) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(COALESCE(len(list_distinct(a.toks)), 0) AS INTEGER)
+      |    AS n_bpe_distinct,
+      |  COALESCE(array_to_string(a.toks[1:8], '|'), '') AS bpe_preview
+      |FROM documents d LEFT JOIN assembled a USING (doc_id)""".stripMargin,
+    // same merge replay, rolled into the packing arithmetic: per-doc BPE
+    // counts -> per-source running offset -> fixed-length sequence bins
+    "x_pack_bpe" -> s"""$bpeCtes,
+      |docw AS (
+      |  SELECT doc_id, unnest(ws) AS w
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+      |    FROM documents)),
+      |dcounts AS (
+      |  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe
+      |  FROM docw JOIN wordtoks USING (w) GROUP BY doc_id),
+      |counted AS (
+      |  SELECT d.doc_id, d.source, COALESCE(c.n_bpe, 0) AS n_bpe
+      |  FROM documents d LEFT JOIN dcounts c USING (doc_id)),
+      |offs AS (
+      |  SELECT source, n_bpe,
+      |    COALESCE(sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM counted),
+      |binned AS (
+      |  SELECT source, CAST(floor(off / 64.0) AS BIGINT) AS seq_id,
+      |    n_bpe, off
+      |  FROM offs)
+      |SELECT source, seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bpe) AS BIGINT) AS seq_tokens,
+      |  CAST(greatest(0, min(off) + sum(n_bpe) - (seq_id + 1) * 64)
+      |    AS BIGINT) AS overflow_tokens
+      |FROM binned GROUP BY source, seq_id""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
@@ -2628,6 +2682,40 @@ object SparkEntry {
        |      range(1, greatest(2, len(gh) - 2)),
        |      j -> list_min(gh[j:j+3]))) END AS fp
        |  FROM g)""".stripMargin
+
+  /** BPE merge replay, generated from the ONE fixture merge list
+    * (TextAnalysis.BpeFixtureMerges — never hand-copied): per distinct
+    * word, a recursive CTE applies one leftmost-lowest-rank merge per
+    * step until no adjacent pair is in the rank map; the final state is
+    * the (unique) shortest symbol list. `wordtoks` is the word → tokens
+    * table downstream oracle SQL assembles documents from. The `|` pair
+    * joiner is collision-free here because symbols come from
+    * whitespace-split words of the letters-only fixture corpus.
+    */
+  private lazy val bpeCtes: String = {
+    val merges = TextAnalysis.BpeFixtureMerges
+    val keys = merges.map { case (l, r) => s"'$l|$r'" }.mkString(", ")
+    val vals = merges.indices.mkString(", ")
+    s"""WITH RECURSIVE
+       |words AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |bpe(w, syms) AS (
+       |  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) FROM words
+       |  UNION ALL
+       |  SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:]
+       |  FROM (
+       |    SELECT w, syms, list_position(rks, list_min(rks)) AS pos
+       |    FROM (
+       |      SELECT w, syms,
+       |        list_transform(range(1, len(syms)),
+       |          i -> map([$keys], [$vals])[syms[i] || '|' || syms[i+1]][1])
+       |          AS rks
+       |      FROM bpe))
+       |  WHERE pos IS NOT NULL),
+       |wordtoks AS (
+       |  SELECT w, arg_min(syms, len(syms)) AS toks FROM bpe GROUP BY w)""".stripMargin
+  }
 
   private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

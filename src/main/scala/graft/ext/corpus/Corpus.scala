@@ -366,6 +366,37 @@ object Corpus {
           (col("seq_id") + 1) * seqLen).cast("long").as("overflow_tokens"))
   }
 
+  /** [[packSequences]] re-based on REAL tokenizer counts: documents pack
+    * into fixed `seqLen`-token training sequences by their BPE token
+    * count ([[graft.ext.text.TextAnalysis.bpeTokens]] under the fixture
+    * vocab) instead of the whitespace stand-in — the number a training
+    * run actually bills against its context window. Same scale shape as
+    * the whitespace form: one narrow codegen'd tokenize pass, one
+    * running-sum window per source, one aggregate; null/blank docs pack
+    * as zero-token members rather than vanishing.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String,
+      seqLen: Long = 64L): DataFrame = {
+    import graft.ext.text.TextAnalysis.bpeTokens
+    val counted = docs(spark, dir).select(col("doc_id"), col("source"),
+      when(col("text").isNull, lit(0))
+        .otherwise(size(bpeTokens(col("text")))).cast("long").as("n_bpe"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("offset", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("offset") / lit(seqLen.toDouble)).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("seq_tokens"),
+        min(col("offset")).as("first_offset"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("seq_tokens"),
+        greatest(lit(0L), col("first_offset") + col("seq_tokens") -
+          (col("seq_id") + 1) * seqLen).cast("long").as("overflow_tokens"))
+  }
+
   /** Temperature-weighted mixture sampling — the pretraining language-mix
     * knob between "natural" (keep everything) and "uniform"
     * ([[rebalance]]): language l keeps rate (n_min/n_l)^(1−α). This

@@ -947,4 +947,48 @@ object TextAnalysis {
       .orderBy(col("fb_tf").desc, col("term").asc)
       .limit(kTerms)
   }
+
+  /** Fixture BPE merge table: 40 merges trained offline with the textbook
+    * procedure (character symbols; each step merges the corpus-frequency-
+    * maximal adjacent pair, lexicographic tie-break) over the documents
+    * fixture's word-frequency table at sf0.01. Deterministic and
+    * hardcoded — the gate and its DuckDB oracle replay the SAME sequence
+    * (the oracle SQL's rank map is generated from this Seq, never
+    * hand-copied). A production pipeline swaps in its tokenizer's
+    * released merge list; everything downstream is rank-driven and
+    * vocab-agnostic.
+    */
+  val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
+    "custo" -> "mer", "f" -> "i", "fi" -> "l", "fil" -> "t",
+    "filt" -> "er", "a" -> "l", "al" -> "l", "m" -> "all", "s" -> "mall",
+    "g" -> "e", "l" -> "ow")
+
+  /** BPE tokens of `text` under the fixture vocabulary — one codegen'd
+    * pass via [[graft.functions.BpeTokenize]].
+    */
+  def bpeTokens(text: Column): Column =
+    graft.functions.BpeTokenize.bpe_tokenize(text, BpeFixtureMerges)
+
+  /** Real-tokenizer token accounting — what [[tokenCounts]]'s whitespace
+    * split stands in for: per document, the BPE token count, distinct-
+    * token count, and the first 8 tokens (joined `|`, exercising token
+    * IDENTITY and order, not just arithmetic). Null/blank text surfaces
+    * as zero counts with an empty preview, never vanishes. Narrow
+    * per-row projection — scan speed at 100 TB.
+    */
+  def bpeReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = when(col("text").isNull, array().cast("array<string>"))
+      .otherwise(bpeTokens(col("text")))
+    docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_bpe_distinct"),
+        array_join(slice(col("toks"), 1, 8), "|").as("bpe_preview"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenization of a document in one codegen'd pass:
+  * whitespace pre-tokenization (`\s+`, matching the oracle's
+  * `regexp_split_to_array`), then per word the greedy merge loop every
+  * production tokenizer runs — repeatedly merge the adjacent symbol pair
+  * with the LOWEST merge rank until no pair is in the merge table.
+  *
+  * The loop is pinned to the ONE-AT-A-TIME form (merge the lowest-rank
+  * pair's LEFTMOST occurrence, then re-scan): for any vocabulary where a
+  * merge producing a token precedes every merge consuming it — true of
+  * every BPE vocabulary by construction, since a pair can only be counted
+  * during training after both members exist — this is provably identical
+  * to the textbook all-occurrences-per-round form (a spec pins the
+  * equivalence on the fixture vocab), and it is the form a SQL oracle can
+  * replay verbatim (one recursive-CTE step per merge).
+  *
+  * Scale shape: a narrow per-row projection — no shuffle, no UDF
+  * serialization boundary; the merge table rides into executors inside
+  * the expression (`ctx.addReferenceObj`, the [[NearestCentroid]]
+  * pattern) and a per-process word→tokens memo (bounded, concurrent)
+  * makes the amortized cost per word O(1) for natural-language corpora
+  * whose running vocabulary is tiny next to their token count. At 100 TB
+  * this runs at scan speed like the rest of the text family.
+  */
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "merge table must not be empty")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val codec = new BpeCodec(merges)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_tokenize requires STRING input, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    codec.encodeDoc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef =
+      ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $codecRef.encodeDoc($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_tokenize"
+}
+
+object BpeTokenize {
+  def bpe_tokenize(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.toColumn(BpeTokenize(GraftBridge.toExpression(text), merges))
+}
+
+/** The merge table + encode loop, shared between interpreted eval and the
+  * generated code (which holds it as a plan reference object). The
+  * word→tokens memo is per-codec, thread-safe (executor threads share the
+  * plan's reference array), and hard-bounded: past [[BpeCodec.MemoCap]]
+  * distinct words new entries are computed but not inserted, so an
+  * adversarial high-entropy corpus degrades to cache-miss cost instead of
+  * growing executor memory.
+  */
+final class BpeCodec(merges: Seq[(String, String)]) extends Serializable {
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // a space never appears inside a symbol (symbols come from
+      // whitespace-split words), so the joined key is collision-free
+      m.put(l + " " + r, i)
+    }
+    m
+  }
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  def encodeDoc(text: UTF8String): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = s.split("\\s+")
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < words.length) {
+      val toks = encodeWord(words(i))
+      var j = 0
+      while (j < toks.length) { out.add(toks(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def encodeWord(w: String): Array[UTF8String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    val syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      // code-point-aware split so multi-byte text never tears a char
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(w.substring(i, i + n))
+      i += n
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var p = 0
+      while (p < syms.size - 1) {
+        val r = ranks.get(syms.get(p) + " " + syms.get(p + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestPos = p }
+        p += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        syms.set(bestPos, syms.get(bestPos) + syms.get(bestPos + 1))
+        syms.remove(bestPos + 1)
+      }
+    }
+    val out = new Array[UTF8String](syms.size)
+    i = 0
+    while (i < syms.size) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
+    if (memo.size < BpeCodec.MemoCap) memo.putIfAbsent(w, out)
+    out
+  }
+}
+
+object BpeCodec {
+  /** Distinct-word memo bound — ~64k words × a few tokens each stays in
+    * single-digit MB per executor; real vocabularies fit with room over.
+    */
+  val MemoCap = 1 << 16
+}

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ext.text.TextAnalysis
+import graft.functions.{BpeCodec, BpeTokenize}
+
+/** BPE tokenization: the codegen'd expression vs a plain-Scala textbook
+  * reference, the one-at-a-time ≡ all-occurrences equivalence the oracle
+  * leans on, null/edge handling, and the packing gate's conservation law.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  /** Textbook (HuggingFace-style) encoder: per round, find the lowest-rank
+    * adjacent pair anywhere in the word and merge ALL its occurrences
+    * left to right.
+    */
+  private def encodeAllAtOnce(w: String,
+      merges: Seq[(String, String)]): List[String] = {
+    val ranks = merges.zipWithIndex.toMap
+    var syms = w.map(_.toString).toList
+    var done = false
+    while (!done && syms.length > 1) {
+      val present = syms.zip(syms.tail).flatMap(p => ranks.get(p))
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+    }
+    syms
+  }
+
+  /** The engine's (and oracle's) form: merge the lowest-rank pair's
+    * LEFTMOST occurrence, one merge per step.
+    */
+  private def encodeOneAtATime(w: String,
+      merges: Seq[(String, String)]): List[String] = {
+    val ranks = merges.zipWithIndex.toMap
+    var syms = w.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      val rks = syms.zip(syms.tail).map(ranks.get)
+      val best = rks.flatten.minOption
+      best match {
+        case None => done = true
+        case Some(b) =>
+          val p = rks.indexOf(Some(b))
+          syms = (syms.take(p) :+ (syms(p) + syms(p + 1))) ++ syms.drop(p + 2)
+      }
+    }
+    syms.toList
+  }
+
+  /** Train a textbook BPE vocab on a word-frequency table (the procedure
+    * that produced the hardcoded fixture): merge the frequency-maximal
+    * adjacent pair each step, lexicographic tie-break.
+    */
+  private def train(freq: Map[String, Int], nMerges: Int): Seq[(String, String)] = {
+    var vocab = freq.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + freq(w)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val maxC = counts.values.max
+        val best = counts.collect { case (p, c) if c == maxC => p }
+          .toSeq.sortBy(p => (p._1, p._2)).head
+        merges += best
+        val (l, r) = best
+        vocab = vocab.map { case (w, syms) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.toList
+        }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("bpe_tokenize == the all-at-once textbook reference (fixture vocab)") {
+    val word = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ 'é')).map(_.mkString))
+    val doc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 150) ++ Seq("", "   ", "customer  filter\tjoin",
+      "the quick brown fox", "ééé batch")
+    val merges = TextAnalysis.BpeFixtureMerges
+    val got = texts.toDF("text")
+      .select(BpeTokenize.bpe_tokenize(col("text"), merges))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    val want = texts.map(_.trim.split("\\s+").filter(_.nonEmpty).toList
+      .flatMap(w => encodeAllAtOnce(w, merges)))
+    assert(got == want, got.zip(want).zipWithIndex.collectFirst {
+      case ((g, w), i) if g != w => s"row $i '${texts(i)}': $g vs $w" }.toString)
+  }
+
+  test("one-at-a-time leftmost == all-at-once for TRAINED vocabs (random)") {
+    // the oracle replays one merge per recursive step; its agreement with
+    // the textbook loop holds for any vocab where a merge producing a
+    // token precedes the merges consuming it — true of every trained
+    // vocab. Pin it on freshly trained vocabs over random corpora.
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a' to 'f')).map(_.mkString))
+    for (seed <- 0 until 10) {
+      val ws = samples(word, 30).zipWithIndex
+        .map { case (w, i) => (w, i % 7 + 1) }
+      val freq = ws.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+      val merges = train(freq, 25)
+      val probe = samples(word, 40) ++ freq.keys
+      probe.foreach { w =>
+        assert(encodeOneAtATime(w, merges) == encodeAllAtOnce(w, merges),
+          s"seed=$seed w=$w merges=$merges")
+      }
+    }
+  }
+
+  test("fixture merges reproduce on retraining from the sf0.001 corpus shape") {
+    // the fixture list must stay a real trained artifact: retraining on
+    // the corpus's word frequencies with the recorded procedure yields a
+    // PREFIX-compatible sequence (the exact table was trained at sf0.01;
+    // here we only pin that the procedure and tie-break are the recorded
+    // ones by checking the first merges on a hand-built frequency table)
+    val freq = Map("the" -> 840, "merge" -> 918, "order" -> 912,
+      "filter" -> 933, "stream" -> 888, "vector" -> 912)
+    val merges = train(freq, 3)
+    // 'er' dominates this sub-table (merge+order+filter+vector share it)
+    assert(merges.head == ("e" -> "r"), merges.toString)
+  }
+
+  test("bpe gate: nulls and blanks surface as zero counts, never vanish") {
+    val scratch = graft.util.Scratch.dir("graft_bpe_null").toString
+    Seq((0L, "customer join", "en", "s0", 13L),
+        (1L, null.asInstanceOf[String], "en", "s0", 0L),
+        (2L, "   ", "en", "s0", 3L),
+        (3L, "", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val rows = TextAnalysis.bpeReport(spark, scratch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(0L) == ((2, 2, "customer|join")))
+    assert(rows(1L) == ((0, 0, "")))
+    assert(rows(2L) == ((0, 0, "")))
+    assert(rows(3L) == ((0, 0, "")))
+  }
+
+  test("bpe codegen compiles (no silent interpreted fallback)") {
+    // compile the generated Java directly — a Janino rejection must fail
+    // loudly here, not degrade the scan path quietly (same contract as
+    // the WinnowFp codegen spec)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = BpeTokenize(
+      BoundReference(0, StringType, nullable = true),
+      TextAnalysis.BpeFixtureMerges)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val out = proj(InternalRow(UTF8String.fromString("customer the")))
+    val arr = out.getArray(0)
+    assert((0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      == Seq("customer", "t", "h", "e"))
+  }
+
+  test("packSequencesBpe conserves tokens and bounds overflow") {
+    val dir = "/root/testdata/sf0.001"
+    val packed = graft.ext.corpus.Corpus.packSequencesBpe(spark, dir)
+    val total = packed.agg(sum("seq_tokens")).collect()(0).getLong(0)
+    val direct = TextAnalysis.bpeReport(spark, dir)
+      .agg(sum(col("n_bpe_tokens").cast("long"))).collect()(0).getLong(0)
+    assert(total == direct, s"packed $total vs direct $direct")
+    // every sequence except possibly a source's last must fill past the
+    // boundary or carry overflow 0 within it; overflow is never negative
+    assert(packed.filter(col("overflow_tokens") < 0).count() == 0)
+    // doc membership conserved
+    val nDocs = packed.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(nDocs == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
+  test("bpe memo cap: encoding stays correct past the bound") {
+    val codec = new BpeCodec(Seq("a" -> "b"))
+    // drive distinct words through; results must be identical regardless
+    // of memo hits/misses
+    val r1 = (0 until 100).map { i =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"ab$i")
+      val a = codec.encodeDoc(u)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString).toList
+    }
+    val r2 = (0 until 100).map { i =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"ab$i")
+      val a = codec.encodeDoc(u)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString).toList
+    }
+    assert(r1 == r2)
+    assert(r1(3).take(1) == List("ab"))
+  }
+}

@@ -387,6 +387,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_fp codegen compiles (no silent interpreted fallback)") {
+    // the fused expression's whole point is the generated loop; if Janino
+    // ever rejects the generated Java (e.g. the parameterized
+    // LinkedHashSet + autoboxing), Spark silently falls back to
+    // interpreted eval — correct but slow. Compiling the projection
+    // directly turns that regression into a loud failure.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.WinnowFp(
+      BoundReference(0, ArrayType(StringType), nullable = true), 3, 4)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val toks = new GenericArrayData(
+      "a b c d e f g h".split(" ")
+        .map(UTF8String.fromString(_): AnyRef))
+    val out = proj(InternalRow(toks)).getArray(0)
+    val viaDf = Seq(Tuple1("a b c d e f g h".split(" ").toSeq)).toDF("t")
+      .select(graft.functions.WinnowFp.winnow_fp(col("t"), 3, 4))
+      .collect()(0).getSeq[Long](0)
+    assert((0 until out.numElements()).map(out.getLong) == viaDf)
+  }
+
   test("winnow fingerprints equal a plain-Scala reference on random corpora") {
     // random docs over a deliberately tiny vocabulary (dense gram
     // collisions, repeated grams within a doc, window ties) plus the
