@@ -103,6 +103,8 @@ object SparkEntry {
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
     "p_stream_join"      -> EventOps.streamStreamJoin _,
+    // the same join on the RocksDB state store (larger-than-heap state)
+    "p_stream_join_rocks" -> EventOps.streamStreamJoinRocks _,
     "p_compact_files"    -> EventOps.compactRoundTrip _,
     "p_stream_join_outer" -> EventOps.streamStreamJoinOuter _,
     "p_stream_join_full" -> EventOps.streamStreamJoinFullOuter _,
@@ -720,15 +722,10 @@ object SparkEntry {
         |WHERE a.value > 90""".stripMargin,
     // stream-stream watermarked inner join must equal the batch range
     // self-join (alert events x same-station context in the prior 12 h)
-    "p_stream_join" ->
-      """SELECT a.user_id AS station_id, a.event_id AS alert_sno,
-        |  c.event_id AS ctx_sno
-        |FROM events a JOIN events c
-        |  ON c.user_id = a.user_id
-        | AND CAST(c.ts AS TIMESTAMP)
-        |     >= CAST(a.ts AS TIMESTAMP) - INTERVAL 12 HOUR
-        | AND CAST(c.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
-        |WHERE a.value > 90""".stripMargin,
+    "p_stream_join" -> streamJoinOracle,
+    // provider choice changes WHERE state lives, never the answer: the
+    // RocksDB-store drain is held to the IDENTICAL oracle
+    "p_stream_join_rocks" -> streamJoinOracle,
     // the ORC round trip must preserve every value (incl. µs timestamps)
     "p_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n,
@@ -2716,6 +2713,19 @@ object SparkEntry {
        |wordtoks AS (
        |  SELECT w, arg_min(syms, len(syms)) AS toks FROM bpe GROUP BY w)""".stripMargin
   }
+
+  /** Batch range self-join the stream-stream inner-join gates (default
+    * and RocksDB state store) must both reproduce.
+    */
+  private val streamJoinOracle =
+    """SELECT a.user_id AS station_id, a.event_id AS alert_sno,
+      |  c.event_id AS ctx_sno
+      |FROM events a JOIN events c
+      |  ON c.user_id = a.user_id
+      | AND CAST(c.ts AS TIMESTAMP)
+      |     >= CAST(a.ts AS TIMESTAMP) - INTERVAL 12 HOUR
+      | AND CAST(c.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP)
+      |WHERE a.value > 90""".stripMargin
 
   private def duckPolyHash(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -255,7 +255,9 @@ object EventOps {
 
   private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode,
-      statePartitions: Int = 8): DataFrame = drainLock.synchronized {
+      statePartitions: Int = 8,
+      stateStoreProvider: Option[String] = None): DataFrame =
+      drainLock.synchronized {
     import org.apache.spark.sql.streaming.Trigger
     // unique per call + dropped after resolution: gated query functions stay
     // free of session-catalog mutation (the memory sink's rows are captured
@@ -273,6 +275,12 @@ object EventOps {
     // checkpoint creation it must be chosen for peak state, not cores.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // optional state-store provider override (e.g. RocksDB for the
+    // larger-than-heap state path); read at query start and pinned in
+    // the checkpoint, so set-and-restore around the drain is exact
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     // state circuit breaker (see graft.streaming.StateGuard): a source
     // with collapsed event times freezes the watermark and stops state
     // eviction — fail fast with an attributable message instead of
@@ -298,6 +306,7 @@ object EventOps {
     } finally {
       guard.uninstall()
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(providerKey, prevProvider)
       spark.catalog.dropTempView(name)
     }
   }
@@ -715,6 +724,16 @@ object EventOps {
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
+    drainToMemory(spark, severeContextJoin(spark, dir), "ss_join_gate",
+      OutputMode.Append())
+  }
+
+  /** The severe-alerts × prior-context join plan shared by
+    * [[streamStreamJoin]] and [[streamStreamJoinRocks]] — one definition
+    * so the two gates provably run the SAME query and differ only in
+    * state-store provider.
+    */
+  private def severeContextJoin(spark: SparkSession, dir: String): DataFrame = {
     val severe = eventsStream(spark, dir)
       .filter(col("value") > 90.0)
       .select(col("user_id").as("station_id"),
@@ -724,12 +743,30 @@ object EventOps {
       .select(col("user_id").as("ctx_station"),
         col("event_id").as("ctx_sno"), col("ts").as("ctx_ts"))
       .withWatermark("ctx_ts", "30 minutes")
-    val joined = severe.join(context,
+    severe.join(context,
       col("station_id") === col("ctx_station") &&
         col("ctx_ts") >= col("alert_ts") - expr("INTERVAL 12 hours") &&
         col("ctx_ts") < col("alert_ts"))
       .select(col("station_id"), col("alert_sno"), col("ctx_sno"))
-    drainToMemory(spark, joined, "ss_join_gate", OutputMode.Append())
+  }
+
+  /** [[streamStreamJoin]] on the RocksDB state store — the 100 TB state
+    * path: the default HDFS-backed provider keeps every store's working
+    * set on-heap (state volume is bounded by executor heap × instances,
+    * and GC pressure scales with it), while RocksDB keeps state off-heap
+    * on local disk with an in-memory cache, which is how a production
+    * stream-stream join carries state far past memory. Identical plan
+    * and oracle to `p_stream_join` — the gate proves provider choice
+    * changes WHERE state lives, never what the query answers — and its
+    * drain-floor delta vs the default store is the measured cost of the
+    * larger-than-heap capability (SCALE.md row).
+    */
+  def streamStreamJoinRocks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    drainToMemory(spark, severeContextJoin(spark, dir), "ss_rocks_gate",
+      OutputMode.Append(),
+      stateStoreProvider = Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 
   /** Stream-stream LEFT OUTER join — the half of streaming join semantics

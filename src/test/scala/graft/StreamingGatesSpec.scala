@@ -10,6 +10,22 @@ import graft.queries.EventOps
 class StreamingGatesSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
+  test("RocksDB state store answers the stream-stream join identically") {
+    // provider choice moves state off-heap; the emitted rows must be the
+    // SAME set, and the session's provider conf must be restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.get(key)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val default = rows(EventOps.streamStreamJoin(spark, dir))
+    val rocks = rows(EventOps.streamStreamJoinRocks(spark, dir))
+    assert(rocks == default)
+    assert(rocks.nonEmpty)
+    assert(spark.conf.get(key) == before,
+      "state-store provider conf leaked out of the drain")
+  }
+
   test("append-mode watermarked window equals the batch q12 aggregate") {
     val streamed = EventOps.tumblingWindowStreamAppend(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
