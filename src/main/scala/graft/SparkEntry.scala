@@ -1067,15 +1067,8 @@ object SparkEntry {
     // position and is CAST to BIGINT to match the engine's Long (DuckDB's
     // bare sum would widen to HUGEINT and fail the typed hash)
     "x_corpus_shuffle" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(concat('0x',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-        |      AS BIGINT) % 8 AS INTEGER) AS shard,
-        |    CAST(concat('0x',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 13, 12))
-        |      AS BIGINT) % 1099511627776 AS draw
-        |  FROM documents),
+      s"""WITH d AS (
+        |  $shuffleDrawsSelect),
         |r AS (
         |  SELECT doc_id, shard,
         |    row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id)
@@ -1087,15 +1080,10 @@ object SparkEntry {
         |FROM r GROUP BY shard""".stripMargin,
     // per-doc draw dump for doc_id < 100: remote diagnosis companion to
     // x_corpus_shuffle — a red row names the doc and the diverging draw
+    // (the SAME shared draw SELECT, so the two cannot drift apart)
     "x_corpus_shuffle_draws" ->
-      """SELECT doc_id,
-        |  CAST(CAST(concat('0x',
-        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-        |    AS BIGINT) % 8 AS INTEGER) AS shard,
-        |  CAST(concat('0x',
-        |      substring(md5(CAST(doc_id AS VARCHAR)), 13, 12))
-        |    AS BIGINT) % 1099511627776 AS draw
-        |FROM documents WHERE doc_id < 100""".stripMargin,
+      s"""$shuffleDrawsSelect
+        |WHERE doc_id < 100""".stripMargin,
     // α=0.5 temperature: sqrt and division are correctly-rounded IEEE ops,
     // so the integer thresholds agree bit-for-bit across engines
     "x_corpus_mixture" ->
@@ -2713,6 +2701,21 @@ object SparkEntry {
        |wordtoks AS (
        |  SELECT w, arg_min(syms, len(syms)) AS toks FROM bpe GROUP BY w)""".stripMargin
   }
+
+  /** The shard/draw SELECT shared by the x_corpus_shuffle aggregate gate
+    * and its x_corpus_shuffle_draws diagnostic — one definition mirroring
+    * Corpus.shuffleDrawCols, so the micro-gate can never desynchronize
+    * from the gate it diagnoses.
+    */
+  private val shuffleDrawsSelect =
+    """SELECT doc_id,
+      |    CAST(CAST(concat('0x',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS BIGINT) % 8 AS INTEGER) AS shard,
+      |    CAST(concat('0x',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 13, 12))
+      |      AS BIGINT) % 1099511627776 AS draw
+      |  FROM documents""".stripMargin
 
   /** Batch range self-join the stream-stream inner-join gates (default
     * and RocksDB state store) must both reproduce.

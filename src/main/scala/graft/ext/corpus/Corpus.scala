@@ -584,16 +584,27 @@ object Corpus {
     * than relying on DuckDB's silent HUGEINT promotion, which the
     * driver's typed hash check rejects against a DECIMAL/BIGINT column.
     */
+  /** The two content-addressed draws — shard (md5 chars 1–12) and
+    * within-shard order (chars 13–24) — in ONE place, shared by
+    * [[trainingShuffle]] and [[trainingShuffleDraws]] so the diagnostic
+    * micro-gate can never silently desynchronize from the aggregate gate
+    * it exists to diagnose (the same single-sourcing discipline as the
+    * BM25 factor SQL).
+    */
+  private def shuffleDrawCols(nShards: Int,
+      grain: Long): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
+      s"16, 10) AS BIGINT) % $nShards").cast("int"),
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), " +
+      s"16, 10) AS BIGINT) % $grain"))
+
   def trainingShuffle(spark: SparkSession, dir: String, nShards: Int = 8,
       grain: Long = 1L << 40): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    val (shardCol, drawCol) = shuffleDrawCols(nShards, grain)
     val d = docs(spark, dir).select(col("doc_id"))
-      .withColumn("shard",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
-          s"16, 10) AS BIGINT) % $nShards").cast("int"))
-      .withColumn("draw",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), " +
-          s"16, 10) AS BIGINT) % $grain"))
+      .withColumn("shard", shardCol)
+      .withColumn("draw", drawCol)
     d.withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))))
       .groupBy(col("shard"))
@@ -613,15 +624,13 @@ object Corpus {
     */
   def trainingShuffleDraws(spark: SparkSession, dir: String,
       nShards: Int = 8, grain: Long = 1L << 40,
-      idCap: Long = 100L): DataFrame =
+      idCap: Long = 100L): DataFrame = {
+    val (shardCol, drawCol) = shuffleDrawCols(nShards, grain)
     docs(spark, dir).select(col("doc_id"))
       .filter(col("doc_id") < idCap)
-      .withColumn("shard",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
-          s"16, 10) AS BIGINT) % $nShards").cast("int"))
-      .withColumn("draw",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), " +
-          s"16, 10) AS BIGINT) % $grain"))
+      .withColumn("shard", shardCol)
+      .withColumn("draw", drawCol)
+  }
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rate every document by

@@ -636,10 +636,14 @@ object TextAnalysis {
     * No overflow at ANY corpus size (doubles), no oracle: libm `log` is
     * not correctly rounded, so cross-engine bit-equality cannot be
     * promised — this path is spec-tested against a plain-Scala reference
-    * and rank-compared to the integer gate form instead. The score is
-    * rounded to 6 dp to keep result files stable across JVMs at equal
-    * summation order (the per-doc sum has ≤ |query| addends in one
-    * partial, so order IS fixed).
+    * and rank-compared to the integer gate form instead. The per-doc
+    * score is summed in a FIXED order — collect the ≤ |query| per-term
+    * contributions, `sort_array` by term, fold left — because FP
+    * addition does not commute at the last bit and Spark guarantees no
+    * partial/merge order across shuffle partitions; with the order
+    * pinned, the 6-dp rounding can never flap across runs on a sum whose
+    * low bits straddle a rounding boundary. O(|query|) state per doc —
+    * the same bound the plain sum has.
     */
   def bm25TopKOkapi(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
@@ -651,10 +655,14 @@ object TextAnalysis {
     val tfc = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
     bm25Operands(spark, dir, queryTerms.distinct)
-      .select(col("doc_id"), (idf * tfc).as("s"))
+      .select(col("doc_id"), col("term"), (idf * tfc).as("s"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 6).as("bm25"),
-        count(lit(1)).as("n_terms_hit"))
+      .agg(sort_array(collect_list(struct(col("term"), col("s"))))
+        .as("contrib"))
+      .select(col("doc_id"),
+        round(aggregate(col("contrib"), lit(0.0),
+          (acc, x) => acc + x.getField("s")), 6).as("bm25"),
+        size(col("contrib")).cast("long").as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }

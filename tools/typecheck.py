@@ -46,12 +46,22 @@ FORBIDDEN = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
              "UTINYINT"}
 
 
+def norm(t):
+    """Collapse cosmetic rendering differences (whitespace, case) so a
+    DuckDB version that prints 'DECIMAL(22, 0)' instead of
+    'DECIMAL(22,0)' cannot produce a spurious failure — the comparison is
+    about the type, not the printer."""
+    return "".join(t.upper().split())
+
+
 def base(t):
-    t = t.upper()
+    t = norm(t)
     if t.startswith("DECIMAL"):
         return "DECIMAL"
     if t.endswith("[]"):
         return "LIST"
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return "COMPOUND"
     return t
 
 
@@ -59,9 +69,15 @@ def compatible(duck_t, spark_t):
     d, s = base(duck_t), base(spark_t)
     if d == "DECIMAL" or s == "DECIMAL":
         # exact precision/scale must agree for a typed hash
-        return duck_t.upper() == spark_t.upper()
+        return norm(duck_t) == norm(spark_t)
     if d == "LIST" and s == "LIST":
-        return compatible(duck_t[:-2], spark_t[:-2])
+        return compatible(norm(duck_t)[:-2], norm(spark_t)[:-2])
+    if d == "COMPOUND" or s == "COMPOUND":
+        # STRUCT/MAP are outside the pairing table's model: exact-string
+        # equality is the best this audit can do, and the caller prints
+        # an explicit marker so a pass here is distinguishable from a
+        # modeled pass (see [SKIP-type] in main)
+        return norm(duck_t) == norm(spark_t)
     return s in PAIRING.get(d, {d})
 
 
@@ -98,6 +114,7 @@ def main():
             print(f"[FAIL] {name}: oracle error: {e}"); n_fail += 1
             continue
         bad = []
+        unmodeled = []
         for c in sorted(set(duck_types) | set(spark_types)):
             dt, st = duck_types.get(c), spark_types.get(c)
             if dt is None or st is None:
@@ -108,6 +125,14 @@ def main():
                            f"counterpart (spark={st})")
             elif not compatible(dt, st):
                 bad.append(f"{c}: duckdb={dt} spark={st}")
+            elif base(dt) == "COMPOUND":
+                unmodeled.append(f"{c}={dt}")
+        if unmodeled:
+            # checked by exact string only — visible, so a false pass on a
+            # compound type is distinguishable from a modeled pass
+            print(f"[SKIP-type] {name}: compound types outside the "
+                  f"pairing model, string-compared only: "
+                  + ", ".join(unmodeled))
         if bad:
             print(f"[FAIL] {name}: " + "; ".join(bad)); n_fail += 1
         else:
