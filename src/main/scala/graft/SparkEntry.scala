@@ -291,6 +291,12 @@ object SparkEntry {
       graft.ext.link.FuzzyJoin.customerNameDups2(s, d)),
     "x_corpus_budget"    -> ((s, d) => graft.ext.corpus.Corpus.budgetTrim(s, d)),
     "p_cdc_apply"        -> EventOps.cdcApply _,
+    // SCD2: change feed -> validity-interval history (cdcApply keeps
+    // latest state; this keeps every version)
+    "p_scd2"             -> EventOps.scd2History _,
+    // Spark 4 state data source: the dedup operator's state read back
+    // from its checkpoint must equal batch DISTINCT
+    "p_state_reader"     -> EventOps.stateReader _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
     "p_stream_enrich"    -> EventOps.streamEnrich _,
@@ -2383,6 +2389,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT station_id, s_no, event_type, value FROM latest
         |WHERE op <> 'D'""".stripMargin,
+    // the state the dedup operator persisted == batch DISTINCT
+    "p_state_reader" ->
+      "SELECT DISTINCT user_id FROM events",
+    // SCD2: change points (null-safe lag compare), then validity
+    // intervals from lead() — same (ts, event_id) tie-break as the engine
+    "p_scd2" ->
+      """WITH src AS (
+        |  SELECT user_id AS station_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id, event_type
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY station_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |chg AS (
+        |  SELECT * FROM lagged WHERE prev IS DISTINCT FROM event_type)
+        |SELECT station_id, event_type,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY station_id ORDER BY ts, event_id) AS INTEGER)
+        |    AS version,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY station_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts) OVER (PARTITION BY station_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM chg""".stripMargin,
     // bottom-k-by-portable-hash per source == the TopKBy heap result
     "x_sample_per_key" ->
       s"""WITH h AS (

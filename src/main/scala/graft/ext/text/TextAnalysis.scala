@@ -983,6 +983,85 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     graft.functions.BpeTokenize.bpe_tokenize(text, BpeFixtureMerges)
 
+  /** Distributed BPE TRAINING — the textbook procedure (Sennrich et al.
+    * 2016) as a Spark job: ONE data-sized pass aggregates the corpus to
+    * its word-frequency table; the merge loop then iterates on that
+    * aggregated vocabulary alone (count adjacent symbol pairs weighted by
+    * word frequency, merge the count-maximal pair everywhere,
+    * lexicographic `(left, right)` tie-break for determinism). This is
+    * how production tokenizers train at corpus scale: the corpus is
+    * touched once, and every iteration's job runs over |vocab| rows —
+    * ~10⁶–10⁷ for real corpora — so 30k merges of GPT-class vocabs are
+    * 30k small jobs over a table that fits in one executor, not 30k
+    * corpus scans. Pair application inside each step is a pure
+    * `aggregate` HOF (left-to-right non-overlapping fold), so no UDF
+    * serialization anywhere.
+    *
+    * Deliberately NOT driver-gated: the merge sequence is a function of
+    * corpus word frequencies, which differ per SF (verified: sf0.001/
+    * 0.01/0.1 diverge at merge 2), so a fixture-literal oracle would pin
+    * the gate to one SF. Spec-proven instead (the [[bm25TopKOkapi]]
+    * precedent): training at sf0.01 must reproduce [[BpeFixtureMerges]]
+    * EXACTLY (the fixture was trained offline by an independent
+    * implementation), and on random corpora it must equal a plain-Scala
+    * reference trainer.
+    */
+  def bpeTrain(spark: SparkSession, dir: String,
+      nMerges: Int = 40): Seq[(String, String)] = {
+    val wordFreq = docs(spark, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    bpeTrainOnVocab(wordFreq, nMerges)
+  }
+
+  /** The merge loop over an explicit `(w, freq)` vocabulary table — the
+    * artifact a production ingest persists once per corpus snapshot and
+    * trains from repeatedly.
+    */
+  def bpeTrainOnVocab(wordFreq: DataFrame,
+      nMerges: Int): Seq[(String, String)] = {
+    // split-to-chars keeps limit=-1 semantics (a trailing empty string),
+    // so drop empties explicitly
+    var vocab = wordFreq
+      .select(filter(split(col("w"), ""), x => x =!= "").as("syms"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val best = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p.0").as("l"), col("p.1").as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        merges += ((l, r))
+        // merge ALL occurrences left-to-right, non-overlapping: fold each
+        // symbol onto the output, joining it with the previous symbol
+        // when they form (l, r) — the merged token differs from l (r is
+        // non-empty), so a just-merged position can never be reused as
+        // the left half of an overlapping match
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (out, x) => when(
+            size(out) > 0 && element_at(out, -1) === lit(l) && x === lit(r),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+            .otherwise(concat(out, array(x))))
+        vocab = vocab.select(merged.as("syms"), col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toList
+  }
+
   /** Real-tokenizer token accounting — what [[tokenCounts]]'s whitespace
     * split stands in for: per document, the BPE token count, distinct-
     * token count, and the first 8 tokens (joined `|`, exercising token

@@ -150,6 +150,43 @@ object Archive {
     * ∝ |base| + |feed| at any change multiplicity; the oracle restates it
     * as row_number-latest + NOT EXISTS.
     */
+  /** SCD Type-2 history build — the lakehouse op [[cdcApply]] is NOT:
+    * where cdcApply folds a change feed into the latest state, scd2 keeps
+    * every version as a validity interval. Per key (ordered by
+    * `orderCols`), consecutive rows whose tracked `attrs` are unchanged
+    * are collapsed (a version opens only when something tracked actually
+    * changes — the Kimball contract), then each change point becomes a
+    * row with `valid_from` = its own timestamp, `valid_to` = the next
+    * change's (null while current), `version` = its ordinal, and
+    * `is_current`. Null-safe change detection (`<=>`): a null attribute
+    * is a value, not a wildcard.
+    *
+    * Scale shape: ONE shuffle on the key columns; both window passes and
+    * the change filter share that partitioning (Catalyst reuses the
+    * exchange — the post-filter windows re-sort within partitions but
+    * never reshuffle). History size is ∝ change points, not feed rows.
+    */
+  def scd2(updates: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      attrs: Seq[String], tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val attrStruct = struct(attrs.map(col): _*)
+    val changed = updates
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(!(col("__prev") <=> attrStruct))
+      .drop("__prev")
+    changed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(orderCols.filterNot(c => keys.contains(c) ||
+        attrs.contains(c)): _*)
+      .drop(tsCol)
+  }
+
   def cdcApply(base: DataFrame, feed: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.functions._

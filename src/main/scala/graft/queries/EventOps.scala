@@ -256,7 +256,8 @@ object EventOps {
   private def drainToMemory(spark: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode,
       statePartitions: Int = 8,
-      stateStoreProvider: Option[String] = None): DataFrame =
+      stateStoreProvider: Option[String] = None,
+      checkpoint: Option[String] = None): DataFrame =
       drainLock.synchronized {
     import org.apache.spark.sql.streaming.Trigger
     // unique per call + dropped after resolution: gated query functions stay
@@ -295,8 +296,8 @@ object EventOps {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)
-        .option("checkpointLocation",
-          graft.util.Scratch.dir("graft_ck").toString)
+        .option("checkpointLocation", checkpoint.getOrElse(
+          graft.util.Scratch.dir("graft_ck").toString))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -1288,6 +1289,43 @@ object EventOps {
     * the snapshot, upserts must replace it. The oracle restates collapse
     * as row_number-latest and the apply as NOT EXISTS + UNION ALL.
     */
+  /** State-store INTROSPECTION — Spark 4's state data source
+    * (`format("statestore")`) read back as a queryable DataFrame: run a
+    * streaming dedup over `user_id` (state = one entry per distinct key)
+    * against a known checkpoint, then read that checkpoint's state store
+    * and project the keys. The emitted set must equal batch
+    * `SELECT DISTINCT user_id` — proving the operational surface every
+    * production streaming deployment leans on (state debugging, audits,
+    * offline state repair) reads EXACTLY what the operator stored, not an
+    * approximation of it. Reader cost is ∝ state rows (per-partition
+    * store files), never the stream's history.
+    */
+  def stateReader(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ckpt = graft.util.Scratch.dir("graft_ck_reader").toString
+    val deduped = eventsStream(spark, dir)
+      .select(col("user_id")).dropDuplicates("user_id")
+    // the drain itself is discarded — the gate's subject is the state
+    // the query left behind in the checkpoint
+    drainToMemory(spark, deduped, "state_reader_gate", OutputMode.Append(),
+      checkpoint = Some(ckpt))
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"))
+  }
+
+  /** Gated SCD2 history: every station's `event_type` timeline as
+    * validity intervals — consecutive equal types collapse, each change
+    * opens a version stamped [valid_from, valid_to). Deterministic under
+    * ties via the (ts, event_id) ordering. See [[graft.lake.Archive.scd2]]
+    * for the operator contract and scale shape.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.lake.Archive.scd2(
+      events(spark, dir).select(col("user_id").as("station_id"),
+        col("ts"), col("event_id"), col("event_type")),
+      keys = Seq("station_id"), orderCols = Seq("ts", "event_id"),
+      attrs = Seq("event_type"), tsCol = "ts")
+
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),

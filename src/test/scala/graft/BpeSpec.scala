@@ -201,6 +201,44 @@ class BpeSpec extends SparkSpec {
     assert(nDocs == spark.read.parquet(s"$dir/documents.parquet").count())
   }
 
+  test("distributed bpeTrain reproduces the offline-trained fixture at sf0.01") {
+    // the fixture list was trained by an INDEPENDENT offline
+    // implementation of the same procedure; the Spark trainer must
+    // reproduce it merge for merge on the same corpus
+    val got = TextAnalysis.bpeTrain(spark, "/root/testdata/sf0.01", 40)
+    assert(got == TextAnalysis.BpeFixtureMerges,
+      got.zip(TextAnalysis.BpeFixtureMerges).zipWithIndex.collectFirst {
+        case ((g, w), i) if g != w => s"first divergence at merge $i: $g vs $w"
+      }.toString)
+  }
+
+  test("distributed bpeTrain == the plain-Scala trainer on random corpora") {
+    val word = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a' to 'e')).map(_.mkString))
+    for (seed <- 0 until 3) {
+      val ws = samples(word, 40).zipWithIndex
+        .map { case (w, i) => (w, (i % 5 + 1).toLong) }
+      val freq = ws.groupBy(_._1)
+        .map { case (w, g) => w -> g.map(_._2).sum }.toSeq
+      val wf = freq.toDF("w", "freq")
+      val got = TextAnalysis.bpeTrainOnVocab(wf, 15)
+      val want = train(freq.map { case (w, f) => w -> f.toInt }.toMap, 15)
+      assert(got == want, s"seed=$seed: $got vs $want")
+    }
+  }
+
+  test("bpeTrain: empty and single-char corpora yield what they can") {
+    val empty = TextAnalysis.bpeTrainOnVocab(
+      Seq.empty[(String, Long)].toDF("w", "freq"), 5)
+    assert(empty.isEmpty)
+    val single = TextAnalysis.bpeTrainOnVocab(
+      Seq(("a", 10L), ("b", 3L)).toDF("w", "freq"), 5)
+    assert(single.isEmpty, s"no pairs exist in 1-char words: $single")
+    val two = TextAnalysis.bpeTrainOnVocab(
+      Seq(("ab", 2L), ("ba", 1L)).toDF("w", "freq"), 5)
+    assert(two.head == ("a" -> "b"), two.toString)
+  }
+
   test("bpe memo cap: encoding stays correct past the bound") {
     val codec = new BpeCodec(Seq("a" -> "b"))
     // drive distinct words through; results must be identical regardless

@@ -49,6 +49,30 @@ class MergeUpsertSpec extends SparkSpec {
       Set((5L, "e2")))
   }
 
+  test("scd2 collapses unchanged runs and stamps validity intervals") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val feed = Seq(
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "a"),  // unchanged -> collapse
+      (1L, ts(3), 12L, "b"), (1L, ts(4), 13L, "a"),  // back to a = NEW version
+      (2L, ts(1), 20L, null.asInstanceOf[String]),   // null is a value
+      (2L, ts(2), 21L, null.asInstanceOf[String]),   // unchanged null -> collapse
+      (2L, ts(3), 22L, "x"))
+      .toDF("k", "ts", "seq", "attr")
+    val out = Archive.scd2(feed, Seq("k"), Seq("ts", "seq"), Seq("attr"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3)).toList
+    assert(out == List(
+      (1L, "a", 1, ts(1), Some(ts(3)), false),
+      (1L, "b", 2, ts(3), Some(ts(4)), false),
+      (1L, "a", 3, ts(4), None, true),
+      (2L, null, 1, ts(1), Some(ts(3)), false),
+      (2L, "x", 2, ts(3), None, true)), out.toString)
+    // conservation: exactly one current version per key; intervals chain
+    assert(out.count(_._6) == 2)
+  }
+
   test("mergeUpsert aligns delta columns by name") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")

@@ -77,7 +77,8 @@ class ScaleSpec extends SparkSpec {
       "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
-      "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_resample_ffill",
+      "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
+      "p_resample_ffill",
       "p_ohlc_bars", "p_resample_interp",
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
@@ -108,7 +109,7 @@ class ScaleSpec extends SparkSpec {
       "p_latest_stream", "p_latest_arrival", "p_latest_tws",
       "p_window_stream", "p_window_stream_append", "p_window_sliding_append",
       "p_wstats_append", "p_session_stream_append", "p_stream_join",
-      "p_stream_join_rocks",
+      "p_stream_join_rocks", "p_state_reader",
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
