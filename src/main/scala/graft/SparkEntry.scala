@@ -297,6 +297,9 @@ object SparkEntry {
     // Spark 4 state data source: the dedup operator's state read back
     // from its checkpoint must equal batch DISTINCT
     "p_state_reader"     -> EventOps.stateReader _,
+    // manifest-pinned snapshot reads: v1 re-read after v2 is published
+    // must still be exactly v1's content
+    "p_time_travel"      -> EventOps.timeTravel _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
     "p_stream_enrich"    -> EventOps.streamEnrich _,
@@ -2392,6 +2395,17 @@ object SparkEntry {
     // the state the dedup operator persisted == batch DISTINCT
     "p_state_reader" ->
       "SELECT DISTINCT user_id FROM events",
+    // each version's checksum recomputed from the raw log's mod slices;
+    // a manifest leak between versions reds the named version row
+    "p_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  count(DISTINCT user_id) AS n_stations
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(event_id) AS BIGINT),
+        |  count(DISTINCT user_id)
+        |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin,
     // SCD2: change points (null-safe lag compare), then validity
     // intervals from lead() — same (ts, event_id) tie-break as the engine
     "p_scd2" ->

@@ -1,0 +1,94 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL for a parquet table —
+  * the mechanism under every lakehouse table format (Delta/Iceberg/Hudi),
+  * reduced to its core: data files are immutable and append-only; each
+  * version is a MANIFEST listing exactly the files visible at that
+  * version; a manifest is published with an atomic rename, so readers
+  * either see a complete version or the previous one, never a torn
+  * state. `read(version = N)` pins N's manifest and reproduces that
+  * version's content bit-for-bit forever — concurrent appends cannot
+  * perturb a running query, and yesterday's training run is re-readable
+  * for audits/repro regardless of what landed since.
+  *
+  * Scale shape: an append writes only ITS files plus one manifest (cost ∝
+  * delta, never table size — the new manifest references the old files,
+  * it does not copy them); a versioned read plans a normal parquet scan
+  * over the manifest's file list, so pushdown/pruning/AQE all apply
+  * unchanged. Production swaps the `java.nio` calls for the Hadoop
+  * FileSystem API (same atomic-rename contract on HDFS; object stores
+  * need the format's log-based commit instead — exactly why Delta has
+  * one) and adds manifest compaction past ~10⁵ files. Single writer
+  * assumed, as in the reference's single archiver
+  * (`Weather-Monitoring`'s central station owns its archive directory —
+  * see SURVEY §3.1); multi-writer needs the optimistic-concurrency
+  * commit loop the production formats provide.
+  */
+object Snapshots {
+
+  private def manifestDir(table: String): Path =
+    Paths.get(table, "_manifests")
+
+  /** Latest published version, 0 when the table is empty. */
+  def latestVersion(table: String): Int = {
+    val md = manifestDir(table)
+    if (!Files.isDirectory(md)) return 0
+    val s = Files.list(md)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .foldLeft(0)(math.max)
+    finally s.close()
+  }
+
+  private def manifestFiles(table: String, version: Int): Seq[String] = {
+    val m = manifestDir(table).resolve(s"v$version.list")
+    require(Files.exists(m), s"no such version $version in $table")
+    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Append `df` as a new version; returns the published version number.
+    * The data lands under a version-unique subdirectory first, the
+    * manifest (old files + new files) is staged to a temp name and
+    * atomically renamed last — the publish point.
+    */
+  def append(df: DataFrame, table: String): Int = {
+    val dataDir = Paths.get(table, "data")
+    Files.createDirectories(dataDir)
+    Files.createDirectories(manifestDir(table))
+    val current = latestVersion(table)
+    val next = current + 1
+    val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(dataDir.resolve(sub).toString)
+    val s = Files.list(dataDir.resolve(sub))
+    val fresh =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+        .map(f => s"data/$sub/$f")
+      finally s.close()
+    val all = (if (current == 0) Seq.empty
+               else manifestFiles(table, current)) ++ fresh
+    val tmp = manifestDir(table).resolve(s"v$next.tmp")
+    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestDir(table).resolve(s"v$next.list"),
+      StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Read the table at `version` (default: latest). The returned frame is
+    * pinned to that version's manifest — later appends never change it.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(table))
+    require(v > 0, s"table $table has no published versions")
+    val paths = manifestFiles(table, v)
+      .map(rel => Paths.get(table).resolve(rel).toString)
+    spark.read.parquet(paths: _*)
+  }
+}

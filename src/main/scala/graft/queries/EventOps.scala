@@ -1289,6 +1289,33 @@ object EventOps {
     * the snapshot, upserts must replace it. The oracle restates collapse
     * as row_number-latest and the apply as NOT EXISTS + UNION ALL.
     */
+  /** TIME TRAVEL over the snapshot-isolated lake table
+    * ([[graft.lake.Snapshots]]): publish two versions (events with
+    * `s_no ≡ 0 (mod 3)`, then append the `≡ 1` slice), then read BOTH
+    * versions back AFTER the second append and checksum each — version 1
+    * must still be exactly its historical content even though the table
+    * has moved on. The oracle recomputes both checksums from the raw
+    * events with the same mod slices, so a manifest that leaked v2 files
+    * into a v1 read (or dropped v1 files from v2) is a red row naming
+    * the version.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.util.Scratch.dir("graft_snap").toString
+    val ev = events(spark, dir)
+      .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
+        col("event_type"))
+    graft.lake.Snapshots.append(ev.filter(col("s_no") % 3 === 0), table)
+    graft.lake.Snapshots.append(ev.filter(col("s_no") % 3 === 1), table)
+    (1 to 2).map { v =>
+      graft.lake.Snapshots.read(spark, table, Some(v))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_no")).cast("long").as("sum_sno"),
+          countDistinct(col("station_id")).as("n_stations"))
+        .select(lit(v).as("version"), col("n"), col("sum_sno"),
+          col("n_stations"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** State-store INTROSPECTION — Spark 4's state data source
     * (`format("statestore")`) read back as a queryable DataFrame: run a
     * streaming dedup over `user_id` (state = one entry per distinct key)

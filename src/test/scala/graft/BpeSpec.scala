@@ -239,6 +239,22 @@ class BpeSpec extends SparkSpec {
     assert(two.head == ("a" -> "b"), two.toString)
   }
 
+  test("bpe round trip: concatenating a word's tokens reproduces the word") {
+    // tokenization must be LOSSLESS segmentation — merges only ever join
+    // adjacent symbols, so the concatenation of each word's tokens is the
+    // word, and the doc-level token stream concatenates to the
+    // whitespace-normalized document
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ 'ß')).map(_.mkString))
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 80)
+    val got = texts.toDF("text")
+      .select(concat_ws("", TextAnalysis.bpeTokens(col("text"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == texts.map(_.trim.split("\\s+").mkString("")))
+  }
+
   test("bpe memo cap: encoding stays correct past the bound") {
     val codec = new BpeCodec(Seq("a" -> "b"))
     // drive distinct words through; results must be identical regardless

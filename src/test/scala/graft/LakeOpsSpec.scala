@@ -73,6 +73,44 @@ class MergeUpsertSpec extends SparkSpec {
     assert(out.count(_._6) == 2)
   }
 
+  test("snapshots: version reads are pinned; appends never rewrite old files") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_snap_spec").toString
+    val v1 = Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), table)
+    // pin a v1 frame BEFORE v2 exists
+    val pinned = Snapshots.read(spark, table, Some(v1))
+    val v1Files = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally s.close()
+    }
+    val v2 = Snapshots.append(Seq((3L, "c")).toDF("k", "s"), table)
+    assert((v1, v2) == ((1, 2)))
+    // the pinned frame AND a fresh v1 read both see only v1's rows
+    assert(pinned.count() == 2)
+    assert(Snapshots.read(spark, table, Some(1)).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.read(spark, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(Snapshots.latestVersion(table) == 2)
+    // append-only: no v1 data file was touched by the v2 append
+    v1Files.foreach { case (p, t) =>
+      assert(java.nio.file.Files.getLastModifiedTime(p) == t,
+        s"$p was modified by a later append") }
+    // no torn manifests left behind (every staged .tmp was renamed)
+    val manifests = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "_manifests"))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(manifests.sorted == List("v1.list", "v2.list"), manifests)
+  }
+
   test("mergeUpsert aligns delta columns by name") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
