@@ -300,6 +300,9 @@ object SparkEntry {
     // manifest-pinned snapshot reads: v1 re-read after v2 is published
     // must still be exactly v1's content
     "p_time_travel"      -> EventOps.timeTravel _,
+    // change-data-feed: the v1->v2 manifest diff scans only the delta
+    // files and must equal exactly the second append's slice
+    "p_snapshot_diff"    -> EventOps.snapshotChanges _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
     "p_stream_enrich"    -> EventOps.streamEnrich _,
@@ -2395,6 +2398,13 @@ object SparkEntry {
     // the state the dedup operator persisted == batch DISTINCT
     "p_state_reader" ->
       "SELECT DISTINCT user_id FROM events",
+    // the delta between v1 and v2 is exactly the second append's slice
+    "p_snapshot_diff" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  count(DISTINCT user_id) AS n_stations
+        |FROM events WHERE event_id % 3 = 1
+        |GROUP BY event_type""".stripMargin,
     // each version's checksum recomputed from the raw log's mod slices;
     // a manifest leak between versions reds the named version row
     "p_time_travel" ->

@@ -91,4 +91,28 @@ object Snapshots {
       .map(rel => Paths.get(table).resolve(rel).toString)
     spark.read.parquet(paths: _*)
   }
+
+  /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive) — the change-data-feed read ("give me what landed since
+    * my last sync") that turns the snapshot log into an incremental
+    * pipeline source. Because data files are immutable and appends only
+    * ever ADD manifest entries, the delta is exactly the manifest set
+    * difference — computed from two manifest reads, no data scan, then
+    * planned as a normal parquet scan over only the delta files. A
+    * downstream consumer at 100 TB reads ∝ what changed, never the
+    * table.
+    */
+  def readChanges(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && toVersion > fromVersion,
+      s"need 0 <= from < to, got $fromVersion..$toVersion")
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestFiles(table, fromVersion).toSet
+    val added = manifestFiles(table, toVersion).filterNot(before)
+    require(added.nonEmpty,
+      s"no files added between v$fromVersion and v$toVersion")
+    spark.read.parquet(
+      added.map(rel => Paths.get(table).resolve(rel).toString): _*)
+  }
 }

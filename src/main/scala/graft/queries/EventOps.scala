@@ -1299,13 +1299,22 @@ object EventOps {
     * into a v1 read (or dropped v1 files from v2) is a red row naming
     * the version.
     */
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** Two-version snapshot table over the events log (v1 = `s_no ≡ 0
+    * (mod 3)`, v2 appends the `≡ 1` slice) — shared by the time-travel
+    * and change-feed gates so both read the SAME published table.
+    */
+  private def snapshotFixture(spark: SparkSession, dir: String): String = {
     val table = graft.util.Scratch.dir("graft_snap").toString
     val ev = events(spark, dir)
       .select(col("user_id").as("station_id"), col("event_id").as("s_no"),
         col("event_type"))
     graft.lake.Snapshots.append(ev.filter(col("s_no") % 3 === 0), table)
     graft.lake.Snapshots.append(ev.filter(col("s_no") % 3 === 1), table)
+    table
+  }
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = snapshotFixture(spark, dir)
     (1 to 2).map { v =>
       graft.lake.Snapshots.read(spark, table, Some(v))
         .agg(count(lit(1)).as("n"),
@@ -1314,6 +1323,22 @@ object EventOps {
         .select(lit(v).as("version"), col("n"), col("sum_sno"),
           col("n_stations"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** Change-data-feed read over the snapshot table
+    * ([[graft.lake.Snapshots.readChanges]]): "everything that landed
+    * between v1 and v2" must be exactly the second append's slice —
+    * computed from the manifest set difference alone, scanning only the
+    * delta files. Checksummed per event_type so a delta that leaked v1
+    * files (or dropped part of the append) reds the named type row.
+    */
+  def snapshotChanges(spark: SparkSession, dir: String): DataFrame = {
+    val table = snapshotFixture(spark, dir)
+    graft.lake.Snapshots.readChanges(spark, table, 1, 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_no")).cast("long").as("sum_sno"),
+        countDistinct(col("station_id")).as("n_stations"))
   }
 
   /** State-store INTROSPECTION — Spark 4's state data source

@@ -100,6 +100,14 @@ class MergeUpsertSpec extends SparkSpec {
     v1Files.foreach { case (p, t) =>
       assert(java.nio.file.Files.getLastModifiedTime(p) == t,
         s"$p was modified by a later append") }
+    // change feed: v1->v2 delta is exactly the second append's rows;
+    // from version 0 the delta is the whole table
+    assert(Snapshots.readChanges(spark, table, 1, 2).select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(Snapshots.readChanges(spark, table, 0, 2).count() == 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, table, 2, 2)
+    }
     // no torn manifests left behind (every staged .tmp was renamed)
     val manifests = {
       import scala.jdk.CollectionConverters._

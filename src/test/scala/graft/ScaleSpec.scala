@@ -43,6 +43,31 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("scd2 plans ONE exchange; both windows ride the same partitioning") {
+    // the SCD2 contract: change detection (lag), versioning (row_number)
+    // and interval stamping (lead) all share the key partitioning — a
+    // second Exchange would re-shuffle the whole feed per window pass
+    val plan = graft.queries.EventOps
+      .scd2History(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(1200)}")
+  }
+
+  test("shared dedup artifacts are memoized per (corpus, params) key") {
+    // the round-10 perf contract: a second consumer of the pair table /
+    // incremental base gets the SAME materialized artifact back, and a
+    // changed semantic parameter gets a different one
+    import graft.ext.dedup.TextDedup
+    val dir = "/root/testdata/sf0.001"
+    val a = TextDedup.minhashLshPairsShared(spark, dir)
+    assert(TextDedup.minhashLshPairsShared(spark, dir) eq a)
+    assert(!(TextDedup.minhashLshPairsShared(spark, dir, threshold = 0.9)
+      eq a))
+    val b = TextDedup.incrementalBaseShared(spark, dir)
+    assert(TextDedup.incrementalBaseShared(spark, dir) eq b)
+  }
+
   test("filters and projections are pushed into the parquet scan") {
     val pruned = li.filter(col("l_quantity") >= 45)
       .select("l_orderkey", "l_quantity")
@@ -110,8 +135,8 @@ class ScaleSpec extends SparkSpec {
       "p_window_stream", "p_window_stream_append", "p_window_sliding_append",
       "p_wstats_append", "p_session_stream_append", "p_stream_join",
       "p_stream_join_rocks", "p_state_reader",
-      // writes its snapshot versions on construction (batch plan after)
-      "p_time_travel",
+      // write their snapshot versions on construction (batch plan after)
+      "p_time_travel", "p_snapshot_diff",
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
