@@ -104,6 +104,12 @@ class MergeUpsertSpec extends SparkSpec {
     // from version 0 the delta is the whole table
     assert(Snapshots.readChanges(spark, table, 1, 2).select("k")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // ...and the scan PLANS only the delta files — the whole point of
+    // the manifest diff is that a consumer never touches v1's data
+    val v1Paths = Snapshots.read(spark, table, Some(1)).inputFiles.toSet
+    val deltaPaths = Snapshots.readChanges(spark, table, 1, 2).inputFiles
+    assert(deltaPaths.nonEmpty && deltaPaths.forall(!v1Paths.contains(_)),
+      s"delta scan touches v1 files: ${deltaPaths.toSeq}")
     assert(Snapshots.readChanges(spark, table, 0, 2).count() == 3)
     intercept[IllegalArgumentException] {
       Snapshots.readChanges(spark, table, 2, 2)

