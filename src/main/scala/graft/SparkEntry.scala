@@ -169,6 +169,8 @@ object SparkEntry {
     // real BPE tokenization (greedy lowest-rank merges over the fixture
     // vocab) as one codegen'd expression; counts + identity preview
     "x_text_bpe"         -> TextAnalysis.bpeReport _,
+    // Unicode NFC normalization over decomposed-augmented text
+    "x_text_nfc"         -> TextAnalysis.nfcReport _,
     // hashed-feature linear classifier (the fastText-shaped model filter):
     // poly_hash buckets -> integer weight lookup -> per-token threshold
     "x_text_classify"    -> ((s, d) => TextAnalysis.classifyQuality(s, d)),
@@ -1283,6 +1285,19 @@ object SparkEntry {
       |  CAST(greatest(0, min(off) + sum(n_bpe) - (seq_id + 1) * 64)
       |    AS BIGINT) AS overflow_tokens
       |FROM binned GROUP BY source, seq_id""".stripMargin,
+    // every row gains a decomposed suffix (e+U+0301, A+U+030A), so NFC
+    // composes on every row; md5 runs over the normalized UTF-8 bytes
+    // identically in both engines — one mis-composed code point reds
+    // the row. chr() is code-point chr in DuckDB.
+    "x_text_nfc" ->
+      """SELECT doc_id,
+        |  CAST(length(aug) AS INTEGER) AS n_raw,
+        |  CAST(length(nfc_normalize(aug)) AS INTEGER) AS n_nfc,
+        |  md5(nfc_normalize(aug)) AS nfc_md5
+        |FROM (SELECT doc_id,
+        |    concat(coalesce(text, ''), ' cafe', chr(769), ' A', chr(778))
+        |      AS aug
+        |  FROM documents)""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,

@@ -983,6 +983,29 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     graft.functions.BpeTokenize.bpe_tokenize(text, BpeFixtureMerges)
 
+  /** Gated Unicode NFC normalization
+    * ([[graft.functions.UnicodeNormalize]]): each document is augmented
+    * with a DECOMPOSED suffix (`e`+U+0301 and `A`+U+030A — canonically
+    * equivalent to `é`/`Å` but byte-distinct), so the gate exercises
+    * real composition on every row instead of passing ASCII through.
+    * Emits code-point lengths before/after (each suffix loses exactly 2
+    * points under NFC) and the md5 of the normalized text — md5 runs
+    * over UTF-8 bytes identically in both engines, so a single
+    * mis-composed code point anywhere reds the row. Null text
+    * participates as '' rather than vanishing.
+    */
+  def nfcReport(spark: SparkSession, dir: String): DataFrame = {
+    // explicit escapes ('e'+COMBINING ACUTE, 'A'+COMBINING RING): a raw
+    // decomposed literal here would invite silent editor/NFC mangling
+    val aug = concat(coalesce(col("text"), lit("")),
+      lit(" cafe\u0301 A\u030A"))
+    val norm = graft.functions.UnicodeNormalize.unicode_normalize(aug)
+    docs(spark, dir).select(col("doc_id"),
+      length(aug).as("n_raw"),
+      length(norm).as("n_nfc"),
+      md5(norm.cast("binary")).as("nfc_md5"))
+  }
+
   /** Distributed BPE TRAINING — the textbook procedure (Sennrich et al.
     * 2016) as a Spark job: ONE data-sized pass aggregates the corpus to
     * its word-frequency table; the merge loop then iterates on that

@@ -387,6 +387,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("unicode_normalize == java.text.Normalizer on adversarial strings") {
+    import graft.functions.UnicodeNormalize.unicode_normalize
+    // combining marks, Hangul jamo (compose to syllables under NFC),
+    // compatibility ligatures (fold only under NFKC/NFKD), plus plain
+    // ASCII and junk
+    val atoms = Seq("a", "\u00e9", "e\u0301", "\u00c5", "A\u030A",
+      "\uAC00", "\u1100\u1161", "\uFB01", "fi", " ", "\u00BD", "\u00DF")
+    val doc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(atoms)))
+      .map(_.mkString)
+    val strs = samples(doc, 120) ++ Seq("")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = strs.toDF("s")
+        .select(unicode_normalize(col("s"), form))
+        .collect().map(_.getString(0)).toSeq
+      val want = strs.map(s => java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.valueOf(form)))
+      assert(got == want, s"form=$form")
+      // idempotence: normalizing twice is a no-op
+      val twice = got.map(s => java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.valueOf(form)))
+      assert(twice == got, s"form=$form not idempotent")
+    }
+    // null passes through; bad form rejected at construction
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("s")
+      .select(unicode_normalize(col("s"))).collect()(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      unicode_normalize(col("s"), "NFX")
+    }
+  }
+
   test("winnow_fp codegen compiles (no silent interpreted fallback)") {
     // the fused expression's whole point is the generated loop; if Janino
     // ever rejects the generated Java (e.g. the parameterized

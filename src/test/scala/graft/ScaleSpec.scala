@@ -108,7 +108,7 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
-      "x_text_tokens", "x_text_bpe", "x_pack_bpe",
+      "x_text_tokens", "x_text_bpe", "x_text_nfc", "x_pack_bpe",
       "x_text_quality", "x_text_langid",
       "x_text_classify",
       "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
