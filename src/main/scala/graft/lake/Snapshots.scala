@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -8,9 +8,10 @@ import scala.jdk.CollectionConverters._
   * the mechanism under every lakehouse table format (Delta/Iceberg/Hudi),
   * reduced to its core: data files are immutable and append-only; each
   * version is a MANIFEST listing exactly the files visible at that
-  * version; a manifest is published with an atomic rename, so readers
-  * either see a complete version or the previous one, never a torn
-  * state. `read(version = N)` pins N's manifest and reproduces that
+  * version; a manifest is published with an atomic hard-link creation
+  * (single-winner: a concurrent append fails LOUDLY instead of silently
+  * replacing the other writer's version), so readers either see a
+  * complete version or the previous one, never a torn state. `read(version = N)` pins N's manifest and reproduces that
   * version's content bit-for-bit forever — concurrent appends cannot
   * perturb a running query, and yesterday's training run is re-readable
   * for audits/repro regardless of what landed since.
@@ -22,11 +23,13 @@ import scala.jdk.CollectionConverters._
   * unchanged. Production swaps the `java.nio` calls for the Hadoop
   * FileSystem API (same atomic-rename contract on HDFS; object stores
   * need the format's log-based commit instead — exactly why Delta has
-  * one) and adds manifest compaction past ~10⁵ files. Single writer
-  * assumed, as in the reference's single archiver
-  * (`Weather-Monitoring`'s central station owns its archive directory —
-  * see SURVEY §3.1); multi-writer needs the optimistic-concurrency
-  * commit loop the production formats provide.
+  * one) and adds manifest compaction past ~10⁵ files. The normal
+  * deployment is the reference's single archiver (`Weather-Monitoring`'s
+  * central station owns its archive directory — see SURVEY §3.1), but a
+  * racing second writer is DETECTED, not absorbed: publication is
+  * single-winner and the loser gets an explicit conflict error to retry
+  * from a fresh `latestVersion` — the optimistic-concurrency loop the
+  * production formats run, minus their automatic retry.
   */
 object Snapshots {
 
@@ -53,15 +56,24 @@ object Snapshots {
   }
 
   /** Append `df` as a new version; returns the published version number.
-    * The data lands under a version-unique subdirectory first, the
+    * The data lands under a version-unique subdirectory first; the
     * manifest (old files + new files) is staged to a temp name and
-    * atomically renamed last — the publish point.
+    * published last via atomic hard-link creation — the publish point.
+    *
+    * `expectedVersion` is the compare-and-swap handle: pass the version
+    * your read/transform was based on and the append fails if anyone
+    * published past it in the meantime (otherwise the new version could
+    * silently NOT include a concurrent append's rows in downstream
+    * diffs). Omitted, the append chains onto whatever is latest at entry
+    * — publication is still single-winner either way.
     */
-  def append(df: DataFrame, table: String): Int = {
+  def append(df: DataFrame, table: String,
+      expectedVersion: Option[Int] = None): Int = {
     val dataDir = Paths.get(table, "data")
     Files.createDirectories(dataDir)
     Files.createDirectories(manifestDir(table))
-    val current = latestVersion(table)
+    val current = expectedVersion.getOrElse(latestVersion(table))
+    require(current >= 0, s"expectedVersion must be >= 0: $current")
     val next = current + 1
     val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(dataDir.resolve(sub).toString)
@@ -73,10 +85,26 @@ object Snapshots {
       finally s.close()
     val all = (if (current == 0) Seq.empty
                else manifestFiles(table, current)) ++ fresh
-    val tmp = manifestDir(table).resolve(s"v$next.tmp")
+    val tmp = manifestDir(table).resolve(
+      s"v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, manifestDir(table).resolve(s"v$next.list"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // publish via hard-link creation, not rename: rename(2) silently
+    // REPLACES an existing target, so two racing writers would both
+    // "succeed" and one version would vanish; link(2) fails with EEXIST
+    // atomically, making publication single-winner. The loser's staged
+    // tmp is removed and the conflict surfaces as an error the caller
+    // retries from a fresh latestVersion (the optimistic-concurrency
+    // loop production formats run).
+    val target = manifestDir(table).resolve(s"v$next.list")
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent append lost the race for version $next of $table" +
+            " — re-read latestVersion and retry")
+    }
+    Files.deleteIfExists(tmp)
     next
   }
 

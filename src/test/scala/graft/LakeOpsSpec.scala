@@ -125,6 +125,34 @@ class MergeUpsertSpec extends SparkSpec {
     assert(manifests.sorted == List("v1.list", "v2.list"), manifests)
   }
 
+  test("snapshots: a racing append loses loudly, never clobbers a version") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_snap_race").toString
+    Snapshots.append(Seq((1L, "a")).toDF("k", "s"), table)
+    // simulate the race: another writer has already published v2 while
+    // this writer still holds expectedVersion = 1 (the CAS handle)
+    val v2 = java.nio.file.Paths.get(table, "_manifests", "v2.list")
+    java.nio.file.Files.write(v2, "data/other/winner.parquet".getBytes)
+    val err = intercept[IllegalStateException] {
+      Snapshots.append(Seq((2L, "b")).toDF("k", "s"), table,
+        expectedVersion = Some(1))
+    }
+    assert(err.getMessage.contains("version 2"))
+    // the published v2 is untouched and no staged tmp lingers
+    assert(new String(java.nio.file.Files.readAllBytes(v2))
+      == "data/other/winner.parquet")
+    val leftovers = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "_manifests"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tmp")).toList
+      finally s.close()
+    }
+    assert(leftovers.isEmpty, leftovers.toString)
+  }
+
   test("mergeUpsert aligns delta columns by name") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
