@@ -195,6 +195,9 @@ object SparkEntry {
     "x_shard_pack"       -> ((s, d) => graft.ext.corpus.Corpus.packShards(s, d)),
     "x_tfidf_top"        -> ((s, d) => graft.ext.corpus.Corpus.tfidfTopTerms(s, d)),
     "x_corpus_prepare"   -> ((s, d) => graft.ext.corpus.Corpus.prepare(s, d)),
+    // contiguous 0..n-1 ids via range-partition + zipWithIndex — never
+    // a single-partition global window
+    "x_corpus_ids"       -> ((s, d) => graft.ext.corpus.Corpus.contiguousDocIds(s, d)),
     "x_split_leakage_safe" -> ((s, d) =>
       graft.ext.corpus.Corpus.leakageSafeSplit(s, d)),
     "x_jsonl_roundtrip"  -> ((s, d) => graft.ext.corpus.Corpus.jsonlRoundTrip(s, d)),
@@ -2413,6 +2416,13 @@ object SparkEntry {
     // the state the dedup operator persisted == batch DISTINCT
     "p_state_reader" ->
       "SELECT DISTINCT user_id FROM events",
+    // the oracle MAY use the global window (oracle scale is irrelevant);
+    // the engine side must reproduce it without one
+    "x_corpus_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1
+        |    AS contig_id
+        |FROM documents""".stripMargin,
     // the delta between v1 and v2 is exactly the second append's slice
     "p_snapshot_diff" ->
       """SELECT event_type, count(*) AS n,

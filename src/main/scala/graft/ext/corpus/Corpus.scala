@@ -366,6 +366,40 @@ object Corpus {
           (col("seq_id") + 1) * seqLen).cast("long").as("overflow_tokens"))
   }
 
+  /** Contiguous global row IDs (0..n−1 in `orderCol` order) WITHOUT the
+    * single-partition window a naive `row_number() OVER (ORDER BY …)`
+    * plans — at 100 TB that window funnels the whole table through one
+    * task, the canonical driver-shaped scale-killer this engine's specs
+    * grep plans for. The distributed form is the textbook two-pass:
+    * range-repartition on the order column (partitions are globally
+    * ordered), sort within partitions, then one `zipWithIndex` pass
+    * (a count-per-partition job to compute offsets + a map attaching
+    * offset + local index). The RDD hop is deliberate and minimal: the
+    * per-partition offset attach is the one genuinely imperative step,
+    * and it is also exactly what every production "assign training
+    * example ids" job does. Correctness is independent of where the
+    * range sampler places partition boundaries — only the global order
+    * matters, and that is pinned by (range partitioning, within-partition
+    * sort, unique `orderCol`).
+    */
+  def contiguousIds(df: DataFrame, orderCol: String,
+      numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranged = df.repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val schema = StructType(
+      ranged.schema.fields :+ StructField("contig_id", LongType, false))
+    val withIds = ranged.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(withIds, schema)
+  }
+
+  /** Gated contiguous-ID assignment over the documents table. */
+  def contiguousDocIds(spark: SparkSession, dir: String): DataFrame =
+    contiguousIds(docs(spark, dir).select(col("doc_id")), "doc_id")
+
   /** [[packSequences]] re-based on REAL tokenizer counts: documents pack
     * into fixed `seqLen`-token training sequences by their BPE token
     * count ([[graft.ext.text.TextAnalysis.bpeTokens]] under the fixture

@@ -43,6 +43,26 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("contiguousIds matches the global window WITHOUT planning one") {
+    import graft.ext.corpus.Corpus
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.contiguousDocIds(spark, dir)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      .zipWithIndex.map { case (d, i) => (d, i.toLong) }
+    assert(got.sameElements(want))
+    // the whole point: no single-partition funnel anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    // order stability: ids are invariant to input partitioning
+    val shuffled = Corpus.contiguousIds(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).repartition(7), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(shuffled.sameElements(want))
+  }
+
   test("scd2 plans ONE exchange; both windows ride the same partitioning") {
     // the SCD2 contract: change detection (lag), versioning (row_number)
     // and interval stamping (lead) all share the key partitioning — a
@@ -113,7 +133,8 @@ class ScaleSpec extends SparkSpec {
       "x_text_classify",
       "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
-      "x_shard_pack", "x_pack_sequences", "x_corpus_budget",
+      "x_shard_pack", "x_pack_sequences", "x_corpus_ids",
+      "x_corpus_budget",
       "x_corpus_mixture", "x_corpus_rebalance", "x_corpus_curriculum",
       "x_corpus_shuffle", "x_corpus_overlap", "x_embed_stats",
       "x_embed_quantize", "x_embed_neardup", "x_profile",
