@@ -59,6 +59,20 @@ object GraftSession {
     "zorder_code" -> (exprs => {
       val bits = exprs(2).eval(null).asInstanceOf[Number].intValue
       graft.functions.ZOrderCode(exprs.head, exprs(1), bits)
+    }),
+    "winnow_fp" -> (exprs => {
+      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+      val w = exprs(2).eval(null).asInstanceOf[Number].intValue
+      graft.functions.WinnowFp(exprs.head, k, w)
+    }),
+    // SQL surface uses the fixture vocab (the gate path); programmatic
+    // callers pass their own merge table through BpeTokenize directly
+    "bpe_tokenize" -> (exprs => graft.functions.BpeTokenize(exprs.head,
+      graft.ext.text.TextAnalysis.BpeFixtureMerges)),
+    "unicode_normalize" -> (exprs => {
+      val form = if (exprs.length > 1)
+        exprs(1).eval(null).toString else "NFC"
+      graft.functions.UnicodeNormalize(exprs.head, form)
     }))
 
   /** Register graft's custom expressions in the session's function registry

@@ -278,6 +278,16 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getAs[Long]("p") == ref("abc"))
     assert(r.getAs[scala.collection.Seq[Long]]("m").length == 4)
     assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq("a b", "b c"))
+    // the round-10 additions ride the same registry
+    val r2 = spark.sql(
+      """SELECT bpe_tokenize('customer the') AS b,
+        |  unicode_normalize('é') AS u,
+        |  winnow_fp(array('a','b','c','d','e','f'), 3, 4) AS w
+        |""".stripMargin).collect().head
+    assert(r2.getAs[scala.collection.Seq[String]]("b")
+      == Seq("customer", "t", "h", "e"))
+    assert(r2.getAs[String]("u") == "\u00e9")
+    assert(r2.getAs[scala.collection.Seq[Long]]("w").nonEmpty)
   }
 
   test("custom aggregates and zorder_code are SQL-callable after register()") {
