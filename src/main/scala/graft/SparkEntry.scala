@@ -152,6 +152,9 @@ object SparkEntry {
     "q28_covar"          -> ((s, d) => Analytics.q28CovarSums(s, d)),
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
+    // hot keys broadcast around the shuffle, cold keys join normally —
+    // the result must be the plain join's
+    "p_hotkey_join"      -> EventOps.hotKeyJoinStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
@@ -430,6 +433,13 @@ object SparkEntry {
         |GROUP BY e.user_id""".stripMargin,
     // the salted two-phase aggregate must equal the plain GROUP BY;
     // integer cent-sums make the comparison order-proof
+    // the hot/cold split must be invisible: oracle is the PLAIN join
+    "p_hotkey_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
     "p_salted_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -82,6 +82,35 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot-key SPLIT join — the other classic skew defense ([[saltedJoin]]
+    * spreads a hot key over salts; this one routes hot keys around the
+    * shuffle entirely): count fact rows per key, call keys at or above
+    * `hotThreshold` hot, then join the hot slice against the (broadcast)
+    * hot slice of the dimension while the cold remainder takes the
+    * normal shuffle join, and union the legs. At 100 TB the hot-key SET
+    * is small by construction (there are only so many keys a skewed
+    * distribution can make hot) so both broadcasts are tiny even when
+    * the hot ROWS are a large fraction of the fact — the hot rows never
+    * enter an exchange at all, which beats salting when skew is extreme
+    * (salting still shuffles every hot row once). AQE's skew-join
+    * mitigation approximates this at runtime per-partition; the explicit
+    * form guarantees it regardless of partition statistics and composes
+    * with pre-partitioned/bucketed cold paths. Result set is provably
+    * the plain join's: the hot/cold key sets partition the key space and
+    * each leg joins the SAME dimension rows the plain join would.
+    */
+  def hotKeySplitJoin(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long): DataFrame = {
+    require(hotThreshold > 0, s"hotThreshold must be > 0: $hotThreshold")
+    val hotKeys = fact.groupBy(col(key)).count()
+      .filter(col("count") >= hotThreshold).select(col(key))
+    val factHot = fact.join(broadcast(hotKeys), Seq(key), "semi")
+    val factCold = fact.join(broadcast(hotKeys), Seq(key), "anti")
+    val dimHot = dim.join(broadcast(hotKeys), Seq(key), "semi")
+    factHot.join(broadcast(dimHot), Seq(key))
+      .unionByName(factCold.join(dim, Seq(key)))
+  }
+
   /** Z-ordered parquet write: range-partition by the Morton code of two
     * dimensions ([[graft.functions.ZOrderCode]]) and sort within
     * partitions, so each output file covers a compact 2-D tile — parquet

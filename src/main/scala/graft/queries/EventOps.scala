@@ -1365,6 +1365,27 @@ object EventOps {
       .select(col("key.user_id").as("user_id"))
   }
 
+  /** Gated hot-key split join ([[graft.operators.Scale.hotKeySplitJoin]]):
+    * lineitem ⋈ orders on orderkey with the hot threshold INSIDE the
+    * key-multiplicity range (lineitem carries 1–7 rows per order, so
+    * both the broadcast-hot and shuffle-cold legs are exercised with
+    * real rows), rolled up per returnflag. The oracle is the PLAIN join
+    * — the split must be invisible in the result.
+    */
+  def hotKeyJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("orderkey"), col("l_returnflag"),
+        col("l_quantity"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("orderkey"), col("o_totalprice"))
+    graft.operators.Scale.hotKeySplitJoin(li, ord, "orderkey",
+        hotThreshold = 4L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   /** Gated SCD2 history: every station's `event_type` timeline as
     * validity intervals — consecutive equal types collapse, each change
     * opens a version stamped [valid_from, valid_to). Deterministic under

@@ -43,6 +43,31 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("hotKeySplitJoin == plain join; both legs carry rows at the gate config") {
+    import graft.operators.Scale
+    val dir = "/root/testdata/sf0.001"
+    val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("q"))
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sorted.toSeq
+    val split = Scale.hotKeySplitJoin(fact, dim, "k", hotThreshold = 4L)
+    assert(canon(split) == canon(fact.join(dim, "k")))
+    // the threshold sits inside lineitem's 1–7 rows/key multiplicity, so
+    // BOTH legs must be exercised — a threshold outside the range would
+    // silently test only one path
+    val counts = fact.groupBy("k").count()
+    assert(counts.filter(col("count") >= 4).count() > 0, "no hot keys")
+    assert(counts.filter(col("count") < 4).count() > 0, "no cold keys")
+    // degenerate thresholds: all-hot and all-cold both equal the join
+    assert(canon(Scale.hotKeySplitJoin(fact, dim, "k", 1L))
+      == canon(fact.join(dim, "k")))
+    assert(canon(Scale.hotKeySplitJoin(fact, dim, "k", Long.MaxValue))
+      == canon(fact.join(dim, "k")))
+  }
+
   test("contiguousIds matches the global window WITHOUT planning one") {
     import graft.ext.corpus.Corpus
     val dir = "/root/testdata/sf0.001"
@@ -121,6 +146,7 @@ class ScaleSpec extends SparkSpec {
       "p_json_parse", "p_variant_extract", "p_filter_alert", "p_normalize",
       "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
+      "p_hotkey_join",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
