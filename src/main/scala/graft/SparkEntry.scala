@@ -260,6 +260,10 @@ object SparkEntry {
       graft.ext.profile.Profile.lineitemApproxProfile(s, d)),
     "x_skew_report"      -> ((s, d) =>
       graft.ext.profile.Profile.lineitemSkewReport(s, d)),
+    // Deequ-shaped arrival gate: 6 row-local constraints in ONE
+    // aggregate pass + 1 referential anti-join, violation counts only
+    "x_dq_checks"        -> ((s, d) =>
+      graft.ext.profile.Quality.lineitemChecks(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -1797,6 +1801,50 @@ object SparkEntry {
         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  CAST(max(cnt) AS BIGINT) AS max_key_rows
         |FROM b GROUP BY log2_bucket""".stripMargin,
+    // every scalar is a violation COUNT (BIGINT, order-proof); the
+    // unique check counts DISTINCT over a ROW/struct on both sides so
+    // null-bearing tuples count as values; the FK check's NOT EXISTS
+    // matches Spark's left-anti (null FK = violation on both engines)
+    "x_dq_checks" ->
+      """SELECT 'not_null(l_orderkey)' AS check_name,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) AS violations,
+        |  count(*) - count(l_orderkey) = 0 AS passed FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS BIGINT) AS v,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)',
+        |  CAST(count(*) FILTER (WHERE l_returnflag IS NULL
+        |    OR l_returnflag NOT IN ('A','N','R')) AS BIGINT) AS v,
+        |  count(*) FILTER (WHERE l_returnflag IS NULL
+        |    OR l_returnflag NOT IN ('A','N','R')) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'between(l_discount,0.0,0.1)',
+        |  CAST(count(*) FILTER (WHERE l_discount IS NULL
+        |    OR l_discount < 0.0 OR l_discount > 0.1) AS BIGINT) AS v,
+        |  count(*) FILTER (WHERE l_discount IS NULL
+        |    OR l_discount < 0.0 OR l_discount > 0.1) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'between(l_quantity,1.0,10.0)',
+        |  CAST(count(*) FILTER (WHERE l_quantity IS NULL
+        |    OR l_quantity < 1.0 OR l_quantity > 10.0) AS BIGINT) AS v,
+        |  count(*) FILTER (WHERE l_quantity IS NULL
+        |    OR l_quantity < 1.0 OR l_quantity > 10.0) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'min_rows(1000)',
+        |  CAST(greatest(0, 1000 - count(*)) AS BIGINT) AS v,
+        |  greatest(0, 1000 - count(*)) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'subset_of(l_orderkey,orders.o_orderkey)',
+        |  CAST(count(*) FILTER (WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS v,
+        |  count(*) FILTER (WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |FROM lineitem l""".stripMargin,
     // HLL++ estimates are engine-specific, so the gate hashes the exact
     // anchor plus a within-5% boolean (the q20 sketch pattern): the
     // oracle asserts TRUE, Spark computes |approx-exact|/exact <= 0.05

@@ -1635,6 +1635,43 @@ class ProfileSpec extends SparkSpec {
     assert(rows("id") == ((4L, 0L, 3L, "1", "3")))
     assert(rows("s") == ((4L, 1L, 2L, "a", "c")))
   }
+
+  test("quality checks count violations per constraint incl. null edges") {
+    import spark.implicits._
+    import graft.ext.profile.Quality._
+    // id 4 has a null enum + out-of-range value; id 5 has a null FK;
+    // (3, x) repeats so unique fails; struct-unique must still count the
+    // (4, null)-field tuple as a value rather than dropping it
+    val df = Seq(
+      (Some(1L), Some("A"), Some(0.5)),
+      (Some(2L), Some("R"), Some(1.0)),
+      (Some(3L), Some("A"), Some(0.0)),
+      (Some(3L), Some("A"), Some(0.7)),
+      (Some(4L), None, Some(9.9)),
+      (None, Some("N"), None)
+    ).toDF("id", "flag", "v")
+    val ref = Seq(1L, 2L, 3L).toDF("rid")
+    val out = validate(df, Seq(
+      NotNull("id"), Unique(Seq("id", "flag")), InSet("flag", Seq("A", "R", "N")),
+      Between("v", 0.0, 1.0), MinRows(10L),
+      SubsetOf("id", ref, "rid", "ref")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("not_null(id)") == ((1L, false)))
+    // 6 rows, 5 distinct (id,flag) tuples — the (4,null) tuple counts
+    assert(out("unique(id,flag)") == ((1L, false)))
+    assert(out("in_set(flag)") == ((1L, false)))   // null flag violates
+    assert(out("between(v,0.0,1.0)") == ((2L, false))) // 9.9 and null
+    assert(out("min_rows(10)") == ((4L, false)))
+    // id=4 not in ref + null id never matches = 2 violations
+    assert(out("subset_of(id,ref.rid)") == ((2L, false)))
+    // a clean slice passes everything
+    val clean = validate(df.filter($"id" <= 2), Seq(
+      NotNull("id"), Unique(Seq("id")), MinRows(1L),
+      SubsetOf("id", ref, "rid", "ref"))).collect()
+    assert(clean.forall(_.getBoolean(2)))
+    assert(clean.forall(_.getLong(1) == 0L))
+  }
 }
 
 class KmvSketchSpec extends SparkSpec {
