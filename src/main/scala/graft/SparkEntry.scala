@@ -159,6 +159,9 @@ object SparkEntry {
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
+    // prefix-filtered EXACT set-similarity join (SSJoin/AllPairs/PPJoin):
+    // indexes only each doc's rarest n-ceil(t n)+1 shingles, lossless
+    "x_dedup_ppjoin"     -> ((s, d) => TextDedup.ppjoinPairs(s, d)),
     "x_dedup_lines"      -> ((s, d) => TextDedup.removeRepeatedLines(s, d)),
     // same operator keyed on xxhash64(line) — the 8-byte-shuffle
     // production shape; the string-keyed oracle verifies it because the
@@ -1216,6 +1219,9 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
     "x_dedup_ngram" -> ngramJaccardOracle,
+    // prefix filtering is LOSSLESS (prefix-filtering principle + length
+    // filter + exact verify), so the PPJoin result IS the exhaustive join's
+    "x_dedup_ppjoin" -> ngramJaccardOracle,
     // full simhash reproduction: md5_number_lower == the portable token hash
     // bit-for-bit; the oracle joins exhaustively, which equals the banded
     // join exactly (pigeonhole: 4 bands, <=3 differing bits)

@@ -178,6 +178,72 @@ object TextDedup {
       .select("d_sub", "d_super", "containment")
   }
 
+  /** PPJoin-style EXACT-threshold Jaccard pairs via prefix filtering
+    * (Chaudhuri et al. ICDE 2006 SSJoin; Bayardo et al. WWW 2007
+    * AllPairs; Xiao et al. WWW 2008 PPJoin): identical output to
+    * [[ngramJaccardPairsOf]], but candidate generation only indexes each
+    * document's PREFIX — its `n - ceil(t·n) + 1` globally-rarest
+    * shingles — instead of every shingle. The prefix-filtering principle
+    * guarantees any pair with J ≥ t shares a prefix element under a
+    * total global order (here: document frequency ascending, hash as
+    * tiebreak — rare-first, so prefixes land in the emptiest buckets), and
+    * a length filter (`min(n1,n2) ≥ t·max(n1,n2)`, implied by J ≥ t)
+    * prunes size-mismatched collisions before the pair ever forms.
+    * Candidates are then exact-verified on the full shingle sets.
+    *
+    * This is the exact counterpart to MinHash-LSH: LSH's candidate count
+    * is tunable but probabilistic; prefix filtering is lossless — at
+    * 100 TB it is THE way to run an exact-threshold set-similarity join
+    * without the full inverted index's O(sum of bucket²) blowup, because
+    * hot (high-df) shingles are precisely the ones prefixes exclude.
+    * Shapes: one df-count aggregate, one per-doc window (partitioned by
+    * doc_id — no global sort), a prefix×prefix equi-join on 8-byte
+    * hashes, and a verify join that moves only candidate docs' arrays.
+    *
+    * The verification threshold is applied to `round(j, 3)` exactly as
+    * the exhaustive form does; prefixes are sized for `t − 5e-4` so a
+    * pair whose true Jaccard sits just under t but rounds up to it is
+    * still guaranteed a candidate (and fp noise in `ceil(t·n)` is
+    * absorbed the same way).
+    */
+  def ppjoinPairsOf(df: DataFrame, threshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, n)
+    val tSafe = threshold - 5e-4
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("span"),
+        size(col("shingles")).as("nsz"))
+      .select(col("doc_id"), xxhash64(col("span")).as("s"), col("nsz"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= col("nsz") - ceil(col("nsz") * tSafe) + 1)
+      .select(col("doc_id"), col("s"), col("nsz"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nsz"), col("b.nsz")).cast("double") >=
+            greatest(col("a.nsz"), col("b.nsz")).cast("double") * tSafe)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("shared"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .withColumn("jaccard", round(jaccard, 3))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** Gated [[ppjoinPairsOf]] over the documents table — must equal the
+    * exhaustive [[ngramJaccardPairs]] result (same oracle). */
+  def ppjoinPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame =
+    ppjoinPairsOf(docs(spark, dir), threshold, n)
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's shingle hashes — a permutation-min sketch whose
     * agreement rate estimates Jaccard. One codegen'd pass per row via the

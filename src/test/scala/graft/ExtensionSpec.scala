@@ -24,6 +24,42 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("ppjoin prefix filtering is lossless vs the exhaustive join") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val exhaustive = canon(TextDedup.ngramJaccardPairs(spark, dir))
+    assert(exhaustive.nonEmpty, "testdata should contain planted near-dups")
+    assert(canon(TextDedup.ppjoinPairs(spark, dir)) == exhaustive)
+    // lower threshold → longer prefixes, more pairs; still lossless
+    val loose = canon(TextDedup.ngramJaccardPairs(spark, dir, threshold = 0.5))
+    assert(canon(TextDedup.ppjoinPairs(spark, dir, threshold = 0.5)) == loose)
+    assert(loose.size >= exhaustive.size)
+  }
+
+  test("ppjoin handles size-boundary and rounding-edge corpora") {
+    import spark.implicits._
+    // docs engineered so true jaccard sits AT and just below/above the
+    // threshold after 3-dp rounding, plus a size-mismatched containment
+    // pair the length filter must prune and identical twins at j=1.0
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                      // j=1.0 with 1
+      (3L, base + " extra1"),                          // high-j neighbor
+      (4L, (1 to 20).map(i => s"w$i").mkString(" ") + " x y z a b c"),
+      (5L, (1 to 6).map(i => s"w$i").mkString(" ")),   // contained, small
+      (6L, "totally different tokens nothing shared here at all now ok")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      assert(canon(TextDedup.ppjoinPairsOf(df, t)) ==
+        canon(TextDedup.ngramJaccardPairsOf(df, t)), s"threshold $t")
+    }
+  }
+
   test("containment finds a short doc embedded in a long one; jaccard misses it") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta eta theta"
