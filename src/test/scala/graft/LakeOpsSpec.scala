@@ -262,6 +262,26 @@ class CompactionSpec extends SparkSpec {
       assert(idx.select("doc_id").distinct().count() == archive.count())
     } finally q.stop()
   }
+
+  test("mergeSchema read null-pads files written before a column existed") {
+    import spark.implicits._
+    val out = tmpDir("evo")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.parquet(s"$out/b1")
+    Seq((3L, "a", 30L), (4L, "c", 40L)).toDF("id", "k", "late")
+      .write.parquet(s"$out/b2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/b1", s"$out/b2")
+    assert(merged.columns.toSet == Set("id", "k", "late"))
+    // old files surface the late column as null — absent, not zero
+    assert(merged.filter(col("late").isNull).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(merged.agg(sum(col("late"))).collect().head.getLong(0) == 70L)
+    // and the reverse order of paths changes nothing
+    val flipped = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/b2", s"$out/b1")
+    assert(flipped.count() == 4 && flipped.columns.toSet == merged.columns.toSet)
+  }
 }
 
 class GraftSessionSpec extends SparkSpec {
