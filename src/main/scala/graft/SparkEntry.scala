@@ -88,10 +88,6 @@ object SparkEntry {
     "p_doc_json"         -> EventOps.docJson _,
     "p_full_scan"        -> EventOps.fullScan _,
     "p_csv_roundtrip"    -> EventOps.csvRoundTrip _,
-    // mergeSchema over batches written with different schemas: old files
-    // null-pad the late column, footer-only at scale
-    "p_schema_evolution" -> ((s, d) =>
-      graft.lake.Archive.schemaEvolutionRead(s, d)),
     "p_latest_stream"    -> EventOps.latestPerKeyStream _,
     "p_latest_arrival"   -> EventOps.latestArrivalStream _,
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
@@ -160,6 +156,9 @@ object SparkEntry {
     // the result must be the plain join's
     "p_hotkey_join"      -> EventOps.hotKeyJoinStats _,
     "p_bucketed_join"    -> EventOps.bucketedJoinStats _,
+    // incremental view maintenance: merge delta partial aggregates into
+    // the summary — never rescans base; oracle = the from-scratch rebuild
+    "p_agg_maintain"     -> EventOps.aggMaintain _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -442,6 +441,18 @@ object SparkEntry {
         |FROM events e JOIN totals t USING (user_id)
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.user_id""".stripMargin,
+    // the maintained summary must equal a from-scratch rebuild over all
+    // events; integer cents end to end, and avg derives at read via
+    // integer division (cents are non-negative so div == // here)
+    "p_agg_maintain" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  min(cents) AS min_c, max(cents) AS max_c,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+        |FROM e GROUP BY user_id""".stripMargin,
     // the salted two-phase aggregate must equal the plain GROUP BY;
     // integer cent-sums make the comparison order-proof
     // the hot/cold split must be invisible: oracle is the PLAIN join
@@ -1174,26 +1185,6 @@ object SparkEntry {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
-    // batch 1 (even event_ids) never had value_eur_cents: the merged read
-    // must null-pad it, so n_eur counts only batch-2 rows while n spans
-    // both; the late column is integer cents (floor(v*90+0.5) is
-    // bit-deterministic where round(v*0.9, 2) half-cases diverge)
-    "p_schema_evolution" ->
-      """WITH b1 AS (
-        |  SELECT event_id, event_type, value,
-        |    CAST(NULL AS BIGINT) AS value_eur_cents
-        |  FROM events WHERE event_id % 2 = 0),
-        |b2 AS (
-        |  SELECT event_id, event_type, value,
-        |    CAST(floor(value * 90 + 0.5) AS BIGINT) AS value_eur_cents
-        |  FROM events WHERE event_id % 2 = 1),
-        |m AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(count(value_eur_cents) AS BIGINT) AS n_eur,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS cents,
-        |  CAST(sum(value_eur_cents) AS BIGINT) AS cents_eur
-        |FROM m GROUP BY event_type""".stripMargin,
     "p_doc_json" ->
       """SELECT concat(user_id, '_', event_id) AS doc_id,
         |  to_json(struct_pack(station_id := user_id, s_no := event_id,

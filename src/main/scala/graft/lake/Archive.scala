@@ -224,39 +224,4 @@ object Archive {
       .load(path)
   }
 
-  import org.apache.spark.sql.functions._
-
-  /** Parquet schema-evolution read — the lake reality that batches
-    * written months apart don't share a schema: batch 1 lacks a column
-    * batch 2 added (`value_eur_cents`), and a `mergeSchema` read over
-    * both must union the schemas, null-padding the old files. The
-    * aggregate proves the semantics: `n_eur` counts only batch-2 rows
-    * (nulls from batch 1 are absent, not zero), while `n`/`cents` cover
-    * both batches. At 100 TB this is a footer-only operation — schema
-    * merge reads file FOOTERS, never data, and the null padding is
-    * virtual (no rewrite of old files). Deterministic split on
-    * `event_id` parity; the late column is integer cents
-    * (`floor(v·90+0.5)` is bit-deterministic across engines where
-    * `round(v·0.9, 2)` half-cases diverge), so every sum is order-proof.
-    */
-  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.util.Scratch.dir("graft_evo").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(s"$out/b1")
-    ev.filter(col("event_id") % 2 === 1)
-      .select(col("event_id"), col("event_type"), col("value"),
-        floor(col("value") * 90 + lit(0.5)).cast("long")
-          .as("value_eur_cents"))
-      .write.mode("overwrite").parquet(s"$out/b2")
-    spark.read.option("mergeSchema", "true")
-      .parquet(s"$out/b1", s"$out/b2")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        count(col("value_eur_cents")).cast("long").as("n_eur"),
-        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-          .cast("long").as("cents"),
-        sum(col("value_eur_cents")).cast("long").as("cents_eur"))
-  }
 }

@@ -1466,4 +1466,45 @@ object EventOps {
         col("n_name").as("region_name"))
     drainToMemory(spark, joined, "stream_enrich_gate", OutputMode.Append())
   }
+
+  /** Per-user partial summary: the mergeable-aggregate state
+    * (count / sum / min / max as integer cents) that [[aggMaintain]]
+    * unions — one definition so base, delta, and a from-scratch rebuild
+    * can never drift.
+    */
+  private def userSummary(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+
+  /** Incremental aggregate maintenance — the materialized-summary-table
+    * pattern at 100 TB: a per-user summary built from the historical 90%
+    * of events is UPDATED by merging the delta's partial aggregates,
+    * never rescanning base events. Works because every maintained
+    * statistic is a commutative monoid (counts and sums add, min/max
+    * take min/max), so `merge = union the summary rows, re-aggregate` —
+    * cost ∝ |delta| + |summary|, and when the summary table is
+    * partitioned/bucketed by the group key the merge is co-located,
+    * shuffle-free. Derived statistics (here `avg_cents`) are computed AT
+    * READ from the maintained sums, never maintained directly (averages
+    * don't merge). The non-example matters just as much: COUNT DISTINCT
+    * is not a monoid — maintaining it incrementally is what the
+    * mergeable sketches are for (`kmv_sketch`, `approx_count_distinct`
+    * in `x_profile_approx`). Oracle = the from-scratch aggregate over
+    * ALL events: the maintained summary must be indistinguishable from
+    * a full rebuild.
+    */
+  def aggMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val base = userSummary(ev.filter(col("event_id") % 10 =!= 0))
+    val delta = userSummary(ev.filter(col("event_id") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("cents"),
+        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+      .withColumn("avg_cents", expr("cents div n"))
+  }
 }

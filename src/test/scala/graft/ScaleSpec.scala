@@ -146,7 +146,7 @@ class ScaleSpec extends SparkSpec {
       "p_json_parse", "p_variant_extract", "p_filter_alert", "p_normalize",
       "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
-      "p_hotkey_join",
+      "p_hotkey_join", "p_agg_maintain", "x_dq_checks", "x_dedup_ppjoin",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
@@ -409,6 +409,26 @@ class ScaleSpec extends SparkSpec {
       assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
         s"approx percentile outside rank bound: $r")
     }
+  }
+
+  test("aggMaintain (delta merge) == from-scratch rebuild") {
+    import graft.queries.EventOps
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.util.EventTs.readEvents(spark, dir)
+    // the split must leave real rows on both legs
+    assert(ev.filter(col("event_id") % 10 === 0).count() > 0)
+    assert(ev.filter(col("event_id") % 10 =!= 0).count() > 0)
+    val rebuild = ev
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      .withColumn("avg_cents", expr("cents div n"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(canon(EventOps.aggMaintain(spark, dir)) == canon(rebuild))
   }
 
   test("salted aggregate equals the direct aggregate") {
