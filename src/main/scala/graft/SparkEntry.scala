@@ -270,6 +270,10 @@ object SparkEntry {
     // aggregate pass + 1 referential anti-join, violation counts only
     "x_dq_checks"        -> ((s, d) =>
       graft.ext.profile.Quality.lineitemChecks(s, d)),
+    // iterative integer PageRank (5 rounds, localCheckpoint lineage
+    // truncation) over the symmetrized part<->supplier graph
+    "x_graph_pagerank"   -> ((s, d) =>
+      graft.ext.graph.GraphOps.pagerankGate(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -1822,6 +1826,10 @@ object SparkEntry {
         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  CAST(max(cnt) AS BIGINT) AS max_key_rows
         |FROM b GROUP BY log2_bucket""".stripMargin,
+    // the identical integer recurrence replayed as generated CTE rounds
+    // (shared iteration constants — gate and oracle can't drift); the
+    // (pr DESC, node ASC) cut is a total order, so top-100 is exact
+    "x_graph_pagerank" -> graft.ext.graph.GraphOps.pagerankOracleSql(5),
     // every scalar is a violation COUNT (BIGINT, order-proof); the
     // unique check counts DISTINCT over a ROW/struct on both sides so
     // null-bearing tuples count as values; the FK check's NOT EXISTS

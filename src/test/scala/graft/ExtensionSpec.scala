@@ -1973,3 +1973,40 @@ class CmsSketchSpec extends SparkSpec {
     }
   }
 }
+
+class GraphOpsSpec extends SparkSpec {
+  import graft.ext.graph.GraphOps
+
+  test("pagerank fixed point: a symmetric 2-cycle keeps rank at SCALE") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // teleport 150000 + 85% of 1e6 = 1e6 exactly: the recurrence's fixed
+    // point, so ANY iteration count must return SCALE for both nodes
+    for (iters <- Seq(1, 4)) {
+      val pr = GraphOps.pagerank(edges, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pr == Map(1L -> 1000000L, 2L -> 1000000L), s"iters=$iters")
+    }
+  }
+
+  test("pagerank: a star center out-ranks its leaves") {
+    import spark.implicits._
+    val leaves = (2L to 9L)
+    val edges = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val pr = GraphOps.pagerank(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaves.forall(l => pr(1L) > pr(l)))
+    // leaves are symmetric: identical rank
+    assert(leaves.map(pr).toSet.size == 1)
+  }
+
+  test("pagerank result is invariant to checkpoint cadence") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L),
+      (2L, 1L)).toDF("src", "dst")
+    def run(every: Int) = GraphOps.pagerank(edges, 6, checkpointEvery = every)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(1) == run(100))
+  }
+}

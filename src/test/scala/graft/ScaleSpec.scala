@@ -205,6 +205,8 @@ class ScaleSpec extends SparkSpec {
       "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq",
       "x_ann_filtered", "x_index_postings", "x_index_lookup",
       "x_rag_mmr",
+      // localCheckpoint mid-loop materializes + truncates the plan
+      "x_graph_pagerank",
       "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
       "x_dedup_incremental", "x_dedup_keepbest", "x_decontaminate",
       "x_decontaminate_bloom", "x_split_leakage_safe", "x_corpus_prepare",
