@@ -539,4 +539,29 @@ class PropertySpec extends SparkSpec {
     val wantDump = ids.filter(_ < 100L).map(id => id -> draws(id)).toMap
     assert(dumped == wantDump, s"draw dump mismatch")
   }
+
+  test("ppjoin == exhaustive jaccard join for random small-vocab corpora") {
+    // prefix filtering's losslessness rests on the prefix-filtering
+    // THEOREM (+ the rounding-slack prefix sizing) — random corpora over
+    // a tiny vocabulary force dense shingle collisions, duplicate docs,
+    // and thresholds landing on rounding edges, which is exactly where a
+    // sizing bug would surface
+    import graft.ext.dedup.TextDedup
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(3, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for ((t, round) <- Seq((0.5, 0), (0.7, 1), (0.8, 2), (0.9, 3))) {
+      val texts = (0 until 40).flatMap(i =>
+        docGen.apply(Gen.Parameters.default, Seed(1000L * round + i)))
+      val df = texts.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      val want = canon(TextDedup.ngramJaccardPairsOf(df, t))
+      val got = canon(TextDedup.ppjoinPairsOf(df, t))
+      assert(got == want,
+        s"t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }
