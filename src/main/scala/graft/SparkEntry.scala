@@ -159,6 +159,8 @@ object SparkEntry {
     // incremental view maintenance: merge delta partial aggregates into
     // the summary — never rescans base; oracle = the from-scratch rebuild
     "p_agg_maintain"     -> EventOps.aggMaintain _,
+    // Dataset.observe side-channel metrics must equal a from-scratch scan
+    "p_observe"          -> EventOps.observedStats _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -445,6 +447,15 @@ object SparkEntry {
         |FROM events e JOIN totals t USING (user_id)
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.user_id""".stripMargin,
+    // the observe() side channel vs the direct scalar scan; n_types
+    // proves the real per-type rollup ran as the observed pass's action
+    "p_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(CASE WHEN value > 100.0 THEN 1 END) AS n_hot,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events""".stripMargin,
     // the maintained summary must equal a from-scratch rebuild over all
     // events; integer cents end to end, and avg derives at read via
     // integer division (cents are non-negative so div == // here)

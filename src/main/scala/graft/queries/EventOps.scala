@@ -1467,6 +1467,35 @@ object EventOps {
     drainToMemory(spark, joined, "stream_enrich_gate", OutputMode.Append())
   }
 
+  /** In-flight pipeline telemetry via `Dataset.observe` — the API that
+    * rides arrival metrics on the SAME pass as the real work instead of
+    * paying a second scan (at 100 TB "count the rows you just wrote" as
+    * a separate query doubles the read): an `Observation` attaches
+    * named aggregates to the plan, the main action (here the per-type
+    * rollup this pipeline actually runs) executes once, and the metrics
+    * arrive on the driver as a side channel. The gate returns the
+    * OBSERVED metrics as a 1-row frame; the oracle recomputes them
+    * directly, so the side channel must agree with a from-scratch scan
+    * — and the action row count is folded in to prove the real query
+    * ran alongside.
+    */
+  def observedStats(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val ev = events(spark, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .cast("long").as("cents"),
+      count(when(col("value") > 100.0, lit(1))).as("n_hot"))
+    // the real work: one action over the observed frame
+    val nTypes = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("cents").asInstanceOf[Long],
+      m("n_hot").asInstanceOf[Long], nTypes))
+      .toDF("n_rows", "cents", "n_hot", "n_types")
+  }
+
   /** Per-user partial summary: the mergeable-aggregate state
     * (count / sum / min / max as integer cents) that [[aggMaintain]]
     * unions — one definition so base, delta, and a from-scratch rebuild

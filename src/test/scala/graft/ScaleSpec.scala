@@ -207,6 +207,8 @@ class ScaleSpec extends SparkSpec {
       "x_rag_mmr",
       // localCheckpoint mid-loop materializes + truncates the plan
       "x_graph_pagerank",
+      // observe() requires its action during construction
+      "p_observe",
       "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
       "x_dedup_incremental", "x_dedup_keepbest", "x_decontaminate",
       "x_decontaminate_bloom", "x_split_leakage_safe", "x_corpus_prepare",
