@@ -92,6 +92,8 @@ object SparkEntry {
     "p_latest_arrival"   -> EventOps.latestArrivalStream _,
     "p_window_stream"    -> EventOps.tumblingWindowStream _,
     "p_window_stream_append" -> EventOps.tumblingWindowStreamAppend _,
+    // two chained stateful windows in ONE query (15 min -> 1 h cascade)
+    "p_window_chain"     -> EventOps.windowChainAppend _,
     "p_wstats_append"    -> EventOps.windowedStatsAppend _,
     "p_session_stream_append" -> EventOps.sessionWindowStreamAppend _,
     "p_window_sliding_append" -> EventOps.slidingWindowStreamAppend _,
@@ -489,6 +491,15 @@ object SparkEntry {
     // watermark + APPEND mode must finalize every real window exactly once
     // with the same values the batch aggregate computes
     "p_window_stream_append" -> q12WindowOracle,
+    // the two-level streaming cascade must equal the DIRECT hour
+    // aggregate (integer cent-sums make two-level summation exact)
+    "p_window_chain" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // WindowedStats.tumbling end to end (per-station watermarked windows,
     // append mode): integer humidity/wind sums are exact in doubles, so
     // the rounded average is engine-stable

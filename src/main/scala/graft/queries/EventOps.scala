@@ -529,6 +529,39 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** CHAINED stateful operators in ONE streaming query — Spark's
+    * multiple-stateful-operator support: a 15-minute windowed aggregate
+    * whose output is RE-aggregated into 1-hour windows downstream, both
+    * levels stateful, one checkpoint, one watermark propagated through.
+    * The second `groupBy` windows ON the first level's window column
+    * (`window_time` projects the window struct back to an event time),
+    * which is what lets the engine finalize hour windows only after
+    * every constituent quarter-hour is final. This is the streaming
+    * rollup-cascade shape — at 100 TB you keep the fine windows for
+    * recent data and let the coarse cascade serve history, all in one
+    * query instead of a re-read. Integer cent-sums both levels, so
+    * two-level summation is exactly the direct hour aggregate the
+    * oracle computes.
+    */
+  def windowChainAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val lvl1 = eventsStreamWithFlush(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val lvl2 = lvl1
+      .groupBy(window(window_time(col("w")), "1 hour").as("h"),
+        col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("cents"))
+    drainToMemory(spark, lvl2, "window_chain_gate", OutputMode.Append())
+      .filter(col("event_type") =!= "__flush__")
+      .select(
+        date_format(col("h.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("cents"))
+  }
+
   /** [[graft.streaming.WindowedStats.tumbling]] itself — per-station
     * watermarked tumbling windows in append mode — gated end to end over
     * the weather-shaped projection of events (station_id = user_id,
