@@ -152,6 +152,9 @@ object SparkEntry {
     "q27_cms_freq"       -> ((s, d) => Analytics.q27CmsFreq(s, d)),
     // exact integer covariance moments (FP corr is order-dependent)
     "q28_covar"          -> ((s, d) => Analytics.q28CovarSums(s, d)),
+    // LATERAL correlated subquery (per-group top-k at the SQL layer;
+    // Catalyst decorrelates instead of re-executing per outer row)
+    "q32_lateral"        -> Analytics.q32Lateral _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     // hot keys broadcast around the shuffle, cold keys join normally —
@@ -726,6 +729,16 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     // covariance moments: integer cents x hour — every sum exact, the
     // covariance numerator integer; corr/covar are a division away
+    // identical LATERAL syntax on both engines; (bal DESC, custkey ASC)
+    // totally orders each nation's customers, so LIMIT 2 is exact
+    "q32_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.bal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""".stripMargin,
     "q28_covar" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -405,6 +405,35 @@ object Analytics {
       .agg(expr("listagg(DISTINCT h, ',') WITHIN GROUP (ORDER BY h)")
         .as("hours_csv"))
 
+  /** LATERAL correlated subquery — top-2 customers per nation through
+    * the SQL front-end's lateral join support: the subquery references
+    * the outer row (`n_nationkey`) and carries its own ORDER BY/LIMIT,
+    * the shape SQL users reach for on per-group top-k. Catalyst
+    * decorrelates it (DomainJoin → window under the hood) rather than
+    * re-executing the subquery per outer row — same engine path the
+    * `TopOnePerKeyRewrite`/`TopKBy` forms land on, surfaced at the SQL
+    * layer. `(c_acctbal DESC, c_custkey ASC)` is a total order, so the
+    * LIMIT cut is deterministic on both engines.
+    */
+  def q32Lateral(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val nat = s"nation_$tag"; val cust = s"customer_$tag"
+    t(spark, dir, "nation").createOrReplaceTempView(nat)
+    t(spark, dir, "customer").createOrReplaceTempView(cust)
+    try spark.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.bal
+        |FROM $nat n,
+        |LATERAL (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |  FROM $cust c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(nat)
+      spark.catalog.dropTempView(cust)
+    }
+  }
+
   /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
     * native melt) folds the five per-type count columns back into long
     * form `(date, event_type, n)` — including the explicit zero rows the
