@@ -155,6 +155,8 @@ object SparkEntry {
     // LATERAL correlated subquery (per-group top-k at the SQL layer;
     // Catalyst decorrelates instead of re-executing per outer row)
     "q32_lateral"        -> Analytics.q32Lateral _,
+    // WITH RECURSIVE transitive traversal (Spark 4 seminaive fixpoint)
+    "q33_recursive"      -> Analytics.q33Recursive _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     // hot keys broadcast around the shuffle, cold keys join normally —
@@ -729,6 +731,20 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     // covariance moments: integer cents x hour — every sum exact, the
     // covariance numerator integer; corr/covar are a division away
+    // the same recursion; only integer division is spelled differently
+    "q33_recursive" ->
+      """WITH RECURSIVE walk(start_key, cur, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM customer WHERE c_custkey <= 127
+        |  UNION ALL
+        |  SELECT w.start_key, c.c_custkey, w.depth + 1,
+        |    w.bal + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM walk w JOIN customer c ON c.c_custkey = w.cur // 2
+        |  WHERE w.cur > 1)
+        |SELECT start_key AS c_custkey, max(depth) AS depth,
+        |  max(bal) AS path_cents
+        |FROM walk GROUP BY start_key""".stripMargin,
     // identical LATERAL syntax on both engines; (bal DESC, custkey ASC)
     // totally orders each nation's customers, so LIMIT 2 is exact
     "q32_lateral" ->

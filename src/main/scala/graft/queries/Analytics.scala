@@ -434,6 +434,40 @@ object Analytics {
     }
   }
 
+  /** Recursive CTE (Spark 4.0's `WITH RECURSIVE`) — transitive
+    * hierarchy traversal, the query shape that previously required
+    * driver-side iteration or GraphX: every customer ≤ 127 walks its
+    * implicit binary-tree ancestor chain (`parent = custkey div 2`,
+    * root = 1), JOINING the customer table at every step and
+    * accumulating path balances in integer cents. The recursion is the
+    * point: each level is a join against the previous level's frontier
+    * — the engine iterates to a fixpoint (frontier empties at the
+    * root), exactly the seminaive evaluation loop, with the 7-level
+    * depth bounded by the key slice. `max(bal)` per start key is the
+    * root-path total (additions are non-negative, so the deepest row
+    * carries it). The oracle is the same recursion in DuckDB — only the
+    * integer-division spelling differs (`div` vs `//`).
+    */
+  def q33Recursive(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cust = s"customer_$tag"
+    t(spark, dir, "customer").createOrReplaceTempView(cust)
+    try spark.sql(
+      s"""WITH RECURSIVE walk(start_key, cur, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM $cust WHERE c_custkey <= 127
+        |  UNION ALL
+        |  SELECT w.start_key, c.c_custkey, w.depth + 1,
+        |    w.bal + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM walk w JOIN $cust c ON c.c_custkey = w.cur div 2
+        |  WHERE w.cur > 1)
+        |SELECT start_key AS c_custkey, max(depth) AS depth,
+        |  max(bal) AS path_cents
+        |FROM walk GROUP BY start_key""".stripMargin)
+    finally spark.catalog.dropTempView(cust)
+  }
+
   /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
     * native melt) folds the five per-type count columns back into long
     * form `(date, event_type, n)` — including the explicit zero rows the
