@@ -157,6 +157,9 @@ object SparkEntry {
     "q32_lateral"        -> Analytics.q32Lateral _,
     // WITH RECURSIVE transitive traversal (Spark 4 seminaive fixpoint)
     "q33_recursive"      -> Analytics.q33Recursive _,
+    // SQL-declared scalar function (inlined, stays codegen'd) + named
+    // parameter marker — the injection-safe SQL client front door
+    "q34_sql_udf"        -> Analytics.q34SqlUdf _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     // hot keys broadcast around the shuffle, cold keys join normally —
@@ -731,6 +734,13 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     // covariance moments: integer cents x hour — every sum exact, the
     // covariance numerator integer; corr/covar are a division away
+    // the SQL-UDF body inlined and the parameter bound as a literal
+    "q34_sql_udf" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE value >= 50.0
+        |GROUP BY event_type""".stripMargin,
     // the same recursion; only integer division is spelled differently
     "q33_recursive" ->
       """WITH RECURSIVE walk(start_key, cur, depth, bal) AS (

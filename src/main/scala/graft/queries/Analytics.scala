@@ -468,6 +468,35 @@ object Analytics {
     finally spark.catalog.dropTempView(cust)
   }
 
+  /** SQL-defined scalar function + parameterized query (both Spark 4
+    * SQL-surface features): the cent-conversion rule every gate inlines
+    * is declared ONCE as a `CREATE TEMPORARY FUNCTION ... RETURN`
+    * SQL UDF — Catalyst inlines its body into the plan, so unlike a
+    * JVM-closure UDF it stays codegen'd and optimizable (the
+    * "functions, not UDFs" rule holds even for user-declared ones) —
+    * and the threshold arrives as a named parameter marker (`:lo`)
+    * rather than string interpolation, the injection-safe front door a
+    * SQL client actually uses. UUID-tagged names, dropped in finally:
+    * same no-catalog-residue discipline as the temp views.
+    */
+  def q34SqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = s"events_$tag"; val fn = s"cents_$tag"
+    events(spark, dir).createOrReplaceTempView(ev)
+    spark.sql(s"CREATE TEMPORARY FUNCTION $fn(v DOUBLE) RETURNS BIGINT " +
+      "RETURN CAST(floor(v * 100 + 0.5) AS BIGINT)")
+    try spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum($fn(value)) AS BIGINT) AS cents
+        |FROM $ev WHERE value >= :lo
+        |GROUP BY event_type""".stripMargin,
+      Map[String, Any]("lo" -> 50.0))
+    finally {
+      spark.catalog.dropTempView(ev)
+      spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fn")
+    }
+  }
+
   /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
     * native melt) folds the five per-type count columns back into long
     * form `(date, event_type, n)` — including the explicit zero rows the
