@@ -160,6 +160,10 @@ object SparkEntry {
     // SQL-declared scalar function (inlined, stays codegen'd) + named
     // parameter marker — the injection-safe SQL client front door
     "q34_sql_udf"        -> Analytics.q34SqlUdf _,
+    // collation-aware grouping folds case variants in the ENGINE
+    "q35_collation"      -> Analytics.q35Collation _,
+    // SQL TABLE function: the parameterized view, inlined like a view
+    "q36_sql_tvf"        -> Analytics.q36SqlTvf _,
     "p_zorder_cells"     -> EventOps.zorderCells _,
     "p_salted_stats"     -> EventOps.saltedTypeStats _,
     // hot keys broadcast around the shuffle, cold keys join normally —
@@ -734,6 +738,23 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     // covariance moments: integer cents x hour — every sum exact, the
     // covariance numerator integer; corr/covar are a division away
+    // the collated GROUP BY == grouping by lower(); n_variants_folded
+    // counts the binary-distinct spellings each collated group absorbed
+    "q35_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS mixed
+        |  FROM events)
+        |SELECT lower(mixed) AS event_type, count(*) AS n,
+        |  count(DISTINCT mixed) AS n_variants_folded
+        |FROM m GROUP BY lower(mixed)""".stripMargin,
+    // the TVF body inlined with threshold = 200.0
+    "q36_sql_tvf" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE value >= 200.0
+        |GROUP BY event_type""".stripMargin,
     // the SQL-UDF body inlined and the parameter bound as a literal
     "q34_sql_udf" ->
       """SELECT event_type, count(*) AS n,

@@ -497,6 +497,61 @@ object Analytics {
     }
   }
 
+  /** Collation-aware grouping (Spark 4 collations): a deterministically
+    * mixed-case rendering of `event_type` (upper on even event_ids)
+    * groups under `COLLATE UTF8_LCASE` — the engine's collation
+    * machinery, not an explicit `lower()` rewrite, is what folds the
+    * case variants together. The PROJECTED key is `lower(...)` because
+    * a collated group's representative string is whichever variant a
+    * partition saw first (hash-unstable across runs); lowering the
+    * representative canonicalizes the display without touching the
+    * grouping semantics under test, and `n_variants_folded` counts the
+    * BINARY-distinct spellings each collated group absorbed (2 when a
+    * type occurs in both parities) — the direct proof the fold
+    * happened in the grouping, not in a rewrite. The oracle groups by
+    * `lower()` directly — same partition, so identical counts.
+    */
+  def q35Collation(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = s"events_$tag"
+    events(spark, dir).createOrReplaceTempView(ev)
+    try spark.sql(
+      s"""WITH m AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS mixed
+        |  FROM $ev)
+        |SELECT lower(mixed COLLATE UTF8_LCASE) AS event_type,
+        |  count(*) AS n,
+        |  count(DISTINCT mixed) AS n_variants_folded
+        |FROM m
+        |GROUP BY mixed COLLATE UTF8_LCASE""".stripMargin)
+    finally spark.catalog.dropTempView(ev)
+  }
+
+  /** SQL TABLE function (Spark 4 `CREATE FUNCTION ... RETURNS TABLE`) —
+    * the parameterized-view pattern: the hot-events rollup is declared
+    * once as a relation-valued function and invoked in the FROM clause
+    * with its threshold argument; Catalyst inlines the body like a view
+    * with the argument bound, so the plan is identical to writing the
+    * query by hand (no per-row closure, full pushdown through it).
+    */
+  def q36SqlTvf(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = s"events_$tag"; val fn = s"hot_events_$tag"
+    events(spark, dir).createOrReplaceTempView(ev)
+    spark.sql(
+      s"""CREATE TEMPORARY FUNCTION $fn(threshold DOUBLE)
+        |RETURNS TABLE(event_type STRING, n BIGINT, cents BIGINT)
+        |RETURN SELECT event_type, count(*),
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |FROM $ev WHERE value >= threshold GROUP BY event_type""".stripMargin)
+    try spark.sql(s"SELECT * FROM $fn(200.0)")
+    finally {
+      spark.catalog.dropTempView(ev)
+      spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fn")
+    }
+  }
+
   /** The inverse of [[q14Pivot]]: `Dataset.unpivot` (Spark 3.4+'s
     * native melt) folds the five per-type count columns back into long
     * form `(date, event_type, n)` — including the explicit zero rows the

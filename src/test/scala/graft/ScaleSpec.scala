@@ -143,7 +143,7 @@ class ScaleSpec extends SparkSpec {
       "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
       "q25_freq_items", "q26_window_suite", "q27_cms_freq", "q28_covar",
       "q29_listagg", "q30_funnel", "q31_retention", "q32_lateral",
-      "q33_recursive", "q34_sql_udf",
+      "q33_recursive", "q34_sql_udf", "q35_collation", "q36_sql_tvf",
       "p_json_parse", "p_variant_extract", "p_filter_alert", "p_normalize",
       "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
