@@ -470,6 +470,16 @@ object SparkEntry {
         |  count(CASE WHEN value > 100.0 THEN 1 END) AS n_hot,
         |  count(DISTINCT event_type) AS n_types
         |FROM events""".stripMargin,
+    // the hot/cold split must be invisible: oracle is the PLAIN join;
+    // integer cent-sums keep the comparison accumulation-order-proof
+    "p_hotkey_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
     // the maintained summary must equal a from-scratch rebuild over all
     // events; integer cents end to end, and avg derives at read via
     // integer division (cents are non-negative so div == // here)
@@ -484,13 +494,6 @@ object SparkEntry {
         |FROM e GROUP BY user_id""".stripMargin,
     // the salted two-phase aggregate must equal the plain GROUP BY;
     // integer cent-sums make the comparison order-proof
-    // the hot/cold split must be invisible: oracle is the PLAIN join
-    "p_hotkey_join" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY l_returnflag""".stripMargin,
     "p_salted_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

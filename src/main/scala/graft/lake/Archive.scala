@@ -223,5 +223,4 @@ object Archive {
       .format("parquet")
       .load(path)
   }
-
 }

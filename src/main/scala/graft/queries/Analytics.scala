@@ -483,15 +483,18 @@ object Analytics {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val ev = s"events_$tag"; val fn = s"cents_$tag"
     events(spark, dir).createOrReplaceTempView(ev)
-    spark.sql(s"CREATE TEMPORARY FUNCTION $fn(v DOUBLE) RETURNS BIGINT " +
-      "RETURN CAST(floor(v * 100 + 0.5) AS BIGINT)")
-    try spark.sql(
-      s"""SELECT event_type, count(*) AS n,
-        |  CAST(sum($fn(value)) AS BIGINT) AS cents
-        |FROM $ev WHERE value >= :lo
-        |GROUP BY event_type""".stripMargin,
-      Map[String, Any]("lo" -> 50.0))
-    finally {
+    // CREATE inside the try: if it throws, the finally must still drop
+    // the view (the function drop is IF EXISTS, so ordering is safe)
+    try {
+      spark.sql(s"CREATE TEMPORARY FUNCTION $fn(v DOUBLE) RETURNS BIGINT " +
+        "RETURN CAST(floor(v * 100 + 0.5) AS BIGINT)")
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n,
+          |  CAST(sum($fn(value)) AS BIGINT) AS cents
+          |FROM $ev WHERE value >= :lo
+          |GROUP BY event_type""".stripMargin,
+        Map[String, Any]("lo" -> 50.0))
+    } finally {
       spark.catalog.dropTempView(ev)
       spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fn")
     }
@@ -539,14 +542,16 @@ object Analytics {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val ev = s"events_$tag"; val fn = s"hot_events_$tag"
     events(spark, dir).createOrReplaceTempView(ev)
-    spark.sql(
-      s"""CREATE TEMPORARY FUNCTION $fn(threshold DOUBLE)
-        |RETURNS TABLE(event_type STRING, n BIGINT, cents BIGINT)
-        |RETURN SELECT event_type, count(*),
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |FROM $ev WHERE value >= threshold GROUP BY event_type""".stripMargin)
-    try spark.sql(s"SELECT * FROM $fn(200.0)")
-    finally {
+    try {
+      spark.sql(
+        s"""CREATE TEMPORARY FUNCTION $fn(threshold DOUBLE)
+          |RETURNS TABLE(event_type STRING, n BIGINT, cents BIGINT)
+          |RETURN SELECT event_type, count(*),
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |FROM $ev WHERE value >= threshold
+          |GROUP BY event_type""".stripMargin)
+      spark.sql(s"SELECT * FROM $fn(200.0)")
+    } finally {
       spark.catalog.dropTempView(ev)
       spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fn")
     }

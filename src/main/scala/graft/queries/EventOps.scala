@@ -1415,8 +1415,10 @@ object EventOps {
         hotThreshold = 4L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("qty_cents"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("price_cents"))
   }
 
   /** Gated SCD2 history: every station's `event_type` timeline as
