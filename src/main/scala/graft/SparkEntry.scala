@@ -341,6 +341,9 @@ object SparkEntry {
     // change-data-feed: the v1->v2 manifest diff scans only the delta
     // files and must equal exactly the second append's slice
     "p_snapshot_diff"    -> EventOps.snapshotChanges _,
+    // OPTIMIZE + VACUUM: rewrite orphans the old files, vacuum reclaims
+    // them; expired time travel fails loudly, the live answer unchanged
+    "p_vacuum"           -> EventOps.vacuumLifecycle _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
     "p_stream_enrich"    -> EventOps.streamEnrich _,
@@ -2601,6 +2604,16 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
         |  count(DISTINCT user_id) AS n_stations
         |FROM events WHERE event_id % 3 = 1
+        |GROUP BY event_type""".stripMargin,
+    // post-vacuum v3 must still be byte-identical to the source slices
+    // even though every pre-rewrite file is physically gone; the TRUE
+    // contract columns assert expired-travel-fails + orphans-deleted
+    "p_vacuum" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_sno,
+        |  count(DISTINCT user_id) AS n_stations,
+        |  TRUE AS v1_expired, TRUE AS orphans_reclaimed
+        |FROM events WHERE event_id % 3 IN (0, 1)
         |GROUP BY event_type""".stripMargin,
     // each version's checksum recomputed from the raw log's mod slices;
     // a manifest leak between versions reds the named version row

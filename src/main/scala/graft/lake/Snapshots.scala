@@ -68,7 +68,57 @@ object Snapshots {
     * — publication is still single-winner either way.
     */
   def append(df: DataFrame, table: String,
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None): Int =
+    publish(df, table, expectedVersion, carryForward = true)
+
+  /** Content-preserving REWRITE — the OPTIMIZE step of the lifecycle:
+    * republish the latest version's content as `targetFiles` fresh
+    * files under a new version whose manifest references ONLY them.
+    * The read answer is unchanged (bit-for-bit the previous version's
+    * rows); what changes is PROVENANCE — later versions no longer
+    * reference the old small files, which is precisely what makes
+    * [[vacuum]] able to reclaim them. Cost ∝ live table size, run it
+    * when small-file count (not data) is the problem.
+    */
+  def rewrite(spark: SparkSession, table: String,
+      targetFiles: Int = 1): Int = {
+    val current = latestVersion(table)
+    require(current > 0, s"table $table has no published versions")
+    publish(read(spark, table, Some(current)).coalesce(targetFiles),
+      table, Some(current), carryForward = false)
+  }
+
+  /** Retention VACUUM — physically delete data files referenced ONLY by
+    * versions before `retainFrom`, plus those versions' manifests.
+    * Safety is set arithmetic, not bookkeeping: the keep-set is the
+    * union of every retained manifest's file list, so a file shared
+    * with any retained version survives no matter how many expired
+    * manifests also list it (append-only chains share everything —
+    * vacuum only reclaims what a [[rewrite]] orphaned). Time travel to
+    * expired versions fails loudly afterwards ("no such version") —
+    * the retention contract every lakehouse format documents. Returns
+    * `(dataFilesDeleted, versionsExpired)`.
+    */
+  def vacuum(table: String, retainFrom: Int): (Int, Int) = {
+    val latest = latestVersion(table)
+    require(retainFrom >= 1 && retainFrom <= latest,
+      s"retainFrom must be in [1, $latest]: $retainFrom")
+    val keep = (retainFrom to latest)
+      .flatMap(manifestFiles(table, _)).toSet
+    val expired = (1 until retainFrom)
+      .filter(v => Files.exists(manifestDir(table).resolve(s"v$v.list")))
+    val doomed = expired.flatMap(manifestFiles(table, _)).toSet -- keep
+    doomed.foreach { rel =>
+      Files.deleteIfExists(Paths.get(table).resolve(rel))
+    }
+    expired.foreach { v =>
+      Files.deleteIfExists(manifestDir(table).resolve(s"v$v.list"))
+    }
+    (doomed.size, expired.size)
+  }
+
+  private def publish(df: DataFrame, table: String,
+      expectedVersion: Option[Int], carryForward: Boolean): Int = {
     val dataDir = Paths.get(table, "data")
     Files.createDirectories(dataDir)
     Files.createDirectories(manifestDir(table))
@@ -83,7 +133,7 @@ object Snapshots {
         .filter(_.endsWith(".parquet")).toSeq.sorted
         .map(f => s"data/$sub/$f")
       finally s.close()
-    val all = (if (current == 0) Seq.empty
+    val all = (if (current == 0 || !carryForward) Seq.empty
                else manifestFiles(table, current)) ++ fresh
     val tmp = manifestDir(table).resolve(
       s"v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")

@@ -1374,6 +1374,35 @@ object EventOps {
         countDistinct(col("station_id")).as("n_stations"))
   }
 
+  /** Snapshot-lake retention lifecycle
+    * ([[graft.lake.Snapshots.rewrite]] + [[graft.lake.Snapshots.vacuum]]
+    * — the OPTIMIZE + VACUUM pair): two appends (v1, v2), a
+    * content-preserving rewrite (v3 — same rows, fresh files, manifest
+    * referencing ONLY them), then vacuum retaining from v3. The gate's
+    * contract columns prove all three retention promises at once:
+    * `v1_expired` (time travel to a vacuumed version fails LOUDLY, not
+    * with partial data), `orphans_reclaimed` (the rewrite-orphaned data
+    * files of both appends were physically deleted and both old
+    * manifests expired), and the per-type aggregate of v3 AFTER the
+    * vacuum — the live answer must be byte-identical to the source
+    * slices even though every pre-rewrite file is gone.
+    */
+  def vacuumLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val table = snapshotFixture(spark, dir)
+    graft.lake.Snapshots.rewrite(spark, table)
+    val (deleted, expired) = graft.lake.Snapshots.vacuum(table, 3)
+    val v1Gone =
+      try { graft.lake.Snapshots.read(spark, table, Some(1)); false }
+      catch { case _: IllegalArgumentException => true }
+    graft.lake.Snapshots.read(spark, table, Some(3))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_no")).cast("long").as("sum_sno"),
+        countDistinct(col("station_id")).as("n_stations"))
+      .withColumn("v1_expired", lit(v1Gone))
+      .withColumn("orphans_reclaimed", lit(deleted > 0 && expired == 2))
+  }
+
   /** State-store INTROSPECTION — Spark 4's state data source
     * (`format("statestore")`) read back as a queryable DataFrame: run a
     * streaming dedup over `user_id` (state = one entry per distinct key)

@@ -263,6 +263,42 @@ class CompactionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vacuum is set-arithmetic-safe: append-only chains lose nothing") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = tmpDir("snap_vac")
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "v"), table)
+    // append-only: v2's manifest shares v1's files, so vacuuming v1
+    // must delete ZERO data files (only the v1 manifest expires)
+    val (d0, e0) = Snapshots.vacuum(table, 2)
+    assert(d0 == 0 && e0 == 1)
+    assert(Snapshots.read(spark, table, Some(2)).count() == 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table, Some(1))
+    }
+    // rewrite orphans the old files; vacuum then reclaims them while
+    // the live answer is unchanged
+    val v3 = Snapshots.rewrite(spark, table)
+    assert(v3 == 3)
+    val (d1, e1) = Snapshots.vacuum(table, 3)
+    assert(d1 > 0 && e1 == 1)
+    assert(Snapshots.read(spark, table, Some(3))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the orphaned files are physically gone: only v3's files remain
+    val dataDir = java.nio.file.Paths.get(table, "data")
+    val left = java.nio.file.Files.walk(dataDir).iterator()
+    val remaining = new scala.collection.mutable.ArrayBuffer[String]
+    while (left.hasNext) {
+      val p = left.next()
+      if (p.toString.endsWith(".parquet")) remaining += p.toString
+    }
+    val manifest = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, "_manifests", "v3.list"))
+    assert(remaining.size == manifest.size)
+  }
+
   test("mergeSchema read null-pads files written before a column existed") {
     import spark.implicits._
     val out = tmpDir("evo")
