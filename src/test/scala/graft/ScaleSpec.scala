@@ -417,6 +417,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("join hints select the hinted physical strategy") {
+    // the deployment tuning surface: when statistics mislead the
+    // planner, hints force the physical join — verify each hint
+    // actually lands (a silently-ignored hint is a no-op that reads
+    // like a fix)
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    def planOf(hint: String): String =
+      li.join(ord.hint(hint), "k").queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
   test("aggMaintain (delta merge) == from-scratch rebuild") {
     import graft.queries.EventOps
     val dir = "/root/testdata/sf0.001"
