@@ -66,6 +66,9 @@ object SparkEntry {
     "q15_percentiles"    -> Analytics.q15Percentiles _,
     "q15_percentiles_approx" -> Analytics.q15ApproxPercentiles _,
     "q16_session_window" -> Analytics.q16SessionWindow _,
+    // per-ROW gap expression: session ends are non-monotone, the oracle
+    // is the interval-union (running-max-of-ends) formulation
+    "q37_session_dynamic" -> Analytics.q37SessionDynamic _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
@@ -978,6 +981,35 @@ object SparkEntry {
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" -> q16Oracle,
+    // interval union: new session iff ts >= running MAX of previous
+    // window ends (the lag rule is WRONG under non-monotone ends)
+    "q37_session_dynamic" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 1800
+        |         ELSE 600 END AS gap_s
+        |  FROM events),
+        |e AS (
+        |  SELECT *, ts + gap_s * INTERVAL '1 second' AS w_end FROM m),
+        |f AS (
+        |  SELECT *, max(w_end) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max_end
+        |  FROM e),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+        |    THEN 1 ELSE 0 END AS new_s FROM f),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS session_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the streaming session_window (watermark + append, state merged and
     // evicted) must finalize exactly the batch sessions
     "p_session_stream_append" -> q16Oracle,

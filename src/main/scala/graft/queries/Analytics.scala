@@ -627,6 +627,34 @@ object Analytics {
           .as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** DYNAMIC-gap session windows — the gap is a per-ROW expression
+    * (engagement events hold a session open 30 minutes, errors and
+    * transactions only 10), which changes the algebra: session ends are
+    * no longer monotone in event time, so "new session iff the gap
+    * since the PREVIOUS event exceeds the threshold" (the fixed-gap
+    * oracle's lag rule) is wrong — a long-gap event can keep the
+    * session open across several short-gap successors. The correct
+    * batch semantics is interval UNION: an event opens a new session
+    * iff its ts ≥ the running MAX of all previous events' window ends,
+    * and the oracle states exactly that (max-over-preceding-rows
+    * window). Integer cent-sums; microsecond session_start is the
+    * session identity in the output.
+    */
+  def q37SessionDynamic(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type").isin("click", "view"), "30 minutes")
+            .otherwise("10 minutes")).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("session_cents"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"), col("session_cents"))
+
   /** Top terms by document frequency — generator (explode) + agg + topK.
     * The explode is the UDTF shape; ties broken by token for determinism.
     */

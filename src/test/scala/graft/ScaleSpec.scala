@@ -138,6 +138,7 @@ class ScaleSpec extends SparkSpec {
       "q11_scalar_subq", "q12_tumbling_window", "q13_rollup", "q13_cube",
       "q14_pivot", "q14_unpivot",
       "q15_percentiles", "q15_percentiles_approx", "q16_session_window",
+      "q37_session_dynamic",
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
       "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
@@ -415,6 +416,31 @@ class ScaleSpec extends SparkSpec {
       assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
         s"approx percentile outside rank bound: $r")
     }
+  }
+
+  test("dynamic-gap sessions use interval union, not the lag rule") {
+    import spark.implicits._
+    // t=0 click (30 min gap), t=5m error (10 min), t=20m error: the
+    // click's window [0, 30) holds the session open at t=20 even though
+    // 15 min have passed since the previous (short-gap) event — the
+    // lag-against-previous-event rule would wrongly split here
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "error"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "error"),
+      // and 10 min past the union end -> genuinely new session
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:41:00"), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val sessions = df.groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "click", "30 minutes")
+            .otherwise("10 minutes")).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sessions == Set(("2024-01-01 00:00:00", 3L),
+      ("2024-01-01 00:41:00", 1L)))
   }
 
   test("join hints select the hinted physical strategy") {
