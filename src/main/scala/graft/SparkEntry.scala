@@ -69,6 +69,9 @@ object SparkEntry {
     // per-ROW gap expression: session ends are non-monotone, the oracle
     // is the interval-union (running-max-of-ends) formulation
     "q37_session_dynamic" -> Analytics.q37SessionDynamic _,
+    // exact DECIMAL money arithmetic: reduction-order-proof by TYPE,
+    // not by integer-cents workaround
+    "q38_decimal"        -> Analytics.q38Decimal _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
@@ -981,6 +984,19 @@ object SparkEntry {
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" -> q16Oracle,
+    // the identical casts: decimal values are exact, so the only thing
+    // that could differ is type promotion — pinned explicitly
+    "q38_decimal" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS gross,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1.00 AS DECIMAL(3,2)) -
+        |       CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |    AS DECIMAL(20,4)) AS net
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // interval union: new session iff ts >= running MAX of previous
     // window ends (the lag rule is WRONG under non-monotone ends)
     "q37_session_dynamic" ->

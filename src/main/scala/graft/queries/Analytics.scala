@@ -655,6 +655,36 @@ object Analytics {
           .as("session_start"),
         col("n_events"), col("session_cents"))
 
+  /** Exact DECIMAL money arithmetic — the engine-native answer to the
+    * FP-sum nondeterminism every cent-sum gate works around: cast the
+    * 2-dp-intended doubles to `DECIMAL(12,2)` at the scan (safe: their
+    * representation error is ~1e-13, nowhere near a half-boundary of
+    * scale 2), then every product and sum is EXACT and associative —
+    * reduction order cannot change a digit, on either engine. Explicit
+    * casts pin precision/scale at every arithmetic step because the
+    * engines' implicit decimal-promotion rules differ even when the
+    * VALUES agree; the typed-hash gate needs both. This is the
+    * money-pipeline shape at 100 TB: decimals cost ~2× a double column
+    * and buy bit-stable accounting across any partitioning.
+    */
+  def q38Decimal(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val li = s"lineitem_$tag"
+    t(spark, dir, "lineitem").createOrReplaceTempView(li)
+    try spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS gross,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1.00 AS DECIMAL(3,2)) -
+        |       CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |    AS DECIMAL(20,4)) AS net
+        |FROM $li GROUP BY l_returnflag""".stripMargin)
+    finally spark.catalog.dropTempView(li)
+  }
+
   /** Top terms by document frequency — generator (explode) + agg + topK.
     * The explode is the UDTF shape; ties broken by token for determinism.
     */
