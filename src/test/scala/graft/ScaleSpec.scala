@@ -443,6 +443,19 @@ class ScaleSpec extends SparkSpec {
       ("2024-01-01 00:41:00", 1L)))
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the other half of AQE (the skew test covers splitting): a small
+    // aggregate over 32 configured shuffle partitions should END with
+    // far fewer actual partitions after AQEShuffleRead coalesces
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    df.collect()
+    val n = df.rdd.getNumPartitions
+    assert(n < spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"AQE left $n partitions")
+  }
+
   test("join hints select the hinted physical strategy") {
     // the deployment tuning surface: when statistics mislead the
     // planner, hints force the physical join — verify each hint
