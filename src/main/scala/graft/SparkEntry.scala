@@ -292,6 +292,10 @@ object SparkEntry {
     // aggregate pass + 1 referential anti-join, violation counts only
     "x_dq_checks"        -> ((s, d) =>
       graft.ext.profile.Quality.lineitemChecks(s, d)),
+    // full-outer reconciliation: every key classified added/removed/
+    // changed/unchanged (null-safe struct compare), per-type rollup
+    "x_table_diff"       -> ((s, d) =>
+      graft.ext.profile.Quality.eventsDiff(s, d)),
     // iterative integer PageRank (5 rounds, localCheckpoint lineage
     // truncation) over the symmetrized part<->supplier graph
     "x_graph_pagerank"   -> ((s, d) =>
@@ -1966,6 +1970,32 @@ object SparkEntry {
     // (shared iteration constants — gate and oracle can't drift); the
     // (pr DESC, node ASC) cut is a total order, so top-100 is exact
     "x_graph_pagerank" -> graft.ext.graph.GraphOps.pagerankOracleSql(5),
+    // the same deterministic mutation replayed; IS NOT DISTINCT FROM is
+    // the SQL spelling of the engine's null-safe struct compare
+    "x_table_diff" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |rev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN cents + 100
+        |         ELSE cents END AS cents
+        |  FROM ev WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT -event_id - 1, event_type, cents FROM ev
+        |  WHERE event_id % 11 = 0),
+        |d AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    CASE WHEN b.event_id IS NULL THEN 'removed'
+        |         WHEN a.event_id IS NULL THEN 'added'
+        |         WHEN a.event_type IS NOT DISTINCT FROM b.event_type
+        |          AND a.cents IS NOT DISTINCT FROM b.cents
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM ev a FULL OUTER JOIN rev b ON a.event_id = b.event_id)
+        |SELECT event_type, status, count(*) AS n
+        |FROM d GROUP BY event_type, status""".stripMargin,
     // every scalar is a violation COUNT (BIGINT, order-proof); the
     // unique check counts DISTINCT over a ROW/struct on both sides so
     // null-bearing tuples count as values; the FK check's NOT EXISTS

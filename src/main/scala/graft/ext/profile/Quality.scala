@@ -117,6 +117,56 @@ object Quality {
         (col("violations") === 0L).as("passed"))
   }
 
+  /** Table reconciliation — the migration audit "did the rewrite
+    * preserve the data": a FULL OUTER join of two table versions on the
+    * key columns classifies every key as `removed` (gone from b),
+    * `added` (new in b), `changed` (payload differs — null-safe struct
+    * compare, so a null-vs-value flip counts as a change, not a match),
+    * or `unchanged`. One join on the keys; payloads travel as single
+    * structs so the comparison is one codegen'd equality regardless of
+    * column count. At 100 TB both sides shuffle once on the key (or not
+    * at all when both are bucketed by it) and the row-level verdicts
+    * reduce to per-group counts before anything returns.
+    */
+  def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && payload.nonEmpty,
+      "tableDiff needs key and payload columns")
+    def pack(df: DataFrame, side: String) =
+      df.select(keys.map(col) :+
+        struct(payload.map(col): _*).as(s"__p_$side"): _*)
+    pack(a, "a").join(pack(b, "b"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__p_b").isNull, "removed")
+          .when(col("__p_a").isNull, "added")
+          .when(col("__p_a") <=> col("__p_b"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
+
+  /** Gated [[tableDiff]] over a deterministic mutation of events: the
+    * revised table drops every 7th key, bumps the cents payload on
+    * every 5th, and adds a fresh negated-key slice — so all four
+    * verdicts appear with nontrivial counts, rolled up per
+    * (event_type, status).
+    */
+  def eventsDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val revised = ev.filter(col("event_id") % 7 =!= 0)
+      .withColumn("cents",
+        when(col("event_id") % 5 === 0, col("cents") + 100)
+          .otherwise(col("cents")))
+      .unionByName(ev.filter(col("event_id") % 11 === 0)
+        .select((-col("event_id") - 1).as("event_id"),
+          col("event_type"), col("cents")))
+    tableDiff(ev, revised, Seq("event_id"), Seq("event_type", "cents"))
+      .join(ev.unionByName(revised).select(col("event_id"),
+          col("event_type")).distinct(), Seq("event_id"))
+      .groupBy(col("event_type"), col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Gated suite over lineitem (+ orders for the FK): mixes passing and
     * FAILING constraints — the synthetic lineitem's `(l_orderkey,
     * l_linenumber)` pair is genuinely dirty (duplicate line numbers

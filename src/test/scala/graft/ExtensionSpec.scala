@@ -1672,6 +1672,21 @@ class ProfileSpec extends SparkSpec {
     assert(rows("s") == ((4L, 1L, 2L, "a", "c")))
   }
 
+  test("tableDiff classifies keys; null payload flips count as changed") {
+    import spark.implicits._
+    import graft.ext.profile.Quality
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None),
+      (4L, Some("z"))).toDF("k", "p")
+    val b = Seq((1L, Some("x")), (2L, None), (3L, None),
+      (5L, Some("w"))).toDF("k", "p")
+    val out = Quality.tableDiff(a, b, Seq("k"), Seq("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2: value->null is a CHANGE (null-safe compare), 3: null==null is
+    // unchanged, 4 removed, 5 added
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
   test("quality checks count violations per constraint incl. null edges") {
     import spark.implicits._
     import graft.ext.profile.Quality._
