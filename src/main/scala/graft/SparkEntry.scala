@@ -354,6 +354,9 @@ object SparkEntry {
     // OPTIMIZE + VACUUM: rewrite orphans the old files, vacuum reclaims
     // them; expired time travel fails loudly, the live answer unchanged
     "p_vacuum"           -> EventOps.vacuumLifecycle _,
+    // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
+    // partition; every other type must survive byte-identical
+    "p_partition_overwrite" -> EventOps.partitionOverwrite _,
     "x_sample_per_key"   -> ((s, d) => graft.ext.corpus.Corpus.perKeySample(s, d)),
     "p_schema_evolve"    -> EventOps.schemaEvolve _,
     "p_stream_enrich"    -> EventOps.streamEnrich _,
@@ -2683,6 +2686,17 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_stations
         |FROM events WHERE event_id % 3 = 1
         |GROUP BY event_type""".stripMargin,
+    // errors carry the +1 correction; every other type equals the
+    // original write — the CASE reconstruction of the dynamic overwrite
+    "p_partition_overwrite" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) +
+        |      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS cents
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM e GROUP BY event_type""".stripMargin,
     // post-vacuum v3 must still be byte-identical to the source slices
     // even though every pre-rewrite file is physically gone; the TRUE
     // contract columns assert expired-travel-fails + orphans-deleted

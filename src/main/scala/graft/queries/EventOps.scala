@@ -1374,6 +1374,37 @@ object EventOps {
         countDistinct(col("station_id")).as("n_stations"))
   }
 
+  /** Dynamic partition overwrite — the BACKFILL pattern: reprocessing
+    * one day/type must replace ONLY the partitions the new data
+    * touches, leaving every other partition's files physically intact
+    * (static mode would wipe the whole table first). The gate writes
+    * events partitioned by type, backfills just the `error` partition
+    * with corrected values (cents + 1) under
+    * `partitionOverwriteMode=dynamic`, and aggregates the whole table:
+    * errors must carry the correction, every other type must be
+    * byte-identical to the original write. The conf is set and
+    * restored around the write — it changes WRITE semantics only.
+    */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_dpo").toString
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val fixed = ev.filter(col("event_type") === "error")
+      .withColumn("cents", col("cents") + 1)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try fixed.write.mode("overwrite").partitionBy("event_type")
+      .parquet(out)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("long").as("cents"))
+  }
+
   /** Snapshot-lake retention lifecycle
     * ([[graft.lake.Snapshots.rewrite]] + [[graft.lake.Snapshots.vacuum]]
     * — the OPTIMIZE + VACUUM pair): two appends (v1, v2), a

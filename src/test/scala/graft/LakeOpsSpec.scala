@@ -263,6 +263,35 @@ class CompactionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic partition overwrite leaves untouched partitions intact") {
+    import spark.implicits._
+    val out = tmpDir("dpo")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(out)
+    def files(part: String) = {
+      val d = java.nio.file.Paths.get(out, s"k=$part")
+      val s = java.nio.file.Files.list(d)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        s.iterator().forEachRemaining(p =>
+          if (p.toString.endsWith(".parquet")) b += p.getFileName.toString)
+        b.toSet
+      } finally s.close()
+    }
+    val aBefore = files("a")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try Seq((9L, "b")).toDF("id", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(out)
+    finally spark.conf.set(key, prev)
+    // partition a: same physical files; partition b: replaced content
+    assert(files("a") == aBefore)
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "a"), (9L, "b")))
+  }
+
   test("vacuum is set-arithmetic-safe: append-only chains lose nothing") {
     import spark.implicits._
     import graft.lake.Snapshots

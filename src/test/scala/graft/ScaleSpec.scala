@@ -188,6 +188,7 @@ class ScaleSpec extends SparkSpec {
       "p_stream_join_rocks", "p_state_reader",
       // write their snapshot versions on construction (batch plan after)
       "p_time_travel", "p_snapshot_diff", "p_vacuum",
+      "p_partition_overwrite",
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
