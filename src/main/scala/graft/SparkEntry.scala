@@ -72,6 +72,8 @@ object SparkEntry {
     // exact DECIMAL money arithmetic: reduction-order-proof by TYPE,
     // not by integer-cents workaround
     "q38_decimal"        -> Analytics.q38Decimal _,
+    // value-bounded (RANGE INTERVAL) frames + IGNORE NULLS carry-forward
+    "q39_range_frame"    -> Analytics.q39RangeFrame _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
@@ -991,6 +993,24 @@ object SparkEntry {
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" -> q16Oracle,
+    // RANGE frames are tie-inclusive by VALUE (no tiebreak needed);
+    // the ROWS carry-forward window pins its tiebreak explicitly
+    "q39_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('error', 'purchase'))
+        |SELECT event_id, event_type,
+        |  count(*) OVER w_range AS n_1h,
+        |  CAST(sum(cents) OVER w_range AS BIGINT) AS cents_1h,
+        |  last_value(CASE WHEN cents % 7 = 0 THEN NULL ELSE cents END
+        |    IGNORE NULLS) OVER w_rows AS last_odd_cents
+        |FROM e
+        |WINDOW
+        |  w_range AS (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW),
+        |  w_rows AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // the identical casts: decimal values are exact, so the only thing
     // that could differ is type promotion — pinned explicitly
     "q38_decimal" ->

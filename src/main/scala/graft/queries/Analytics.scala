@@ -685,6 +685,40 @@ object Analytics {
     finally spark.catalog.dropTempView(li)
   }
 
+  /** Time-based window frames — `RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING` bounds the frame by the ORDER column's VALUE, not by
+    * row position: each event sees exactly the trailing real-time hour
+    * regardless of how many events landed in it (a ROWS frame can't
+    * express this), and ties on ts are all in-frame by definition, so
+    * no tiebreak is needed for determinism. Paired with the other
+    * null-fluent window surface: `last_value(...) IGNORE NULLS` over a
+    * ROWS frame (with an event_id tiebreak — ROWS frames DO need one)
+    * carries the last non-null observation forward, the gap-filling
+    * primitive. Integer cents keep both order-proof.
+    */
+  def q39RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = s"events_$tag"
+    events(spark, dir).createOrReplaceTempView(ev)
+    try spark.sql(
+      s"""WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM $ev WHERE event_type IN ('error', 'purchase'))
+        |SELECT event_id, event_type,
+        |  count(*) OVER w_range AS n_1h,
+        |  CAST(sum(cents) OVER w_range AS BIGINT) AS cents_1h,
+        |  last_value(CASE WHEN cents % 7 = 0 THEN NULL ELSE cents END)
+        |    IGNORE NULLS OVER w_rows AS last_odd_cents
+        |FROM e
+        |WINDOW
+        |  w_range AS (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        |  w_rows AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+    finally spark.catalog.dropTempView(ev)
+  }
+
   /** Top terms by document frequency — generator (explode) + agg + topK.
     * The explode is the UDTF shape; ties broken by token for determinism.
     */
