@@ -74,6 +74,8 @@ object SparkEntry {
     "q38_decimal"        -> Analytics.q38Decimal _,
     // value-bounded (RANGE INTERVAL) frames + IGNORE NULLS carry-forward
     "q39_range_frame"    -> Analytics.q39RangeFrame _,
+    // the general grouping-set form (incl. a set rollup can't reach)
+    "q40_grouping_sets"  -> Analytics.q40GroupingSets _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
@@ -993,6 +995,17 @@ object SparkEntry {
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" -> q16Oracle,
+    // identical GROUPING SETS syntax; DuckDB's GROUPING() emits the
+    // same bitmask contract the cube gate already pins
+    "q40_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin,
     // RANGE frames are tie-inclusive by VALUE (no tiebreak needed);
     // the ROWS carry-forward window pins its tiebreak explicitly
     "q39_range_frame" ->

@@ -311,6 +311,31 @@ object Analytics {
       .agg(grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** Explicit GROUPING SETS — the general form [[q13Rollup]]/[[q13Cube]]
+    * are shorthands of: a report that wants per-(flag, status),
+    * per-flag, and per-STATUS subtotals (note: NOT a rollup prefix —
+    * status without flag is unreachable from `rollup(flag, status)`)
+    * plus the grand total names exactly those four sets and pays an
+    * Expand factor of 4, not cube's full 2^n lattice over a wider
+    * column list. Same one-pass Expand+aggregate physical shape;
+    * `grouping_id` disambiguates data-NULLs from subtotal-NULLs.
+    */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val li = s"lineitem_$tag"
+    t(spark, dir, "lineitem").createOrReplaceTempView(li)
+    try spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM $li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin)
+    finally spark.catalog.dropTempView(li)
+  }
+
   // encoding-adaptive shared reader — see graft.util.EventTs
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.util.EventTs.readEvents(spark, dir)
