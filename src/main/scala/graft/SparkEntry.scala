@@ -185,6 +185,9 @@ object SparkEntry {
     "p_agg_maintain"     -> EventOps.aggMaintain _,
     // Dataset.observe side-channel metrics must equal a from-scratch scan
     "p_observe"          -> EventOps.observedStats _,
+    // streaming materialized view: foreachBatch merges keep the summary
+    // current; the result must equal the from-scratch rebuild
+    "p_agg_maintain_stream" -> EventOps.aggMaintainStream _,
     // extension surface: training-data pipeline operators
     "x_dedup_exact"      -> ((s, d) => TextDedup.exactBySource(s, d)),
     "x_dedup_ngram"      -> ((s, d) => TextDedup.ngramJaccardPairs(s, d)),
@@ -503,15 +506,10 @@ object SparkEntry {
     // the maintained summary must equal a from-scratch rebuild over all
     // events; integer cents end to end, and avg derives at read via
     // integer division (cents are non-negative so div == // here)
-    "p_agg_maintain" ->
-      """WITH e AS (
-        |  SELECT user_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
-        |  min(cents) AS min_c, max(cents) AS max_c,
-        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
-        |FROM e GROUP BY user_id""".stripMargin,
+    "p_agg_maintain" -> aggMaintainOracle,
+    // a summary kept current by streaming foreachBatch merges must be
+    // indistinguishable from the batch rebuild: ONE oracle for both
+    "p_agg_maintain_stream" -> aggMaintainOracle,
     // the salted two-phase aggregate must equal the plain GROUP BY;
     // integer cent-sums make the comparison order-proof
     "p_salted_stats" ->
@@ -2964,6 +2962,16 @@ object SparkEntry {
       |FROM comp c
       |JOIN (SELECT cluster_id, count(*) AS cluster_size
       |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
+
+  private val aggMaintainOracle =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+      |  min(cents) AS min_c, max(cents) AS max_c,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+      |FROM e GROUP BY user_id""".stripMargin
 
   private val q16Oracle =
     """SELECT user_id,

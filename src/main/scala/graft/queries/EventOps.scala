@@ -1620,15 +1620,64 @@ object EventOps {
     * ALL events: the maintained summary must be indistinguishable from
     * a full rebuild.
     */
-  def aggMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-    val base = userSummary(ev.filter(col("event_id") % 10 =!= 0))
-    val delta = userSummary(ev.filter(col("event_id") % 10 === 0))
-    base.unionByName(delta)
+  /** The monoid merge shared by the batch and streaming maintainers —
+    * union the summary rows, re-aggregate. */
+  private def mergeSummaries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy(col("user_id"))
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("cents")).cast("long").as("cents"),
         min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+
+  def aggMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    mergeSummaries(userSummary(ev.filter(col("event_id") % 10 =!= 0)),
+        userSummary(ev.filter(col("event_id") % 10 === 0)))
+      .withColumn("avg_cents", expr("cents div n"))
+  }
+
+  /** STREAMING materialized view — [[aggMaintain]]'s merge run from a
+    * `foreachBatch` loop: the event stream arrives as three staged
+    * files (`maxFilesPerTrigger=1` → three micro-batches), and each
+    * batch's partial summary is merged into a new VERSION of the
+    * summary table (`v{id} + partial → v{id+1}` — versioned dirs, so a
+    * crashed batch retries against its input version instead of a
+    * half-written table; Delta's MERGE transaction collapses the
+    * version pair, same recovery contract). The maintained view after
+    * the last batch must equal the from-scratch batch rebuild — the
+    * SAME oracle as `p_agg_maintain`, which is the whole point: a
+    * summary kept current by a stream is indistinguishable from one
+    * recomputed over all history. Cost per batch ∝ batch + summary,
+    * exactly the incremental-view promise, now on the streaming path.
+    */
+  def aggMaintainStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.Scratch.dir("graft_mv_src")
+    val base = System.currentTimeMillis()
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    (0 until 3).foreach { i =>
+      stageParquetFile(raw.filter(col("event_id") % 3 === i),
+        stage, s"b$i.parquet", base + i * 60000)
+    }
+    val sumRoot = graft.util.Scratch.dir("graft_mv_sum").toString
+    val stream = graft.util.EventTs.readEventsStream(spark, dir,
+      stage.toString, Map("maxFilesPerTrigger" -> "1"))
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft_mv_ck").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val partial = userSummary(batch)
+        val merged =
+          if (id == 0) partial
+          else mergeSummaries(
+            batch.sparkSession.read.parquet(s"$sumRoot/v$id"), partial)
+        merged.write.mode("overwrite").parquet(s"$sumRoot/v${id + 1}")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val last = new java.io.File(sumRoot).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    spark.read.parquet(s"$sumRoot/v$last")
       .withColumn("avg_cents", expr("cents div n"))
   }
 }

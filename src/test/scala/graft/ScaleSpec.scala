@@ -186,7 +186,7 @@ class ScaleSpec extends SparkSpec {
       "p_window_stream", "p_window_stream_append", "p_window_sliding_append",
       "p_window_chain",
       "p_wstats_append", "p_session_stream_append", "p_stream_join",
-      "p_stream_join_rocks", "p_state_reader",
+      "p_stream_join_rocks", "p_state_reader", "p_agg_maintain_stream",
       // write their snapshot versions on construction (batch plan after)
       "p_time_travel", "p_snapshot_diff", "p_vacuum",
       "p_partition_overwrite",
