@@ -66,9 +66,18 @@ object Quality {
     * `ref(refColumn)` — referential integrity; `refName` labels the
     * referenced table in the report. Null FK values count as
     * violations (they match nothing, same as SQL `NOT EXISTS`).
+    * `broadcastRef = true` (the common case: the referenced keyset is
+    * a dimension) GUARANTEES the key set broadcasts so the fact side
+    * never enters an exchange for this check — at gate SF the AQE
+    * planner already chooses broadcast (listener-measured: the gate's
+    * remaining 456k shuffle records are entirely the Unique check's
+    * distinct aggregate), but at 100 TB misleading stats must not be
+    * able to flip a FK audit into a fact-table shuffle; leave false
+    * when the referenced keyset is itself fact-sized and must shuffle.
     */
   final case class SubsetOf(column: String, ref: DataFrame,
-      refColumn: String, refName: String) extends Check {
+      refColumn: String, refName: String,
+      broadcastRef: Boolean = false) extends Check {
     def name = s"subset_of($column,$refName.$refColumn)"
   }
 
@@ -101,9 +110,14 @@ object Quality {
       if (local.isEmpty) None
       else Some(df.agg(local.head, local.tail: _*))
     val refRows: Seq[DataFrame] = checks.zipWithIndex.collect {
-      case (SubsetOf(col0, ref, refCol, _), i) =>
+      case (SubsetOf(col0, ref, refCol, _, bcast), i) =>
+        // no distinct(): the anti join ignores key multiplicity, and a
+        // pre-dedup would cost its own shuffle — the broadcast hash
+        // table dedups for free
+        val keys = ref.select(col(refCol).as(col0))
         df.select(col(col0))
-          .join(ref.select(col(refCol).as(col0)), Seq(col0), "left_anti")
+          .join(if (bcast) broadcast(keys) else keys, Seq(col0),
+            "left_anti")
           .agg(count(lit(1)).cast("long").as(s"v_$i"))
     }
     val wide = (localRow.toSeq ++ refRows).reduce(_.crossJoin(_))
@@ -185,6 +199,7 @@ object Quality {
       Between("l_discount", 0.0, 0.1),
       Between("l_quantity", 1.0, 10.0),
       MinRows(1000L),
-      SubsetOf("l_orderkey", ord, "o_orderkey", "orders")))
+      SubsetOf("l_orderkey", ord, "o_orderkey", "orders",
+        broadcastRef = true)))
   }
 }
