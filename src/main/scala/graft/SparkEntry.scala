@@ -303,6 +303,10 @@ object SparkEntry {
     // changed/unchanged (null-safe struct compare), per-type rollup
     "x_table_diff"       -> ((s, d) =>
       graft.ext.profile.Quality.eventsDiff(s, d)),
+    // cross-cluster replica audit: per-cell (n, xor of portable 48-bit
+    // row hashes) — order/partitioning-invariant, join-free
+    "x_part_checksums"   -> ((s, d) =>
+      graft.ext.profile.Quality.eventsChecksums(s, d)),
     // iterative integer PageRank (5 rounds, localCheckpoint lineage
     // truncation) over the symmetrized part<->supplier graph
     "x_graph_pagerank"   -> ((s, d) =>
@@ -2004,6 +2008,22 @@ object SparkEntry {
     // (shared iteration constants — gate and oracle can't drift); the
     // (pr DESC, node ASC) cut is a total order, so top-100 is exact
     "x_graph_pagerank" -> graft.ext.graph.GraphOps.pagerankOracleSql(5),
+    // the portable 48-bit md5 row hash XORed per cell: chr(1)/chr(0)
+    // are the canonicalization separator/null-sentinel; bit_xor is
+    // order-invariant so partitioning cannot perturb the checksum
+    "x_part_checksums" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    concat_ws(chr(1),
+        |      coalesce(CAST(event_id AS VARCHAR), chr(0)),
+        |      coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |      coalesce(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        AS VARCHAR), chr(0))) AS c
+        |  FROM events)
+        |SELECT event_type, d, count(*) AS n,
+        |  CAST(bit_xor(CAST(concat('0x', substring(md5(c), 1, 12))
+        |    AS BIGINT)) AS BIGINT) AS xor48
+        |FROM e GROUP BY event_type, d""".stripMargin,
     // the same deterministic mutation replayed; IS NOT DISTINCT FROM is
     // the SQL spelling of the engine's null-safe struct compare
     "x_table_diff" ->

@@ -181,6 +181,47 @@ object Quality {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Order-independent partition checksums — the replica-comparison
+    * primitive [[tableDiff]] can't be: comparing two copies of a table
+    * that live on DIFFERENT clusters can't join them; instead each side
+    * independently reduces every partition to `(n, xor48)` — row count
+    * plus the XOR of a portable 48-bit md5 row hash — and only the tiny
+    * checksum tables travel. XOR is commutative/associative with no
+    * overflow, so the checksum is invariant to row order and
+    * partitioning; the count guards XOR's one blind spot (duplicate row
+    * PAIRS cancel to 0 — equal counts + equal xor is the practical
+    * anti-entropy check, not a cryptographic one). Payload columns are
+    * canonicalized as strings with a null sentinel; keep payloads to
+    * integers/strings — float-to-string rendering is engine-specific.
+    */
+  def partitionChecksums(df: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && payload.nonEmpty,
+      "partitionChecksums needs key and payload columns")
+    val canon = concat_ws("\u0001",
+      payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h48 = expr(
+      s"CAST(conv(substring(md5(${canonAlias}), 1, 12), 16, 10) AS BIGINT)")
+    df.select(keys.map(col) :+ canon.as(canonAlias): _*)
+      .select(keys.map(col) :+ h48.as("__h"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__h)").cast("long").as("xor48"))
+  }
+  private val canonAlias = "__canon"
+
+  /** Gated [[partitionChecksums]] over events per (event_type, date) —
+    * the per-day-per-type cells a replication audit actually compares.
+    */
+  def eventsChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.util.EventTs.readEvents(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("event_id"), col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    partitionChecksums(ev, Seq("event_type", "d"),
+      Seq("event_id", "user_id", "cents"))
+  }
+
   /** Gated suite over lineitem (+ orders for the FK): mixes passing and
     * FAILING constraints — the synthetic lineitem's `(l_orderkey,
     * l_linenumber)` pair is genuinely dirty (duplicate line numbers

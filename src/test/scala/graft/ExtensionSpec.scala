@@ -1687,6 +1687,29 @@ class ProfileSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "removed", 5L -> "added"))
   }
 
+  test("partition checksums are partitioning-invariant; n catches xor's blind spot") {
+    import spark.implicits._
+    import graft.ext.profile.Quality
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "k", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val base = canon(Quality.partitionChecksums(df, Seq("k"), Seq("id", "v")))
+    // repartitioning / reordering cannot perturb the checksum
+    assert(canon(Quality.partitionChecksums(
+      df.repartition(7).sortWithinPartitions(desc("v")),
+      Seq("k"), Seq("id", "v"))) == base)
+    // xor's blind spot: an identical row PAIR cancels to the same xor —
+    // the count is what catches it (the documented contract)
+    val dup = df.unionAll(df.filter($"id" === 1L))
+      .unionAll(df.filter($"id" === 1L))
+    val dupd = canon(Quality.partitionChecksums(dup, Seq("k"), Seq("id", "v")))
+    val aBase = base.find(_._1 == "a").get
+    val aDup = dupd.find(_._1 == "a").get
+    assert(aDup._3 == aBase._3 && aDup._2 == aBase._2 + 2)
+  }
+
   test("quality checks count violations per constraint incl. null edges") {
     import spark.implicits._
     import graft.ext.profile.Quality._

@@ -150,7 +150,7 @@ class ScaleSpec extends SparkSpec {
       "p_latest_per_key",
       "p_point_lookup", "p_dedup", "p_partition_counts", "p_session_gaps",
       "p_hotkey_join", "p_agg_maintain", "x_dq_checks", "x_dedup_ppjoin",
-      "x_table_diff",
+      "x_table_diff", "x_part_checksums",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
