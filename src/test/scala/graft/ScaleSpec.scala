@@ -446,6 +446,50 @@ class ScaleSpec extends SparkSpec {
       ("2024-01-01 00:41:00", 1L)))
   }
 
+  test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
+    // the 100 TB fact-table saver: joining a partitioned fact with a
+    // SELECTIVELY FILTERED dim must prune fact partitions at RUNTIME
+    // (the filter value set is only known after the dim side runs) —
+    // without DPP the scan reads every partition and the join discards
+    // 80% of the IO after the fact
+    import spark.implicits._
+    val out = tmpDir("dpp_fact")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // the dim must be a real source with a SELECTIVE filter — a folded
+    // local relation leaves no Filter node for the DPP heuristic to see
+    val dimPath = tmpDir("dpp_dim")
+    Seq(("click", 1L), ("error", 2L), ("view", 3L)).toDF("event_type", "w")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"w" === 1L)
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(dim, "event_type")
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in plan")
+    // and it actually pruned AT RUNTIME: the fact scan's numFiles
+    // metric (post-execution) must be 1 of the 5 written partitions —
+    // inputFiles is a STATIC property and would still list all five
+    joined.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE's final plan hides scans inside opaque QueryStageExec leaves —
+    // TreeNode.collect stops at them, so recurse explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("dpp_fact")))
+      .head
+    assert(factScan.metrics("numFiles").value == 1L,
+      s"fact scan read ${factScan.metrics("numFiles").value} files")
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // the other half of AQE (the skew test covers splitting): a small
     // aggregate over 32 configured shuffle partitions should END with
