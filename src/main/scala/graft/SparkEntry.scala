@@ -104,6 +104,9 @@ object SparkEntry {
     "p_window_stream_append" -> EventOps.tumblingWindowStreamAppend _,
     // two chained stateful windows in ONE query (15 min -> 1 h cascade)
     "p_window_chain"     -> EventOps.windowChainAppend _,
+    // two sources, one query: union watermark = MIN across sources,
+    // both legs carry flush sentinels or nothing finalizes
+    "p_stream_union"     -> EventOps.streamUnionAppend _,
     "p_wstats_append"    -> EventOps.windowedStatsAppend _,
     "p_session_stream_append" -> EventOps.sessionWindowStreamAppend _,
     "p_window_sliding_append" -> EventOps.slidingWindowStreamAppend _,
@@ -528,6 +531,15 @@ object SparkEntry {
     // watermark + APPEND mode must finalize every real window exactly once
     // with the same values the batch aggregate computes
     "p_window_stream_append" -> q12WindowOracle,
+    // the parity split/union must be invisible: the oracle is the
+    // single-source window aggregate over ALL events
+    "p_stream_union" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the two-level streaming cascade must equal the DIRECT hour
     // aggregate (integer cent-sums make two-level summation exact)
     "p_window_chain" ->

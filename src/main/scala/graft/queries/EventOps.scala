@@ -488,14 +488,28 @@ object EventOps {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
   }
 
-  private def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
+  /** Staged file stream + far-future flush sentinels; `slice` (raw,
+    * pre-normalization rows) restricts the staged events — `None`
+    * stages the whole file byte-identical via copy. One definition for
+    * the single-source append gates AND each leg of the union gate, so
+    * the sentinel encoding logic cannot drift between them.
+    */
+  private def eventsStreamWithFlush(spark: SparkSession, dir: String,
+      slice: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val stage = graft.util.Scratch.dir("graft_stream_append_src")
     val base = System.currentTimeMillis()
-    val eventsFile = stage.resolve("events.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
-    java.nio.file.Files.setLastModifiedTime(eventsFile,
-      java.nio.file.attribute.FileTime.fromMillis(base))
+    slice match {
+      case None =>
+        val eventsFile = stage.resolve("events.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
+        java.nio.file.Files.setLastModifiedTime(eventsFile,
+          java.nio.file.attribute.FileTime.fromMillis(base))
+      case Some(cond) =>
+        stageParquetFile(
+          spark.read.parquet(s"$dir/events.parquet").filter(cond),
+          stage, "events.parquet", base)
+    }
     // 2100-01-01 / 2100-01-02 as nanos — far past any real event time.
     // The sentinel file must carry the SAME physical ts encoding as the
     // real events file (one user schema decodes the whole directory), so
@@ -527,6 +541,36 @@ object EventOps {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Multi-SOURCE streaming union — two independent file streams (the
+    * events split by `event_id` parity, standing in for two topics)
+    * unioned into ONE query and windowed. The part worth gating is the
+    * watermark algebra: the combined watermark is the MIN across
+    * sources — a stalled source holds back every window's
+    * finalization, which is why BOTH legs stage their own flush
+    * sentinels (drop one and the query emits nothing; the production
+    * lesson is per-source liveness monitoring, not just query-level).
+    * Result must equal the single-source window aggregate over all
+    * events — the split/union must be invisible.
+    */
+  def streamUnionAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val left = eventsStreamWithFlush(spark, dir,
+      Some(col("event_id") % 2 === 0))
+    val right = eventsStreamWithFlush(spark, dir,
+      Some(col("event_id") % 2 === 1))
+    val agg = left.unionByName(right)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("cents"))
+    drainToMemory(spark, agg, "stream_union_gate", OutputMode.Append())
+      .filter(col("event_type") =!= "__flush__")
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("cents"))
   }
 
   /** CHAINED stateful operators in ONE streaming query — Spark's

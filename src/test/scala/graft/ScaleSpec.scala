@@ -184,7 +184,7 @@ class ScaleSpec extends SparkSpec {
       // streaming / stateful drains: execute on construction
       "p_latest_stream", "p_latest_arrival", "p_latest_tws",
       "p_window_stream", "p_window_stream_append", "p_window_sliding_append",
-      "p_window_chain",
+      "p_window_chain", "p_stream_union",
       "p_wstats_append", "p_session_stream_append", "p_stream_join",
       "p_stream_join_rocks", "p_state_reader", "p_agg_maintain_stream",
       // write their snapshot versions on construction (batch plan after)
