@@ -104,8 +104,8 @@ object SparkEntry {
     "p_window_stream_append" -> EventOps.tumblingWindowStreamAppend _,
     // two chained stateful windows in ONE query (15 min -> 1 h cascade)
     "p_window_chain"     -> EventOps.windowChainAppend _,
-    // two sources, one query: union watermark = MIN across sources,
-    // both legs carry flush sentinels or nothing finalizes
+    // two sources, one query: per-leg watermarks BEFORE the union so
+    // the combined watermark is their MIN — both legs carry sentinels
     "p_stream_union"     -> EventOps.streamUnionAppend _,
     "p_wstats_append"    -> EventOps.windowedStatsAppend _,
     "p_session_stream_append" -> EventOps.sessionWindowStreamAppend _,

@@ -142,15 +142,24 @@ object Quality {
     * at all when both are bucketed by it) and the row-level verdicts
     * reduce to per-group counts before anything returns.
     */
+  /** `carry` columns (a subset of `payload`) are projected out of the
+    * joined structs via `coalesce(a.c, b.c)` — label columns for the
+    * report, recovered from the join that already has them in hand
+    * rather than re-joined afterwards.
+    */
   def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], carry: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty && payload.nonEmpty,
       "tableDiff needs key and payload columns")
+    require(carry.forall(payload.contains),
+      s"carry columns must be payload columns: $carry")
     def pack(df: DataFrame, side: String) =
       df.select(keys.map(col) :+
         struct(payload.map(col): _*).as(s"__p_$side"): _*)
     pack(a, "a").join(pack(b, "b"), keys, "full_outer")
-      .select(keys.map(col) :+
+      .select(keys.map(col) ++
+        carry.map(c =>
+          coalesce(col(s"__p_a.$c"), col(s"__p_b.$c")).as(c)) :+
         when(col("__p_b").isNull, "removed")
           .when(col("__p_a").isNull, "added")
           .when(col("__p_a") <=> col("__p_b"), "unchanged")
@@ -174,9 +183,8 @@ object Quality {
       .unionByName(ev.filter(col("event_id") % 11 === 0)
         .select((-col("event_id") - 1).as("event_id"),
           col("event_type"), col("cents")))
-    tableDiff(ev, revised, Seq("event_id"), Seq("event_type", "cents"))
-      .join(ev.unionByName(revised).select(col("event_id"),
-          col("event_type")).distinct(), Seq("event_id"))
+    tableDiff(ev, revised, Seq("event_id"), Seq("event_type", "cents"),
+        carry = Seq("event_type"))
       .groupBy(col("event_type"), col("status"))
       .agg(count(lit(1)).as("n"))
   }

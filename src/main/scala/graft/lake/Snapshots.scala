@@ -111,6 +111,26 @@ object Snapshots {
     doomed.foreach { rel =>
       Files.deleteIfExists(Paths.get(table).resolve(rel))
     }
+    // manifests list only parquet files, so a fully reclaimed version
+    // directory still holds writer residue (_SUCCESS, .crc sidecars) —
+    // sweep any version dir whose parquet content is gone, or repeated
+    // rewrite+vacuum cycles accumulate one orphan dir per version
+    doomed.map(rel => Paths.get(table).resolve(rel).getParent).foreach {
+      dir =>
+        if (Files.isDirectory(dir)) {
+          val left = Files.list(dir)
+          val names =
+            try {
+              val b = scala.collection.mutable.ArrayBuffer[Path]()
+              left.iterator().forEachRemaining(p => b += p)
+              b.toSeq
+            } finally left.close()
+          if (!names.exists(_.getFileName.toString.endsWith(".parquet"))) {
+            names.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(dir)
+          }
+        }
+    }
     expired.foreach { v =>
       Files.deleteIfExists(manifestDir(table).resolve(s"v$v.list"))
     }

@@ -546,22 +546,27 @@ object EventOps {
   /** Multi-SOURCE streaming union — two independent file streams (the
     * events split by `event_id` parity, standing in for two topics)
     * unioned into ONE query and windowed. The part worth gating is the
-    * watermark algebra: the combined watermark is the MIN across
-    * sources — a stalled source holds back every window's
-    * finalization, which is why BOTH legs stage their own flush
-    * sentinels (drop one and the query emits nothing; the production
-    * lesson is per-source liveness monitoring, not just query-level).
-    * Result must equal the single-source window aggregate over all
-    * events — the split/union must be invisible.
+    * watermark algebra, and its placement is load-bearing: each leg
+    * carries its OWN `withWatermark` BEFORE the union, so the query has
+    * two watermark operators and the combined watermark is their MIN
+    * (`multipleWatermarkPolicy=min`, the default) — a stalled source
+    * holds back every window's finalization, which is why BOTH legs
+    * stage their own flush sentinels. (A single post-union watermark
+    * would advance on the MAX event time across legs — one leg's
+    * sentinel would finalize everything and the per-source-liveness
+    * property would be silently untested.) Result must equal the
+    * single-source window aggregate over all events — the split/union
+    * must be invisible.
     */
   def streamUnionAppend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val left = eventsStreamWithFlush(spark, dir,
       Some(col("event_id") % 2 === 0))
+      .withWatermark("ts", "30 minutes")
     val right = eventsStreamWithFlush(spark, dir,
       Some(col("event_id") % 2 === 1))
-    val agg = left.unionByName(right)
       .withWatermark("ts", "30 minutes")
+    val agg = left.unionByName(right)
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
@@ -1437,12 +1442,17 @@ object EventOps {
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     val fixed = ev.filter(col("event_type") === "error")
       .withColumn("cents", col("cents") + 1)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "dynamic")
-    try fixed.write.mode("overwrite").partitionBy("event_type")
-      .parquet(out)
-    finally spark.conf.set(key, prev)
+    // session-global conf mutation window: serialized under the same
+    // lock drainToMemory uses, so a concurrently planned overwrite
+    // can't silently inherit dynamic mode
+    drainLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try fixed.write.mode("overwrite").partitionBy("event_type")
+        .parquet(out)
+      finally spark.conf.set(key, prev)
+    }
     spark.read.parquet(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -316,16 +316,22 @@ class CompactionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c")))
     // and the orphaned files are physically gone: only v3's files remain
+    // — including writer residue (_SUCCESS, .crc) and the emptied
+    // version DIRECTORIES themselves, not just the parquet entries
     val dataDir = java.nio.file.Paths.get(table, "data")
     val left = java.nio.file.Files.walk(dataDir).iterator()
-    val remaining = new scala.collection.mutable.ArrayBuffer[String]
+    val parquets = new scala.collection.mutable.ArrayBuffer[String]
+    val versionDirs = new scala.collection.mutable.ArrayBuffer[String]
     while (left.hasNext) {
       val p = left.next()
-      if (p.toString.endsWith(".parquet")) remaining += p.toString
+      if (p.toString.endsWith(".parquet")) parquets += p.toString
+      if (java.nio.file.Files.isDirectory(p) && p != dataDir)
+        versionDirs += p.toString
     }
     val manifest = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, "_manifests", "v3.list"))
-    assert(remaining.size == manifest.size)
+    assert(parquets.size == manifest.size)
+    assert(versionDirs.size == 1, s"orphan version dirs: $versionDirs")
   }
 
   test("mergeSchema read null-pads files written before a column existed") {

@@ -491,16 +491,17 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("AQE coalesces undersized shuffle partitions at runtime") {
-    // the other half of AQE (the skew test covers splitting): a small
-    // aggregate over 32 configured shuffle partitions should END with
-    // far fewer actual partitions after AQEShuffleRead coalesces
+    // the other half of AQE (the skew test covers splitting): the test
+    // session configures 4 shuffle partitions (SparkSpec), and this
+    // tiny aggregate must end with exactly ONE after AQEShuffleRead
+    // coalesces — 7 groups of longs are far below the 64 MB advisory
+    // partition size, so anything more than 1 means coalescing failed
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
       .groupBy("k").agg(sum("v").as("s"))
     df.collect()
     val n = df.rdd.getNumPartitions
-    assert(n < spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      s"AQE left $n partitions")
+    assert(n == 1, s"AQE left $n partitions")
   }
 
   test("join hints select the hinted physical strategy") {
