@@ -540,6 +540,51 @@ class PropertySpec extends SparkSpec {
     assert(dumped == wantDump, s"draw dump mismatch")
   }
 
+  test("snapshot lifecycle: latest content survives random append/rewrite/vacuum") {
+    import graft.lake.Snapshots
+    for (round <- 0 until 2) {
+      val table = java.nio.file.Files
+        .createTempDirectory(s"snap_prop_$round").toString
+      val content = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var nextId = 0L
+      val rnd = new scala.util.Random(4242 + round)
+      val ops = Seq.fill(7)(rnd.nextInt(3))
+      var appended = false
+      ops.foreach { op =>
+        op match {
+          case 0 =>
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1; (nextId, s"v$nextId")
+            }
+            content ++= rows
+            Snapshots.append(rows.toDF("id", "v"), table)
+            appended = true
+          case 1 if appended =>
+            Snapshots.rewrite(spark, table)
+          case 2 if appended =>
+            Snapshots.vacuum(table, Snapshots.latestVersion(table))
+          case _ => () // rewrite/vacuum before any append: no-op
+        }
+        // THE invariant: whatever the op mix, the latest version reads
+        // back exactly the accumulated content
+        if (appended) {
+          val got = Snapshots.read(spark, table)
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+          assert(got == content.sorted.toSeq,
+            s"round $round after ops $ops: ${got.size} vs ${content.size}")
+        }
+      }
+      // and after a final rewrite+full vacuum, still intact
+      if (appended) {
+        Snapshots.rewrite(spark, table)
+        Snapshots.vacuum(table, Snapshots.latestVersion(table))
+        val got = Snapshots.read(spark, table)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(got == content.sorted.toSeq)
+      }
+    }
+  }
+
   test("ppjoin == exhaustive jaccard join for random small-vocab corpora") {
     // prefix filtering's losslessness rests on the prefix-filtering
     // THEOREM (+ the rounding-slack prefix sizing) — random corpora over
