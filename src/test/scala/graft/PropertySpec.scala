@@ -540,6 +540,29 @@ class PropertySpec extends SparkSpec {
     assert(dumped == wantDump, s"draw dump mismatch")
   }
 
+  test("hotKeySplitJoin == plain join for random skew and thresholds") {
+    import graft.operators.Scale
+    for (round <- 0 until 3) {
+      val rnd = new scala.util.Random(777 + round)
+      // zipf-ish skew: key k appears ~ max(1, 40/k) times
+      val fact = (1 to 20).flatMap { k =>
+        (0 until math.max(1, 40 / k)).map(i => (k.toLong, k * 100L + i))
+      }.toDF("k", "fv")
+      // dim with some missing keys (join must drop them on both paths)
+      val dim = (1 to 20).filter(_ % 3 != 0)
+        .map(k => (k.toLong, s"d$k")).toDF("k", "dv")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .sorted.toSeq
+      val want = canon(fact.join(dim, "k"))
+      for (_ <- 0 until 3) {
+        val t = 1L + rnd.nextInt(45)
+        assert(canon(Scale.hotKeySplitJoin(fact, dim, "k", t)) == want,
+          s"round $round threshold $t")
+      }
+    }
+  }
+
   test("snapshot lifecycle: latest content survives random append/rewrite/vacuum") {
     import graft.lake.Snapshots
     for (round <- 0 until 2) {
