@@ -293,6 +293,9 @@ object SparkEntry {
     // report — is DuckDB-reproducible; production keeps hash-seeded
     // planes (Similarity.knnRecallReport)
     "x_knn_recall"       -> ((s, d) => Similarity.knnRecallGate(s, d)),
+    // batch serving: ONE corpus pass answers 8 queries; per-query top-k
+    // via the bounded-heap aggregate (k rows/query/partition shuffle)
+    "x_ann_batch"        -> ((s, d) => Similarity.batchTopK(s, d)),
     "x_profile"          -> ((s, d) => graft.ext.profile.Profile.lineitemProfile(s, d)),
     "x_profile_approx"   -> ((s, d) =>
       graft.ext.profile.Profile.lineitemApproxProfile(s, d)),
@@ -2417,6 +2420,23 @@ object SparkEntry {
     // (i 1-based) — so hamming and every recall count are integer-exact
     // cross-engine; a radius-r hit is an exact-top-k pair whose buckets
     // differ in <= r bits (subset-visibility argument in knnRecallReport)
+    // per-query brute force replayed with the same rounded-score +
+    // vec_id tie-break order the bounded heap uses
+    "x_ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      q.qv), 6) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "x_knn_recall" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE vec_id % 10 = 0),

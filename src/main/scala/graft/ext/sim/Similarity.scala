@@ -49,6 +49,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH multi-query exact top-k — the serving shape the single-query
+    * gates don't cover: ONE corpus pass answers a whole query batch.
+    * The batch broadcasts, every corpus row scores against all of it in
+    * one narrow stage, and per-query top-k runs as the bounded-heap
+    * [[graft.functions.TopKBy]] aggregate — map-side combined, so k
+    * rows per query per partition cross the wire, never the |batch|·N
+    * scored rows a window-rank formulation would shuffle. vs looping
+    * single-query scans: one scan amortized over the batch, which is
+    * how retrieval backfills and eval sweeps actually run at 100 TB.
+    */
+  def batchTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    val e = emb(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by(struct(col("vec_id"), col("score")),
+        struct((-col("score")).as("neg"), col("vec_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("query_id"), col("r.vec_id").as("vec_id"),
+        col("r.score").as("score"), (col("i") + 1).as("rank"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98) — the
     * diversification pass a RAG stack runs AFTER retrieval: greedily pick
     * `kOut` of the `nCandidates` most query-similar vectors, each step

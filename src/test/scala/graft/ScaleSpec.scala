@@ -223,6 +223,8 @@ class ScaleSpec extends SparkSpec {
       "x_multimodal_vstats",
       // deliberate all-pairs yardsticks: full radius IS the cartesian
       "x_knn_join", "x_knn_recall",
+      // 8-row broadcast query batch: BroadcastNestedLoopJoin by design
+      "x_ann_batch",
       // zorder gate: expression-only, swept via its own spec
       "p_zorder_cells")
     val unclassified =
