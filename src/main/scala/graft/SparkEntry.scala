@@ -76,6 +76,9 @@ object SparkEntry {
     "q39_range_frame"    -> Analytics.q39RangeFrame _,
     // the general grouping-set form (incl. a set rollup can't reach)
     "q40_grouping_sets"  -> Analytics.q40GroupingSets _,
+    // per-window HLL++ cardinality held to a 5% contract vs the exact
+    // anchor — the sketch accuracy pattern per TIME BUCKET
+    "q41_window_distinct" -> Analytics.q41ApproxDistinctWindow _,
     "q17_top_terms"      -> Analytics.q17TopTerms _,
     "q18_string_funcs"   -> Analytics.q18StringFuncs _,
     "q19_correlated"     -> Analytics.q19Correlated _,
@@ -1012,6 +1015,16 @@ object SparkEntry {
     // session semantics: a new session starts when the gap from the previous
     // event is >= 30 min (Spark sessions cover [ts, ts+gap) half-open)
     "q16_session_window" -> q16Oracle,
+    // the exact anchor per hour bucket; the oracle asserts the
+    // max(2, 5%) contract TRUE and Spark computes it — a bare relative
+    // bound is dishonest at the tiny per-bucket cardinalities HLL++'s
+    // small-range bias dominates (measured ±2 at n=11)
+    "q41_window_distinct" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour',
+        |    CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_in_bound
+        |FROM events GROUP BY 1""".stripMargin,
     // identical GROUPING SETS syntax; DuckDB's GROUPING() emits the
     // same bitmask contract the cube gate already pins
     "q40_grouping_sets" ->

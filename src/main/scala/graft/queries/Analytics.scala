@@ -311,6 +311,36 @@ object Analytics {
       .agg(grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** Windowed cardinality — distinct users per clock hour, the
+    * always-on dashboard query: exact `count(DISTINCT)` anchors the
+    * oracle row while `approx_count_distinct` (HLL++, the only form
+    * that survives 100 TB × unbounded windows — mergeable sketch
+    * partials, no per-window distinct Expand) is gated per TIME BUCKET.
+    * The contract is `|apx − exact| ≤ max(2, 5%·exact)` — NOT a bare
+    * relative bound, deliberately: hour-sliced cardinalities here run
+    * 8–20 distinct users, and at tiny n HLL++'s small-range bias
+    * (measured: off by 2 at n=11 even at rsd 0.02) dominates any
+    * relative figure. Relative-error contracts are meaningless at tiny
+    * cardinalities — exactly the regime dashboard bucket-slicing
+    * lands sketches in, which is the lesson this gate pins (the
+    * per-COLUMN x_profile_approx gate runs at cardinalities where the
+    * 5% form is honest).
+    */
+  def q41ApproxDistinctWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        // rsd 0.01: at the mid-cardinality SFs the 5% bound must sit
+        // several sigma out, not 2.5 (0.02 would make the gate a coin
+        // flip on the tail bucket across scale factors)
+        approx_count_distinct(col("user_id"), 0.01).as("apx"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_exact"),
+        (abs(col("apx") - col("n_exact")).cast("double") <=
+          greatest(lit(2.0), col("n_exact").cast("double") * 0.05))
+          .as("approx_in_bound"))
+
   /** Explicit GROUPING SETS — the general form [[q13Rollup]]/[[q13Cube]]
     * are shorthands of: a report that wants per-(flag, status),
     * per-flag, and per-STATUS subtotals (note: NOT a rollup prefix —

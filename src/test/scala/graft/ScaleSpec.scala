@@ -139,7 +139,7 @@ class ScaleSpec extends SparkSpec {
       "q14_pivot", "q14_unpivot",
       "q15_percentiles", "q15_percentiles_approx", "q16_session_window",
       "q37_session_dynamic", "q38_decimal", "q39_range_frame",
-      "q40_grouping_sets",
+      "q40_grouping_sets", "q41_window_distinct",
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
       "q23_kmv_distinct", "q24_interval_join", "q24_interval_rule",
