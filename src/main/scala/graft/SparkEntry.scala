@@ -1067,8 +1067,11 @@ object SparkEntry {
         |       CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
         |    AS DECIMAL(20,4)) AS net
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // interval union: new session iff ts >= running MAX of previous
-    // window ends (the lag rule is WRONG under non-monotone ends)
+    // interval union: new session iff ts STRICTLY exceeds the running
+    // MAX of previous window ends — Spark merges exactly-adjacent
+    // windows (t == end → same session, probe-verified), so >= here
+    // would split them; the lag rule is additionally WRONG under
+    // non-monotone ends
     "q37_session_dynamic" ->
       """WITH m AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
@@ -1084,7 +1087,7 @@ object SparkEntry {
         |    AS prev_max_end
         |  FROM e),
         |g AS (
-        |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+        |  SELECT *, CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
         |    THEN 1 ELSE 0 END AS new_s FROM f),
         |s AS (
         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
@@ -3053,7 +3056,7 @@ object SparkEntry {
       |          IS NULL THEN 1
       |        WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (
       |          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-      |          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |          > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
       |    FROM events) m) s
       |GROUP BY user_id, sid""".stripMargin
 

@@ -689,11 +689,15 @@ object Analytics {
     * since the PREVIOUS event exceeds the threshold" (the fixed-gap
     * oracle's lag rule) is wrong — a long-gap event can keep the
     * session open across several short-gap successors. The correct
-    * batch semantics is interval UNION: an event opens a new session
-    * iff its ts ≥ the running MAX of all previous events' window ends,
-    * and the oracle states exactly that (max-over-preceding-rows
-    * window). Integer cent-sums; microsecond session_start is the
-    * session identity in the output.
+    * batch semantics is interval UNION with INCLUSIVE adjacency: an
+    * event opens a new session iff its ts STRICTLY exceeds the running
+    * MAX of all previous events' window ends — Spark merges an event
+    * landing exactly ON a session end (probe-verified; pinned by a
+    * property test against a reference union over random minute-grid
+    * events, where exact adjacency actually occurs — the SF corpora's
+    * microsecond jitter never produces it, which is how a `≥` oracle
+    * passed tri-SF while latently wrong). Integer cent-sums;
+    * microsecond session_start is the session identity in the output.
     */
   def q37SessionDynamic(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

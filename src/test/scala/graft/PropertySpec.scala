@@ -540,6 +540,54 @@ class PropertySpec extends SparkSpec {
     assert(dumped == wantDump, s"draw dump mismatch")
   }
 
+  test("dynamic-gap session_window == reference interval union on random events") {
+    // the q37 oracle's algebra claim, stressed on random inputs with
+    // duplicate timestamps and interleaved gap classes on a minute
+    // grid — where exact window-end adjacency (impossible in the
+    // jittered SF corpora) actually occurs. Spark MERGES an event
+    // landing exactly on a session end, so the reference rule is
+    // strictly "new session iff ts > running max of previous ends";
+    // this test caught the >= form as a real off-by-boundary bug in
+    // both session oracles
+    for (round <- 0 until 3) {
+      val rnd = new scala.util.Random(910 + round)
+      val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+      val rows = (0 until 60).map { _ =>
+        val u = 1L + rnd.nextInt(3)
+        val ts = base + rnd.nextInt(180) * 60000L // minute grid, dup-prone
+        val long = rnd.nextBoolean()
+        (u, new java.sql.Timestamp(ts), if (long) "L" else "S")
+      }
+      val df = rows.toDF("user_id", "ts", "cls")
+      val got = df.groupBy(
+          session_window(col("ts"),
+            when(col("cls") === "L", "30 minutes")
+              .otherwise("10 minutes")).as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(1),
+          r.getStruct(0).getTimestamp(0).getTime, r.getLong(2)))
+        .sorted.toSeq
+      // reference: per user, sort by ts, union [ts, ts+gap) intervals
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val evs = rs.map(r => (r._2.getTime,
+          if (r._3 == "L") 1800000L else 600000L)).sortBy(_._1)
+        val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var start = -1L; var end = -1L; var n = 0L
+        evs.foreach { case (t, g) =>
+          if (start < 0 || t > end) {
+            if (start >= 0) sessions += ((start, n))
+            start = t; end = t + g; n = 1
+          } else { end = math.max(end, t + g); n += 1 }
+        }
+        if (start >= 0) sessions += ((start, n))
+        sessions.map { case (s, cnt) => (u, s, cnt) }
+      }.sorted
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("hotKeySplitJoin == plain join for random skew and thresholds") {
     import graft.operators.Scale
     for (round <- 0 until 3) {
