@@ -72,6 +72,8 @@ object SparkEntry {
     // exact DECIMAL money arithmetic: reduction-order-proof by TYPE,
     // not by integer-cents workaround
     "q38_decimal"        -> Analytics.q38Decimal _,
+    // diagnostic twin: per-group decimals as fixed-format strings
+    "q38_decimal_parts"  -> Analytics.q38DecimalParts _,
     // value-bounded (RANGE INTERVAL) frames + IGNORE NULLS carry-forward
     "q39_range_frame"    -> Analytics.q39RangeFrame _,
     // the general grouping-set form (incl. a set rollup can't reach)
@@ -1055,18 +1057,45 @@ object SparkEntry {
         |  w_rows AS (PARTITION BY event_type ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // the identical casts: decimal values are exact, so the only thing
-    // that could differ is type promotion — pinned explicitly
+    // that could differ is type promotion — pinned explicitly. The
+    // hash rides integer-scaled BIGINT twins (qty_e2/gross_e2/net_e4)
+    // because DECIMAL parquet representations diverge between engines
+    // even when values are bit-identical (r10 driver red); the decimal
+    // arithmetic still executes inside both plans.
     "q38_decimal" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(18,2)) AS gross,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1.00 AS DECIMAL(3,2)) -
-        |       CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
-        |    AS DECIMAL(20,4)) AS net
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, n,
+        |  CAST(qty * 100 AS BIGINT) AS qty_e2,
+        |  CAST(gross * 100 AS BIGINT) AS gross_e2,
+        |  CAST(net * 10000 AS BIGINT) AS net_e4
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) AS gross,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) -
+        |         CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |      AS DECIMAL(20,4)) AS net
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+    // diagnostic twin: same decimals as fixed-format strings so any
+    // future divergence names the exact group/operand
+    "q38_decimal_parts" ->
+      """SELECT l_returnflag, n,
+        |  CAST(qty AS STRING) AS qty_str,
+        |  CAST(gross AS STRING) AS gross_str,
+        |  CAST(net AS STRING) AS net_str
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) AS gross,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) -
+        |         CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |      AS DECIMAL(20,4)) AS net
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     // interval union: new session iff ts STRICTLY exceeds the running
     // MAX of previous window ends — Spark merges exactly-adjacent
     // windows (t == end → same session, probe-verified), so >= here

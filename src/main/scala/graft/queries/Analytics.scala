@@ -730,17 +730,58 @@ object Analytics {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val li = s"lineitem_$tag"
     t(spark, dir, "lineitem").createOrReplaceTempView(li)
+    // The inner query is the exact-decimal pipeline; the outer SELECT
+    // re-expresses each DECIMAL as an integer-scaled BIGINT so the
+    // cross-engine typed hash rides integers (DECIMAL physical
+    // representations differ between engines' parquet writers even
+    // when the VALUES are bit-identical — the r10 driver red). The
+    // decimal arithmetic still executes in the plan; the scaling is
+    // exact because the values carry exactly the target scale.
     try spark.sql(
-      s"""SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(18,2)) AS gross,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      (CAST(1.00 AS DECIMAL(3,2)) -
-        |       CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
-        |    AS DECIMAL(20,4)) AS net
-        |FROM $li GROUP BY l_returnflag""".stripMargin)
+      s"""SELECT l_returnflag, n,
+        |  CAST(qty * 100 AS BIGINT) AS qty_e2,
+        |  CAST(gross * 100 AS BIGINT) AS gross_e2,
+        |  CAST(net * 10000 AS BIGINT) AS net_e4
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) AS gross,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) -
+        |         CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |      AS DECIMAL(20,4)) AS net
+        |  FROM $li GROUP BY l_returnflag)""".stripMargin)
+    finally spark.catalog.dropTempView(li)
+  }
+
+  /** Diagnostic twin of [[q38Decimal]]: the same per-group decimals
+    * rendered as fixed-format STRINGs (scale preserved by the
+    * DECIMAL→STRING cast on both engines), so a future driver red on
+    * the hashed form names the exact group and operand that diverged.
+    * ≤3 rows — a micro-gate by construction.
+    */
+  def q38DecimalParts(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val li = s"lineitem_$tag"
+    t(spark, dir, "lineitem").createOrReplaceTempView(li)
+    try spark.sql(
+      s"""SELECT l_returnflag, n,
+        |  CAST(qty AS STRING) AS qty_str,
+        |  CAST(gross AS STRING) AS gross_str,
+        |  CAST(net AS STRING) AS net_str
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) AS gross,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.00 AS DECIMAL(3,2)) -
+        |         CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(16,4)))
+        |      AS DECIMAL(20,4)) AS net
+        |  FROM $li GROUP BY l_returnflag)""".stripMargin)
     finally spark.catalog.dropTempView(li)
   }
 
