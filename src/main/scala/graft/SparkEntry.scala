@@ -376,6 +376,9 @@ object SparkEntry {
     // OPTIMIZE + VACUUM: rewrite orphans the old files, vacuum reclaims
     // them; expired time travel fails loudly, the live answer unchanged
     "p_vacuum"           -> EventOps.vacuumLifecycle _,
+    // row-level DELETE lifecycle: predicate delete → deleted-row CDF →
+    // span guard → vacuum reclaims — the GDPR path
+    "p_snapshot_delete"  -> EventOps.snapshotDelete _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -2825,6 +2828,29 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM e GROUP BY event_type""".stripMargin,
+    // the live v3 aggregate excludes exactly the s_no%5=0 rows; the
+    // scalar columns restate the deleted-row CDF (count + checksum),
+    // pre-delete time travel (v2_n), and the TRUE contract flags
+    // (span guard refuses, vacuum reclaimed, v2 expired)
+    "p_snapshot_delete" ->
+      """WITH live AS (
+        |  SELECT event_type, event_id AS s_no, user_id AS station_id
+        |  FROM events WHERE event_id % 3 IN (0, 1)
+        |    AND event_id % 5 <> 0),
+        |gone AS (
+        |  SELECT event_id AS s_no FROM events
+        |  WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0),
+        |pre AS (
+        |  SELECT count(*) AS v2_n FROM events
+        |  WHERE event_id % 3 IN (0, 1))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(s_no) AS BIGINT) AS sum_sno,
+        |  count(DISTINCT station_id) AS n_stations,
+        |  (SELECT v2_n FROM pre) AS v2_n,
+        |  (SELECT count(*) FROM gone) AS deleted_n,
+        |  (SELECT CAST(sum(s_no) AS BIGINT) FROM gone) AS deleted_sum,
+        |  TRUE AS span_guard, TRUE AS v2_expired, TRUE AS reclaimed
+        |FROM live GROUP BY event_type""".stripMargin,
     // post-vacuum v3 must still be byte-identical to the source slices
     // even though every pre-rewrite file is physically gone; the TRUE
     // contract columns assert expired-travel-fails + orphans-deleted

@@ -49,11 +49,35 @@ object Snapshots {
     finally s.close()
   }
 
-  private def manifestFiles(table: String, version: Int): Seq[String] = {
+  private def manifestLines(table: String, version: Int): Seq[String] = {
     val m = manifestDir(table).resolve(s"v$version.list")
     require(Files.exists(m), s"no such version $version in $table")
     Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
   }
+
+  private def manifestFiles(table: String, version: Int): Seq[String] =
+    manifestLines(table, version).filterNot(_.startsWith("#"))
+
+  /** Operation kind that produced `version`: "append", "rewrite", or
+    * "delete". Recorded as a `#op=` header line in the manifest; a
+    * header-less manifest (pre-header table) reads as "append".
+    */
+  def opKind(table: String, version: Int): String =
+    manifestLines(table, version).collectFirst {
+      case l if l.startsWith("#op=") =>
+        l.stripPrefix("#op=").takeWhile(_ != '|')
+    }.getOrElse("append")
+
+  /** The SQL predicate a `delete` version removed, None otherwise.
+    * Stored base64-encoded in the manifest header so the change feed
+    * can replay exactly which rows a version erased.
+    */
+  def deletePredicate(table: String, version: Int): Option[String] =
+    manifestLines(table, version).collectFirst {
+      case l if l.startsWith("#op=delete|") =>
+        new String(java.util.Base64.getDecoder.decode(
+          l.stripPrefix("#op=delete|")), "UTF-8")
+    }
 
   /** Append `df` as a new version; returns the published version number.
     * The data lands under a version-unique subdirectory first; the
@@ -139,12 +163,24 @@ object Snapshots {
 
   private def publish(df: DataFrame, table: String,
       expectedVersion: Option[Int], carryForward: Boolean): Int = {
-    val dataDir = Paths.get(table, "data")
-    Files.createDirectories(dataDir)
-    Files.createDirectories(manifestDir(table))
     val current = expectedVersion.getOrElse(latestVersion(table))
     require(current >= 0, s"expectedVersion must be >= 0: $current")
     val next = current + 1
+    val (sub, fresh) = writeData(df, table, next)
+    val all = (if (current == 0 || !carryForward) Seq.empty
+               else manifestFiles(table, current)) ++ fresh
+    val op = if (carryForward) "append" else "rewrite"
+    publishManifest(table, next, s"#op=$op" +: all, Seq(sub))
+  }
+
+  /** Write `df`'s rows as version-`next`-unique fresh files; returns the
+    * data subdirectory name and the manifest-relative file paths.
+    */
+  private def writeData(df: DataFrame, table: String,
+      next: Int): (String, Seq[String]) = {
+    val dataDir = Paths.get(table, "data")
+    Files.createDirectories(dataDir)
+    Files.createDirectories(manifestDir(table))
     val sub = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(dataDir.resolve(sub).toString)
     val s = Files.list(dataDir.resolve(sub))
@@ -153,29 +189,110 @@ object Snapshots {
         .filter(_.endsWith(".parquet")).toSeq.sorted
         .map(f => s"data/$sub/$f")
       finally s.close()
-    val all = (if (current == 0 || !carryForward) Seq.empty
-               else manifestFiles(table, current)) ++ fresh
+    (sub, fresh)
+  }
+
+  /** CAS publication point: stage the manifest lines to a temp name,
+    * publish via atomic hard-link creation. Hard-link, not rename:
+    * rename(2) silently REPLACES an existing target, so two racing
+    * writers would both "succeed" and one version would vanish; link(2)
+    * fails with EEXIST atomically, making publication single-winner.
+    * The loser's staged tmp AND its freshly written data subdirectories
+    * (`ownedSubs`) are removed — without the data cleanup, lost-race
+    * parquet is referenced by no manifest ever, so vacuum's
+    * manifest-set arithmetic can never reclaim it and retries leak disk
+    * invisibly. The conflict then surfaces as an error the caller
+    * retries from a fresh `latestVersion` (the optimistic-concurrency
+    * loop production formats run).
+    */
+  private def publishManifest(table: String, next: Int,
+      lines: Seq[String], ownedSubs: Seq[String]): Int = {
     val tmp = manifestDir(table).resolve(
       s"v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
-    // publish via hard-link creation, not rename: rename(2) silently
-    // REPLACES an existing target, so two racing writers would both
-    // "succeed" and one version would vanish; link(2) fails with EEXIST
-    // atomically, making publication single-winner. The loser's staged
-    // tmp is removed and the conflict surfaces as an error the caller
-    // retries from a fresh latestVersion (the optimistic-concurrency
-    // loop production formats run).
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     val target = manifestDir(table).resolve(s"v$next.list")
     try Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
+        ownedSubs.foreach(sub => graft.util.Scratch.deleteTree(
+          Paths.get(table, "data").resolve(sub)))
         throw new IllegalStateException(
           s"concurrent append lost the race for version $next of $table" +
             " — re-read latestVersion and retry")
     }
     Files.deleteIfExists(tmp)
     next
+  }
+
+  /** Row-level DELETE — the GDPR/compliance path: publish a new version
+    * whose manifest swaps every file CONTAINING a matching row for a
+    * rewritten copy holding only that file's surviving rows; untouched
+    * files carry forward by reference. Cost ∝ matching files, never
+    * table size: the affected-file scan reads only the predicate's
+    * columns (pushdown applies), and only affected files are rewritten.
+    * The predicate is recorded in the manifest header so
+    * [[readDeletes]] can replay exactly which rows this version erased.
+    * Time travel to pre-delete versions still serves the deleted rows
+    * until [[vacuum]] physically reclaims the swapped-out files —
+    * retention policy, not the delete, is what erases bytes (same
+    * contract as Delta/Iceberg).
+    *
+    * A predicate matching nothing still publishes a version (same file
+    * list, op recorded) — compliance wants the attempt in the log.
+    * Returns the published version.
+    */
+  def delete(spark: SparkSession, table: String, predicate: String,
+      expectedVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val current = expectedVersion.getOrElse(latestVersion(table))
+    require(current > 0, s"table $table has no published versions")
+    val next = current + 1
+    val files = manifestFiles(table, current)
+    // manifest-relative path keyed by its version-unique "sub/name"
+    // suffix — input_file_name() returns a URI whose prefix varies by
+    // filesystem, but the last two segments are unique by construction
+    val bySuffix = files.map(rel =>
+      rel.split('/').takeRight(2).mkString("/") -> rel).toMap
+    val abs = files.map(rel => Paths.get(table).resolve(rel).toString)
+    val affected = spark.read.parquet(abs: _*)
+      .filter(expr(predicate))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))                // ∝ file count, bounded
+      .map(uri => bySuffix(uri.split('/').takeRight(2).mkString("/")))
+      .toSet
+    val header = "#op=delete|" + java.util.Base64.getEncoder
+      .encodeToString(predicate.getBytes("UTF-8"))
+    if (affected.isEmpty)
+      return publishManifest(table, next, header +: files, Seq.empty)
+    val keepAbs = affected.toSeq.sorted
+      .map(rel => Paths.get(table).resolve(rel).toString)
+    val survivors = spark.read.parquet(keepAbs: _*)
+      .filter(!expr(predicate) || expr(predicate).isNull)
+    val (sub, fresh) = writeData(survivors, table, next)
+    val all = files.filterNot(affected) ++ fresh
+    publishManifest(table, next, header +: all, Seq(sub))
+  }
+
+  /** Rows a `delete` version REMOVED — the deletion side of the change
+    * feed: re-read the files the delete swapped OUT of the manifest
+    * (cost ∝ affected files) and filter by the predicate the manifest
+    * recorded. Incremental consumers apply [[readChanges]] for adds and
+    * this for retractions.
+    */
+  def readDeletes(spark: SparkSession, table: String,
+      version: Int): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    require(opKind(table, version) == "delete",
+      s"v$version of $table is a ${opKind(table, version)}, not a delete")
+    val pred = deletePredicate(table, version).get
+    val removed = manifestFiles(table, version - 1).toSet --
+      manifestFiles(table, version).toSet
+    val base = read(spark, table, Some(version))
+    if (removed.isEmpty) return base.limit(0).filter(expr(pred))
+    spark.read.parquet(removed.toSeq.sorted
+        .map(rel => Paths.get(table).resolve(rel).toString): _*)
+      .filter(expr(pred))
   }
 
   /** Read the table at `version` (default: latest). The returned frame is
@@ -204,12 +321,27 @@ object Snapshots {
       fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion >= 0 && toVersion > fromVersion,
       s"need 0 <= from < to, got $fromVersion..$toVersion")
+    // the manifest-set-difference delta is only the ADDED rows when
+    // every version in the span is an append: a rewrite republishes the
+    // whole table as fresh files (the difference would double-count
+    // every pre-existing row as "new"), and a delete's rewritten
+    // survivor files would likewise surface as adds. Fail with the
+    // span's first offending version instead of silently over-reporting
+    // — the consumer re-syncs from a post-rewrite baseline.
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val op = opKind(table, v)
+      require(op == "append",
+        s"change-feed span v$fromVersion..v$toVersion of $table crosses" +
+          s" a $op at v$v — re-baseline the consumer at v$v instead")
+    }
     val before =
       if (fromVersion == 0) Set.empty[String]
       else manifestFiles(table, fromVersion).toSet
     val added = manifestFiles(table, toVersion).filterNot(before)
-    require(added.nonEmpty,
-      s"no files added between v$fromVersion and v$toVersion")
+    // a genuinely empty delta (appends of zero files) is an answer, not
+    // an error: an incremental consumer polling an idle table expects
+    // an empty frame with the table's schema
+    if (added.isEmpty) return read(spark, table, Some(toVersion)).limit(0)
     spark.read.parquet(
       added.map(rel => Paths.get(table).resolve(rel).toString): _*)
   }

@@ -1488,6 +1488,51 @@ object EventOps {
       .withColumn("orphans_reclaimed", lit(deleted > 0 && expired == 2))
   }
 
+  /** Row-level DELETE on the snapshot lake
+    * ([[graft.lake.Snapshots.delete]] — the GDPR/compliance path), the
+    * whole lifecycle in one gate: publish the two-version fixture,
+    * delete `s_no ≡ 0 (mod 5)` (v3 — manifest swaps affected files for
+    * survivor rewrites, untouched files carry forward by reference),
+    * then prove all five contract points at once: (1) the live v3
+    * aggregate excludes exactly the predicate rows; (2) the deleted-row
+    * change feed ([[graft.lake.Snapshots.readDeletes]]) replays
+    * precisely what was erased (count + checksum); (3) pre-delete time
+    * travel still serves the deleted rows UNTIL vacuumed (`v2_n`); (4)
+    * the add-side change feed refuses a span crossing the delete
+    * instead of over-reporting (`span_guard`); (5) vacuum then
+    * physically reclaims the swapped-out files and expires pre-delete
+    * travel (`reclaimed`, `v2_expired`) — retention, not the delete,
+    * erases bytes, the contract every lakehouse format documents.
+    */
+  def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = snapshotFixture(spark, dir)
+    Snapshots.delete(spark, table, "s_no % 5 = 0")
+    val v2n = Snapshots.read(spark, table, Some(2)).count()
+    val del = Snapshots.readDeletes(spark, table, 3)
+      .agg(count(lit(1)).as("n"), sum(col("s_no")).cast("long").as("s"))
+      .head()
+    val spanGuard =
+      try { Snapshots.readChanges(spark, table, 1, 3); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("crosses a delete") }
+    val (reclaimed, _) = Snapshots.vacuum(table, 3)
+    val v2Gone =
+      try { Snapshots.read(spark, table, Some(2)); false }
+      catch { case _: IllegalArgumentException => true }
+    Snapshots.read(spark, table, Some(3))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_no")).cast("long").as("sum_sno"),
+        countDistinct(col("station_id")).as("n_stations"))
+      .withColumn("v2_n", lit(v2n))
+      .withColumn("deleted_n", lit(del.getLong(0)))
+      .withColumn("deleted_sum", lit(del.getLong(1)))
+      .withColumn("span_guard", lit(spanGuard))
+      .withColumn("v2_expired", lit(v2Gone))
+      .withColumn("reclaimed", lit(reclaimed > 0))
+  }
+
   /** State-store INTROSPECTION — Spark 4's state data source
     * (`format("statestore")`) read back as a queryable DataFrame: run a
     * streaming dedup over `user_id` (state = one entry per distinct key)

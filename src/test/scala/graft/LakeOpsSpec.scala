@@ -151,6 +151,96 @@ class MergeUpsertSpec extends SparkSpec {
       finally s.close()
     }
     assert(leftovers.isEmpty, leftovers.toString)
+    // the loser's freshly written data subdirectory is reclaimed too:
+    // lost-race parquet is referenced by no manifest, so vacuum's
+    // keep/doomed arithmetic could never see it — without this cleanup
+    // every retry leaks a directory forever
+    val dataSubs = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(dataSubs.size == 1 && dataSubs.head.startsWith("v1-"),
+      s"lost-race data not reclaimed: $dataSubs")
+  }
+
+  test("snapshots: row-level delete swaps only affected files; CDF replays it") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_snap_del").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), table)
+    Snapshots.append(Seq((3L, "c"), (4L, "d")).toDF("k", "s"), table)
+    val v1Paths = Snapshots.read(spark, table, Some(1)).inputFiles.toSet
+    // delete k=3: only the v2 append's file contains a match, so v1's
+    // files must carry forward BY REFERENCE (same physical paths)
+    val v3 = Snapshots.delete(spark, table, "k = 3")
+    assert(v3 == 3 && Snapshots.opKind(table, 3) == "delete")
+    assert(Snapshots.deletePredicate(table, 3).contains("k = 3"))
+    val v3Read = Snapshots.read(spark, table, Some(3))
+    assert(v3Read.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    assert(v1Paths.subsetOf(v3Read.inputFiles.toSet),
+      "untouched files were rewritten by the delete")
+    // pre-delete versions still serve the deleted row (until vacuumed)
+    assert(Snapshots.read(spark, table, Some(2)).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // the change feed replays exactly the erased rows
+    assert(Snapshots.readDeletes(spark, table, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((3L, "c")))
+    // vacuum to the delete version physically reclaims the swapped-out
+    // file; the live answer is unchanged
+    val (deleted, _) = Snapshots.vacuum(table, 3)
+    assert(deleted > 0)
+    assert(Snapshots.read(spark, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    // a no-match delete still publishes a version (compliance log) with
+    // identical content and zero rewritten files
+    val v4 = Snapshots.delete(spark, table, "k = 999")
+    assert(v4 == 4 && Snapshots.opKind(table, 4) == "delete")
+    assert(Snapshots.read(spark, table, Some(4)).inputFiles.toSet
+      == Snapshots.read(spark, table, Some(3)).inputFiles.toSet)
+    assert(Snapshots.readDeletes(spark, table, 4).count() == 0)
+  }
+
+  test("snapshots: delete keeps null-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_snap_delnull").toString
+    Snapshots.append(Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "s"), table)
+    Snapshots.delete(spark, table, "k < 2")  // NULL < 2 is NULL → keep
+    assert(Snapshots.read(spark, table).select("s")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("change feed refuses spans crossing a rewrite/delete; empty delta is empty, not an error") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_snap_cdf").toString
+    Snapshots.append(Seq((1L, "a")).toDF("k", "s"), table)
+    Snapshots.append(Seq((2L, "b")).toDF("k", "s"), table)
+    Snapshots.rewrite(spark, table)                     // v3
+    Snapshots.append(Seq((3L, "c")).toDF("k", "s"), table) // v4
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, table, 1, 4)
+    }
+    assert(err.getMessage.contains("crosses a rewrite at v3"),
+      err.getMessage)
+    // re-baselined at the rewrite, the feed works again
+    assert(Snapshots.readChanges(spark, table, 3, 4).select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    Snapshots.delete(spark, table, "k = 1")             // v5
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, table, 3, 5)
+    }.getMessage.contains("crosses a delete at v5"))
+    // an append contributing zero rows → empty frame with the table's
+    // schema, NOT an exception
+    Snapshots.append(Seq.empty[(Long, String)].toDF("k", "s"), table) // v6
+    val delta = Snapshots.readChanges(spark, table, 5, 6)
+    assert(delta.columns.toSeq == Seq("k", "s") && delta.count() == 0)
   }
 
   test("mergeUpsert aligns delta columns by name") {
@@ -328,8 +418,12 @@ class CompactionSpec extends SparkSpec {
       if (java.nio.file.Files.isDirectory(p) && p != dataDir)
         versionDirs += p.toString
     }
-    val manifest = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(table, "_manifests", "v3.list"))
+    val manifest = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table, "_manifests", "v3.list"))
+        .asScala.filterNot(_.startsWith("#"))  // skip the #op= header
+    }
     assert(parquets.size == manifest.size)
     assert(versionDirs.size == 1, s"orphan version dirs: $versionDirs")
   }
