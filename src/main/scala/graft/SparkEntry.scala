@@ -217,6 +217,12 @@ object SparkEntry {
     "x_text_bpe"         -> TextAnalysis.bpeReport _,
     // Unicode NFC normalization over decomposed-augmented text
     "x_text_nfc"         -> TextAnalysis.nfcReport _,
+    // markup/boilerplate extraction (the CC/WET front step): tag-strip,
+    // main-content region pick, entity decode — per-doc md5 report
+    "x_text_extract"     -> graft.ext.text.Markup.extractReport _,
+    // composition: extraction → exact dedup recovers syndicated pairs
+    // whose RAW pages are all byte-distinct
+    "x_extract_dedup"    -> graft.ext.text.Markup.extractDedup _,
     // hashed-feature linear classifier (the fastText-shaped model filter):
     // poly_hash buckets -> integer weight lookup -> per-token threshold
     "x_text_classify"    -> ((s, d) => TextAnalysis.classifyQuality(s, d)),
@@ -1581,6 +1587,121 @@ object SparkEntry {
         |    concat(coalesce(text, ''), ' cafe', chr(769), ' A', chr(778))
         |      AS aug
         |  FROM documents)""".stripMargin,
+    // full replay of the extraction pipeline (same RE2-safe patterns,
+    // same entity order, &amp; last) over the same synthesized pages —
+    // one leaked script char / unstripped tag / mis-decoded entity
+    // anywhere reds the row's md5
+    "x_text_extract" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || doc_id ||
+        |    '</title><style>p{margin:0}</style><script>var x=1<2;' ||
+        |    '</script></head><body><nav>Home | Archive | entry ' ||
+        |    doc_id || '</nav>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN payload
+        |         ELSE '<article>' || payload || '</article>' END ||
+        |    '<footer>&copy; 2026 entry ' || doc_id ||
+        |    '</footer></body></html>' AS html
+        |  FROM (SELECT doc_id,
+        |      '<p>' || coalesce(text, '') ||
+        |      ' &amp; tail &lt;ok&gt;</p>' AS payload
+        |    FROM documents)),
+        |region AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html,
+        |      '(?s)<article\b[^>]*>(.*?)</article>', 1) AS art,
+        |    regexp_extract(html, '(?s)<main\b[^>]*>(.*?)</main>', 1)
+        |      AS mn,
+        |    regexp_extract(html, '(?s)<body\b[^>]*>(.*?)</body>', 1)
+        |      AS body
+        |  FROM wrapped),
+        |chosen AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(art) > 0 THEN art
+        |         WHEN length(mn) > 0 THEN mn
+        |         ELSE regexp_replace(
+        |           CASE WHEN length(body) > 0 THEN body ELSE html END,
+        |           '(?s)(<nav\b[^>]*>.*?</nav>|<header\b[^>]*>.*?</header>|<footer\b[^>]*>.*?</footer>|<aside\b[^>]*>.*?</aside>)',
+        |           ' ', 'g') END AS region
+        |  FROM region),
+        |clean AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(region,
+        |            '(?s)(<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->)',
+        |            ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS ex
+        |  FROM chosen)
+        |SELECT doc_id, doc_id % 3 <> 0 AS used_article,
+        |  CAST(length(ex) AS INTEGER) AS n_chars, md5(ex) AS ex_md5
+        |FROM clean""".stripMargin,
+    // syndicated corpus (site A + site B chrome, raw pages all
+    // byte-distinct) → extraction → exact-dedup groups by content md5;
+    // n_raw_distinct in-plan asserts the premise
+    "x_extract_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |wrapped AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || doc_id ||
+        |    '</title><style>p{margin:0}</style><script>var x=1<2;' ||
+        |    '</script></head><body><nav>Home | Archive | entry ' ||
+        |    doc_id || '</nav>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<p>' || text || ' &amp; tail &lt;ok&gt;</p>'
+        |         ELSE '<article><p>' || text ||
+        |           ' &amp; tail &lt;ok&gt;</p></article>' END ||
+        |    '<footer>&copy; 2026 entry ' || doc_id ||
+        |    '</footer></body></html>' AS html
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    '<html><body><header>SiteB ' || doc_id ||
+        |    '</header><main><p>' || text ||
+        |    ' &amp; tail &lt;ok&gt;</p></main><aside>ads ' || doc_id ||
+        |    '</aside><footer>b-footer</footer></body></html>'
+        |  FROM base),
+        |region AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html,
+        |      '(?s)<article\b[^>]*>(.*?)</article>', 1) AS art,
+        |    regexp_extract(html, '(?s)<main\b[^>]*>(.*?)</main>', 1)
+        |      AS mn,
+        |    regexp_extract(html, '(?s)<body\b[^>]*>(.*?)</body>', 1)
+        |      AS body
+        |  FROM wrapped),
+        |chosen AS (
+        |  SELECT doc_id, html,
+        |    CASE WHEN length(art) > 0 THEN art
+        |         WHEN length(mn) > 0 THEN mn
+        |         ELSE regexp_replace(
+        |           CASE WHEN length(body) > 0 THEN body ELSE html END,
+        |           '(?s)(<nav\b[^>]*>.*?</nav>|<header\b[^>]*>.*?</header>|<footer\b[^>]*>.*?</footer>|<aside\b[^>]*>.*?</aside>)',
+        |           ' ', 'g') END AS region
+        |  FROM region),
+        |clean AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(region,
+        |            '(?s)(<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->)',
+        |            ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS ex
+        |  FROM chosen)
+        |SELECT md5(ex) AS ex_md5, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  count(DISTINCT md5(html)) AS n_raw_distinct
+        |FROM clean GROUP BY md5(ex)""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,

@@ -2048,3 +2048,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(1) == run(100))
   }
 }
+
+class MarkupSpec extends SparkSpec {
+  import graft.ext.text.Markup
+
+  private def ex(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(Markup.extractMain(col("h"))).head.getString(0)
+  }
+
+  test("script/style/comment content vanishes, even with a bare < inside") {
+    assert(ex("<body><script>if(1<2){x()}</script><p>keep</p>" +
+      "<style>a{b:c}</style><!-- secret --></body>") == "keep")
+  }
+
+  test("article wins over main wins over chrome-stripped body") {
+    val page = "<body><nav>no</nav><main>m</main>" +
+      "<article>a</article><footer>no</footer></body>"
+    assert(ex(page) == "a")
+    assert(ex("<body><nav>no</nav><main>m</main><aside>no</aside></body>")
+      == "m")
+    assert(ex("<body><header>no</header><p>fallback text</p>" +
+      "<footer>no</footer></body>") == "fallback text")
+  }
+
+  test("entity decode is ordered: &amp;lt; stays literal &lt;") {
+    assert(ex("<body><p>a &amp;lt; b &lt;c&gt; &nbsp; d</p></body>")
+      == "a &lt; b <c> d")
+  }
+
+  test("no body tag: whole input is the fallback region") {
+    assert(ex("<nav>no</nav><p>bare</p>") == "bare")
+    assert(ex("plain words only") == "plain words only")
+  }
+
+  test("whitespace collapses across stripped tag boundaries") {
+    assert(ex("<body><p>a</p>\n\n<p>b</p>\t<br/>c</body>") == "a b c")
+  }
+
+  test("extraction is a pure projection: no exchange in the plan") {
+    import spark.implicits._
+    val df = Seq((1L, "t")).toDF("doc_id", "text")
+      .select(Markup.extractMain(Markup.wrapSiteA(col("doc_id"),
+        col("text"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
