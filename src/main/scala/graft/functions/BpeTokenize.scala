@@ -72,10 +72,12 @@ object BpeTokenize {
 /** The merge table + encode loop, shared between interpreted eval and the
   * generated code (which holds it as a plan reference object). The
   * word→tokens memo is per-codec, thread-safe (executor threads share the
-  * plan's reference array), and hard-bounded: past [[BpeCodec.MemoCap]]
-  * distinct words new entries are computed but not inserted, so an
-  * adversarial high-entropy corpus degrades to cache-miss cost instead of
-  * growing executor memory.
+  * plan's reference array), and approximately bounded: past
+  * [[BpeCodec.MemoCap]] distinct words new entries are computed but not
+  * inserted (the size-check-then-put is deliberately non-atomic, so
+  * concurrent threads can overshoot the cap by at most the thread count
+  * — bounded drift, not growth), so an adversarial high-entropy corpus
+  * degrades to cache-miss cost instead of growing executor memory.
   */
 final class BpeCodec(merges: Seq[(String, String)]) extends Serializable {
 

@@ -442,6 +442,38 @@ class PropertySpec extends SparkSpec {
     assert((0 until out.numElements()).map(out.getLong) == viaDf)
   }
 
+  test("bpe_tokenize + unicode_normalize codegen compiles (no silent interpreted fallback)") {
+    // same rationale as the winnow guard: both ship doGenCode paths
+    // whose generated Java references plan objects (BpeCodec,
+    // UnicodeNormalize$.MODULE$); a Janino rejection would silently
+    // fall back to interpreted eval — correct results, unguarded
+    // performance regression. Compiling the projections directly turns
+    // that into a loud failure.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val bpe = graft.functions.BpeTokenize(
+      BoundReference(0, StringType, nullable = true),
+      graft.ext.text.TextAnalysis.BpeFixtureMerges)
+    val bpeProj = GenerateMutableProjection.generate(Seq(bpe))
+    val bpeOut = bpeProj(
+      InternalRow(UTF8String.fromString("lower batch"))).getArray(0)
+    val bpeViaDf = Seq("lower batch").toDF("s")
+      .select(graft.functions.BpeTokenize.bpe_tokenize(col("s"),
+        graft.ext.text.TextAnalysis.BpeFixtureMerges))
+      .collect()(0).getSeq[String](0)
+    assert((0 until bpeOut.numElements())
+      .map(bpeOut.getUTF8String(_).toString) == bpeViaDf)
+    val nfc = graft.functions.UnicodeNormalize(
+      BoundReference(0, StringType, nullable = true), "NFC")
+    val nfcProj = GenerateMutableProjection.generate(Seq(nfc))
+    val composed = nfcProj(
+      InternalRow(UTF8String.fromString("cafe\u0301"))).getUTF8String(0)
+    assert(composed.toString == "caf\u00e9")
+  }
+
   test("winnow fingerprints equal a plain-Scala reference on random corpora") {
     // random docs over a deliberately tiny vocabulary (dense gram
     // collisions, repeated grams within a doc, window ties) plus the

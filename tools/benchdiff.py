@@ -42,9 +42,10 @@ def main():
                    if old[q] > 0 and new[q] / old[q] > ratio
                    and new[q] - old[q] > 0.2]  # ignore sub-200ms jitter
     regressions.sort(reverse=True)
+    tot_ratio = f"{n_tot / o_tot:.2f}x" if o_tot > 0 else "n/a"
     print(f"common queries: {len(common)}  "
           f"old total {o_tot:.1f}s  new total {n_tot:.1f}s  "
-          f"ratio {n_tot / o_tot:.2f}x")
+          f"ratio {tot_ratio}")
     only_new = sorted(set(new) - set(old), key=lambda q: -new[q])
     if only_new:
         shown = ", ".join(f"{q}={new[q]}" for q in only_new[:8])
