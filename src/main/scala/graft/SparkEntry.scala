@@ -132,6 +132,9 @@ object SparkEntry {
     "p_timeout_offline"  -> EventOps.offlineTimeoutStream _,
     "p_orc_roundtrip"    -> EventOps.orcRoundTrip _,
     "p_latest_tws"       -> EventOps.latestPerKeyTws _,
+    // value-state TTL: expired state provably stops influencing output
+    // (differential vs a durable twin state in the same processor)
+    "p_state_ttl"        -> EventOps.stateTtlStream _,
     "x_corpus_rebalance" -> ((s, d) => graft.ext.corpus.Corpus.rebalance(s, d)),
     // exact global curriculum shards assembled histogram-first (no global
     // sort); sum_ids pins every shard's exact membership
@@ -1205,6 +1208,19 @@ object SparkEntry {
     "p_latest_stream" -> latestPerKeyOracle,
     // transformWithState path: same latest-per-key contract
     "p_latest_tws" -> latestPerKeyOracle,
+    // TTL'd count restarts at |B| after the pause, durable twin carries
+    // |A|+|B|; single-slice keys degrade to the same value on both
+    "p_state_ttl" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id AS station_id,
+        |  CAST(CASE WHEN n_b > 0 THEN n_b ELSE n_a END AS BIGINT)
+        |    AS last_ttl,
+        |  CAST(n_a + n_b AS BIGINT) AS last_dur
+        |FROM c""".stripMargin,
     // uniform-mix rebalance: integer thresholds + portable MD5 draw make
     // the exact kept set engine-independent
     "x_corpus_rebalance" ->

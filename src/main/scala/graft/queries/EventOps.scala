@@ -257,7 +257,8 @@ object EventOps {
       mode: org.apache.spark.sql.streaming.OutputMode,
       statePartitions: Int = 8,
       stateStoreProvider: Option[String] = None,
-      checkpoint: Option[String] = None): DataFrame =
+      checkpoint: Option[String] = None,
+      pollInputRows: Option[Long] = None): DataFrame =
       drainLock.synchronized {
     import org.apache.spark.sql.streaming.Trigger
     // unique per call + dropped after resolution: gated query functions stay
@@ -293,13 +294,38 @@ object EventOps {
     // sink must not stay registered (holding its buffered rows in driver
     // memory) for the rest of a Verify/Bench sweep
     try {
-      val q = df.writeStream
+      // pollInputRows: a ProcessingTime-time-mode stateful operator
+      // (value-state TTL / processing-time timers) reports pending work
+      // on every clock advance, so AvailableNow never sees a quiescent
+      // plan and reruns empty batches forever (observed: 2.5k commits
+      // before the kill), and processAllAvailable's noNewData latch
+      // never fires for the same reason. For those drains the
+      // termination signal that IS well-defined is input volume: run a
+      // real ProcessingTime trigger (whose interval doubles as the
+      // between-batch clock gap a TTL gate needs) and stop once the
+      // query has consumed the staged row count.
+      val writer = df.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)
         .option("checkpointLocation", checkpoint.getOrElse(
           graft.util.Scratch.dir("graft_ck").toString))
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = pollInputRows match {
+        case Some(total) =>
+          val qq = writer
+            .trigger(Trigger.ProcessingTime("1000 milliseconds")).start()
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (qq.isActive && qq.recentProgress.iterator
+              .map(_.numInputRows).sum < total) {
+            if (System.nanoTime() > deadline) {
+              qq.stop()
+              sys.error(s"drain of $sink timed out before $total input rows")
+            }
+            Thread.sleep(100)
+          }
+          qq.stop()
+          qq
+        case None => writer.trigger(Trigger.AvailableNow()).start()
+      }
       q.awaitTermination()
       guard.assertClean(q)
       graft.streaming.StateGuard.audit(q)
@@ -375,6 +401,53 @@ object EventOps {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Value-state TTL gate ([[graft.streaming.TwsTtl]]) — the one
+    * state-lifecycle knob the rest of the matrix doesn't cover. ONE
+    * query, two micro-batches: slice A (`event_id ≡ 0 mod 2`) and slice
+    * B staged upfront as separate files, `maxFilesPerTrigger=1` to pin
+    * one file per batch (mtime-ordered), and a 1 s ProcessingTime
+    * trigger — 2.5× the 400 ms TTL — as the between-batch clock gap (the
+    * memory sink cannot recover a checkpoint, so the gap must come from
+    * the trigger interval, not a query restart). The processor keeps
+    * the per-key count in a TTL'd ValueState AND a durable twin, so the
+    * last emission per key must show `last_ttl` restarted at |B| while
+    * `last_dur` accumulated to |A|+|B| — the differential that proves
+    * expired state stopped influencing output (a checkpoint loss or
+    * restart artifact would reset BOTH). Deterministic because TTL
+    * rides the micro-batch processing timestamp: batch B fires a full
+    * trigger interval after batch A's timestamp, past every A-side
+    * deadline, and within a batch state is written after it is read.
+    * Keys absent from one slice degrade to the single-batch row on both
+    * columns, which the oracle's CASE reproduces.
+    */
+  def stateTtlStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[graft.streaming.TwsTtl.KeyedRow]
+    val stage = graft.util.Scratch.dir("graft_ttl_src")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val base = System.currentTimeMillis()
+    val rocks = "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+    stageParquetFile(raw.filter(col("event_id") % 2 === 0), stage,
+      "a.parquet", base)
+    stageParquetFile(raw.filter(col("event_id") % 2 === 1), stage,
+      "b.parquet", base + 60000)
+    val rec = graft.util.EventTs.readEventsStream(spark, dir, stage.toString,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id").as("station_id"))
+      .as[graft.streaming.TwsTtl.KeyedRow]
+    val out = drainToMemory(spark,
+      graft.streaming.TwsTtl.countStream(rec, ttlMillis = 400L).toDF(),
+      "state_ttl", OutputMode.Update(),
+      stateStoreProvider = Some(rocks),
+      pollInputRows = Some(raw.count()))
+    out
+      .groupBy(col("station_id"))
+      .agg(max_by(col("ttl_c"), col("dur_c")).as("last_ttl"),
+        max(col("dur_c")).cast("long").as("last_dur"))
   }
 
   /** The event-type counts computed through [[graft.operators.Scale

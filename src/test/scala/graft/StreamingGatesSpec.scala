@@ -83,6 +83,27 @@ class StreamingGatesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("value-state TTL expires the TTL'd count but not the durable twin") {
+    val out = EventOps.stateTtlStream(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val want = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .collect()
+      .map { r =>
+        val (nA, nB) = (r.getLong(1), r.getLong(2))
+        r.getLong(0) -> ((if (nB > 0) nB else nA, nA + nB))
+      }.toMap
+    assert(out == want)
+    // the differential must actually bite for at least one key: some key
+    // with rows in BOTH slices shows last_ttl < last_dur (TTL'd state was
+    // reclaimed across the pause while the durable twin accumulated)
+    assert(out.exists { case (_, (ttl, dur)) => ttl < dur })
+  }
+
   test("wire decode drops malformed JSON and invalid enums, keeps the rest") {
     val out = EventOps.wireDecode(spark, dir)
     val events = spark.read.parquet(s"$dir/events.parquet")
