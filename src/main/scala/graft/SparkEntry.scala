@@ -1542,15 +1542,19 @@ object SparkEntry {
     // flags vs the persisted index, unioned across batches
     "x_dedup_stream" -> deltaVsIndexOracle,
     // replays the SAME merge sequence as the engine's BpeTokenize
-    // expression (rank map generated from TextAnalysis.BpeFixtureMerges,
-    // one recursive-CTE step per single leftmost-lowest-rank merge)
+    // expression (rank map generated from BpeFixture500.Merges, one
+    // recursive-CTE step per single leftmost-lowest-rank merge) over the
+    // augmented word stream (words + adjacent concatenations)
     "x_text_bpe" -> s"""$bpeCtes,
       |docw AS (
-      |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+      |  SELECT doc_id, unnest(aw) AS w, unnest(range(1, len(aw) + 1)) AS pos
       |  FROM (SELECT doc_id,
-      |      CASE WHEN text IS NULL OR trim(text) = '' THEN []
-      |           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
-      |    FROM documents)),
+      |      ws || list_transform(range(1, len(ws)), i -> ws[i] || ws[i+1])
+      |        AS aw
+      |    FROM (SELECT doc_id,
+      |        CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |             ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+      |      FROM documents))),
       |assembled AS (
       |  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
       |  FROM docw JOIN wordtoks USING (w) GROUP BY doc_id)
@@ -1564,11 +1568,14 @@ object SparkEntry {
     // counts -> per-source running offset -> fixed-length sequence bins
     "x_pack_bpe" -> s"""$bpeCtes,
       |docw AS (
-      |  SELECT doc_id, unnest(ws) AS w
+      |  SELECT doc_id, unnest(aw) AS w
       |  FROM (SELECT doc_id,
-      |      CASE WHEN text IS NULL OR trim(text) = '' THEN []
-      |           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
-      |    FROM documents)),
+      |      ws || list_transform(range(1, len(ws)), i -> ws[i] || ws[i+1])
+      |        AS aw
+      |    FROM (SELECT doc_id,
+      |        CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |             ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+      |      FROM documents))),
       |dcounts AS (
       |  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe
       |  FROM docw JOIN wordtoks USING (w) GROUP BY doc_id),
@@ -3327,23 +3334,39 @@ object SparkEntry {
        |      j -> list_min(gh[j:j+3]))) END AS fp
        |  FROM g)""".stripMargin
 
-  /** BPE merge replay, generated from the ONE fixture merge list
-    * (TextAnalysis.BpeFixtureMerges — never hand-copied): per distinct
-    * word, a recursive CTE applies one leftmost-lowest-rank merge per
-    * step until no adjacent pair is in the rank map; the final state is
-    * the (unique) shortest symbol list. `wordtoks` is the word → tokens
+  /** BPE merge replay, generated from the ONE frozen merge list
+    * (graft.ext.text.BpeFixture500.Merges — never hand-copied): per
+    * distinct AUGMENTED word (whitespace words plus adjacent-word
+    * concatenations, the stream the 500-merge vocab was trained on), a
+    * recursive CTE applies one leftmost-lowest-rank merge per step until
+    * no adjacent pair is in the rank map; the final state is the
+    * (unique) shortest symbol list. `wordtoks` is the word → tokens
     * table downstream oracle SQL assembles documents from. The `|` pair
     * joiner is collision-free here because symbols come from
     * whitespace-split words of the letters-only fixture corpus.
+    *
+    * `rankmap` MUST stay a one-row cross-joined CTE: inlining the
+    * `map(...)` literal into the lambda makes DuckDB rebuild the
+    * 500-entry map per list element per recursion step — measured 62 s
+    * vs 0.14 s for the identical result at sf0.01 (440×).
     */
   private lazy val bpeCtes: String = {
-    val merges = TextAnalysis.BpeFixtureMerges
+    val merges = graft.ext.text.BpeFixture500.Merges
     val keys = merges.map { case (l, r) => s"'$l|$r'" }.mkString(", ")
     val vals = merges.indices.mkString(", ")
     s"""WITH RECURSIVE
        |words AS (
-       |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(a) AS w FROM (
+       |      SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+       |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '') t1
+       |    UNION ALL
+       |    SELECT unnest(list_transform(range(1, len(a)),
+       |        i -> a[i] || a[i+1])) AS w FROM (
+       |      SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+       |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '') t2)
+       |  WHERE w <> ''),
+       |rankmap AS (SELECT map([$keys], [$vals]) AS m),
        |bpe(w, syms) AS (
        |  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) FROM words
        |  UNION ALL
@@ -3353,9 +3376,8 @@ object SparkEntry {
        |    FROM (
        |      SELECT w, syms,
        |        list_transform(range(1, len(syms)),
-       |          i -> map([$keys], [$vals])[syms[i] || '|' || syms[i+1]][1])
-       |          AS rks
-       |      FROM bpe))
+       |          i -> m[syms[i] || '|' || syms[i+1]][1]) AS rks
+       |      FROM bpe, rankmap))
        |  WHERE pos IS NOT NULL),
        |wordtoks AS (
        |  SELECT w, arg_min(syms, len(syms)) AS toks FROM bpe GROUP BY w)""".stripMargin

@@ -402,8 +402,9 @@ object Corpus {
 
   /** [[packSequences]] re-based on REAL tokenizer counts: documents pack
     * into fixed `seqLen`-token training sequences by their BPE token
-    * count ([[graft.ext.text.TextAnalysis.bpeTokens]] under the fixture
-    * vocab) instead of the whitespace stand-in — the number a training
+    * count ([[graft.ext.text.TextAnalysis.bpeTokens500]] — augmented
+    * stream under the 500-merge sf0.1-trained vocab) instead of the
+    * whitespace stand-in — the number a training
     * run actually bills against its context window. Same scale shape as
     * the whitespace form: one narrow codegen'd tokenize pass, one
     * running-sum window per source, one aggregate; null/blank docs pack
@@ -411,10 +412,10 @@ object Corpus {
     */
   def packSequencesBpe(spark: SparkSession, dir: String,
       seqLen: Long = 64L): DataFrame = {
-    import graft.ext.text.TextAnalysis.bpeTokens
+    import graft.ext.text.TextAnalysis.bpeTokens500
     val counted = docs(spark, dir).select(col("doc_id"), col("source"),
       when(col("text").isNull, lit(0))
-        .otherwise(size(bpeTokens(col("text")))).cast("long").as("n_bpe"))
+        .otherwise(size(bpeTokens500(col("text")))).cast("long").as("n_bpe"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     counted

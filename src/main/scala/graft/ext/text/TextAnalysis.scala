@@ -1085,16 +1085,64 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** The AUGMENTED word stream the 500-merge gates run on, as one text
+    * column: the document's whitespace words followed by every
+    * adjacent-word concatenation (`w_i || w_{i+1}`), space-joined. The
+    * raw fixture corpus has 31 distinct words — BPE exhausts at 89
+    * merges — so this deterministic augmentation (the `x_text_nfc`
+    * trick) is what gives [[BpeFixture500]] a realism-sized stream to
+    * bite on; the oracle replays it verbatim in DuckDB. Null/blank in,
+    * empty out.
+    */
+  def bpeAugmentedText(text: Column): Column = {
+    val w = filter(split(trim(text), "\\s+"), x => x =!= "")
+    val pairs = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    when(text.isNull, lit(""))
+      .otherwise(array_join(concat(w, pairs), " "))
+  }
+
+  /** BPE tokens of the augmented stream under the frozen 500-merge
+    * sf0.1-trained vocabulary — the realism-sized twin of [[bpeTokens]];
+    * still ONE codegen'd zero-shuffle pass.
+    */
+  def bpeTokens500(text: Column): Column =
+    graft.functions.BpeTokenize.bpe_tokenize(
+      bpeAugmentedText(text), BpeFixture500.Merges)
+
+  /** Distributed trainer over the augmented stream — the job that
+    * produced (and in [[BpeSpec]] must reproduce) [[BpeFixture500]]:
+    * same one-pass word-frequency aggregation as [[bpeTrain]], with the
+    * adjacent-concatenation words unioned in.
+    */
+  def bpeTrainAugmented(spark: SparkSession, dir: String,
+      nMerges: Int): Seq[(String, String)] =
+    bpeTrainOnVocab(augmentedWordFreq(spark, dir), nMerges)
+
+  /** The augmented stream's `(w, freq)` table — the corpus-snapshot
+    * artifact the 500-merge training runs from (and the one the spec
+    * hands to the plain-Scala reference trainer).
+    */
+  def augmentedWordFreq(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(explode(split(bpeAugmentedText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
   /** Real-tokenizer token accounting — what [[tokenCounts]]'s whitespace
     * split stands in for: per document, the BPE token count, distinct-
     * token count, and the first 8 tokens (joined `|`, exercising token
-    * IDENTITY and order, not just arithmetic). Null/blank text surfaces
-    * as zero counts with an empty preview, never vanishes. Narrow
-    * per-row projection — scan speed at 100 TB.
+    * IDENTITY and order, not just arithmetic) — over the augmented
+    * stream under the 500-merge sf0.1-trained [[BpeFixture500]].
+    * Null/blank text surfaces as zero counts with an empty preview,
+    * never vanishes. Narrow per-row projection — scan speed at 100 TB.
     */
   def bpeReport(spark: SparkSession, dir: String): DataFrame = {
     val toks = when(col("text").isNull, array().cast("array<string>"))
-      .otherwise(bpeTokens(col("text")))
+      .otherwise(bpeTokens500(col("text")))
     docs(spark, dir).select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_bpe_tokens"),

@@ -80,7 +80,13 @@ class BpeSpec extends SparkSpec {
       if (counts.isEmpty) exhausted = true
       else {
         val maxC = counts.values.max
-        val best = counts.collect { case (p, c) if c == maxC => p }
+        // NOTE: `counts.collect { case (p, c) if c == maxC => p }` is a
+        // trap here — on a Map, collect with pair-typed results builds a
+        // MAP, so tied pairs sharing a left symbol collapse to one
+        // arbitrary survivor (found when the 500-merge fixture hit a
+        // {(merge,sort), (merge,stream)} tie). keys-after-filter keeps
+        // the full tie set.
+        val best = counts.filter(_._2 == maxC).keys
           .toSeq.sortBy(p => (p._1, p._2)).head
         merges += best
         val (l, r) = best
@@ -161,7 +167,9 @@ class BpeSpec extends SparkSpec {
     val rows = TextAnalysis.bpeReport(spark, scratch)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
-    assert(rows(0L) == ((2, 2, "customer|join")))
+    // augmented stream: words + the adjacent concatenation; all three are
+    // single tokens in the 500-merge vocab
+    assert(rows(0L) == ((3, 3, "customer|join|customerjoin")))
     assert(rows(1L) == ((0, 0, "")))
     assert(rows(2L) == ((0, 0, "")))
     assert(rows(3L) == ((0, 0, "")))
@@ -210,6 +218,26 @@ class BpeSpec extends SparkSpec {
       got.zip(TextAnalysis.BpeFixtureMerges).zipWithIndex.collectFirst {
         case ((g, w), i) if g != w => s"first divergence at merge $i: $g vs $w"
       }.toString)
+  }
+
+  test("BpeFixture500 reproduces from the sf0.1 augmented stream") {
+    // the frozen 500-merge vocab was trained OFFLINE by the independent
+    // tools/bpe_train_offline.py; the plain-Scala trainer here must
+    // reproduce it merge for merge from the Spark-computed augmented
+    // word-frequency table (962 distinct words), and the distributed
+    // trainer must agree on a prefix (full 500 Spark iterations would
+    // be spec-budget-hostile; prefix + the random-corpus equivalence
+    // test below cover the loop)
+    val freq = TextAnalysis.augmentedWordFreq(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(freq.size == 962, s"augmented vocab drifted: ${freq.size}")
+    val want = train(freq, 500)
+    assert(want == graft.ext.text.BpeFixture500.Merges,
+      want.zip(graft.ext.text.BpeFixture500.Merges).zipWithIndex.collectFirst {
+        case ((g, w), i) if g != w => s"first divergence at merge $i: $g vs $w"
+      }.toString)
+    val dist = TextAnalysis.bpeTrainAugmented(spark, "/root/testdata/sf0.1", 25)
+    assert(dist == graft.ext.text.BpeFixture500.Merges.take(25))
   }
 
   test("distributed bpeTrain == the plain-Scala trainer on random corpora") {
