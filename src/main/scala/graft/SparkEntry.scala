@@ -388,6 +388,13 @@ object SparkEntry {
     // row-level DELETE lifecycle: predicate delete → deleted-row CDF →
     // span guard → vacuum reclaims — the GDPR path
     "p_snapshot_delete"  -> EventOps.snapshotDelete _,
+    // exactly-once streaming ingestion: foreachBatch publishes one lake
+    // version per batch id; every batch is delivered TWICE and the
+    // redelivery must no-op (at-least-once in, exactly-once table out)
+    "p_stream_sink_lake" -> EventOps.streamSinkLake _,
+    // DESCRIBE HISTORY: append/delete/rewrite each one row with the
+    // #rows= commit-log stat — history read from manifests, never data
+    "p_lake_history"     -> EventOps.lakeHistory _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -3005,6 +3012,31 @@ object SparkEntry {
         |  TRUE AS v1_expired, TRUE AS orphans_reclaimed
         |FROM events WHERE event_id % 3 IN (0, 1)
         |GROUP BY event_type""".stripMargin,
+    // a duplicated micro-batch would double a type's count/sum, an extra
+    // published version would bump n_versions — both red here
+    "p_stream_sink_lake" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(2 AS BIGINT) AS n_versions
+        |FROM events GROUP BY event_type""".stripMargin,
+    // v1/v2 append deltas, the delete's rewritten-survivor count
+    // (predicate s_no%6=1 hits every v2 file; survivors are the %6=4
+    // rows), and the rewrite's live-row republish — all replayed from
+    // the raw log's mod slices
+    "p_lake_history" ->
+      """WITH ev AS (SELECT event_id AS s_no FROM events)
+        |SELECT 1 AS version, 'append' AS op,
+        |  (SELECT count(*) FROM ev WHERE s_no % 3 = 0) AS rows_written
+        |UNION ALL
+        |SELECT 2, 'append',
+        |  (SELECT count(*) FROM ev WHERE s_no % 3 = 1)
+        |UNION ALL
+        |SELECT 3, 'delete',
+        |  (SELECT count(*) FROM ev WHERE s_no % 6 = 4)
+        |UNION ALL
+        |SELECT 4, 'rewrite',
+        |  (SELECT count(*) FROM ev WHERE s_no % 3 = 0 OR s_no % 6 = 4)
+        |""".stripMargin,
     // each version's checksum recomputed from the raw log's mod slices;
     // a manifest leak between versions reds the named version row
     "p_time_travel" ->

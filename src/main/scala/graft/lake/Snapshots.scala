@@ -162,15 +162,92 @@ object Snapshots {
   }
 
   private def publish(df: DataFrame, table: String,
-      expectedVersion: Option[Int], carryForward: Boolean): Int = {
+      expectedVersion: Option[Int], carryForward: Boolean,
+      extraHeaders: Seq[String] = Nil): Int = {
     val current = expectedVersion.getOrElse(latestVersion(table))
     require(current >= 0, s"expectedVersion must be >= 0: $current")
     val next = current + 1
     val (sub, fresh) = writeData(df, table, next)
+    // commit-log stats, the production pattern (Delta's commitInfo /
+    // Iceberg's snapshot summary): count the WRITTEN delta files, not
+    // the input plan — delta-sized cost, and the number describes what
+    // actually landed even if the input was nondeterministic
+    val rows =
+      if (fresh.isEmpty) 0L
+      else df.sparkSession.read.parquet(
+        fresh.map(f => Paths.get(table).resolve(f).toString): _*).count()
     val all = (if (current == 0 || !carryForward) Seq.empty
                else manifestFiles(table, current)) ++ fresh
     val op = if (carryForward) "append" else "rewrite"
-    publishManifest(table, next, s"#op=$op" +: all, Seq(sub))
+    publishManifest(table, next,
+      (s"#op=$op" +: s"#rows=$rows" +: extraHeaders) ++ all, Seq(sub))
+  }
+
+  /** Rows written into `version`'s own fresh files (from the `#rows=`
+    * commit-stat header), -1 for manifests published before the header
+    * existed. For an append this is the delta row count; for a
+    * rewrite/delete it is the republished file content.
+    */
+  def rowsWritten(table: String, version: Int): Long =
+    manifestLines(table, version).collectFirst {
+      case l if l.startsWith("#rows=") => l.stripPrefix("#rows=").toLong
+    }.getOrElse(-1L)
+
+  /** Highest streaming batch id ever published into `table`, walking
+    * back from the latest version until an ingest (`#batch=`-headed)
+    * manifest is found — maintenance versions (rewrite/vacuum/delete)
+    * interleave without batch headers and must not mask the high-water
+    * mark. Cost ∝ versions since the last ingest, not table size.
+    */
+  def lastBatchId(table: String): Option[Long] = {
+    var v = latestVersion(table)
+    while (v > 0) {
+      val b = manifestLines(table, v).collectFirst {
+        case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+      }
+      if (b.isDefined) return b
+      v -= 1
+    }
+    None
+  }
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch contract: publish
+    * `df` as a new version whose manifest records `batchId`, unless a
+    * version with this (or a later) batch id is already published, in
+    * which case the call is a NO-OP returning None. Spark re-delivers a
+    * micro-batch under the SAME batch id when the sink failed before
+    * the checkpoint committed, so idempotence on batch id is exactly
+    * what turns at-least-once delivery into an exactly-once table.
+    * The publish itself is the CAS hard-link: when a racing duplicate
+    * delivery loses the race, the loser re-checks the high-water mark
+    * and degrades to the no-op instead of surfacing the conflict.
+    */
+  def appendBatch(df: DataFrame, table: String,
+      batchId: Long): Option[Int] = {
+    if (lastBatchId(table).exists(_ >= batchId)) return None
+    val cur = latestVersion(table)
+    try Some(publish(df, table, Some(cur), carryForward = true,
+      extraHeaders = Seq(s"#batch=$batchId")))
+    catch {
+      case e: IllegalStateException =>
+        if (lastBatchId(table).exists(_ >= batchId)) None else throw e
+    }
+  }
+
+  /** Commit history — DESCRIBE HISTORY for the snapshot table: one row
+    * per version with the op kind, file count, delta row count, and the
+    * ingest batch id where one was recorded. Reads only manifests
+    * (headers + file-list length), never data.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    (1 to latestVersion(table)).map { v =>
+      val batch = manifestLines(table, v).collectFirst {
+        case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+      }
+      (v, opKind(table, v), manifestFiles(table, v).size.toLong,
+        rowsWritten(table, v), batch)
+    }.toDF("version", "op", "n_files", "rows_written", "batch_id")
   }
 
   /** Write `df`'s rows as version-`next`-unique fresh files; returns the
@@ -264,14 +341,20 @@ object Snapshots {
     val header = "#op=delete|" + java.util.Base64.getEncoder
       .encodeToString(predicate.getBytes("UTF-8"))
     if (affected.isEmpty)
-      return publishManifest(table, next, header +: files, Seq.empty)
+      return publishManifest(table, next,
+        Seq(header, "#rows=0") ++ files, Seq.empty)
     val keepAbs = affected.toSeq.sorted
       .map(rel => Paths.get(table).resolve(rel).toString)
     val survivors = spark.read.parquet(keepAbs: _*)
       .filter(!expr(predicate) || expr(predicate).isNull)
     val (sub, fresh) = writeData(survivors, table, next)
+    val rows =
+      if (fresh.isEmpty) 0L
+      else spark.read.parquet(
+        fresh.map(f => Paths.get(table).resolve(f).toString): _*).count()
     val all = files.filterNot(affected) ++ fresh
-    publishManifest(table, next, header +: all, Seq(sub))
+    publishManifest(table, next,
+      Seq(header, s"#rows=$rows") ++ all, Seq(sub))
   }
 
   /** Rows a `delete` version REMOVED — the deletion side of the change

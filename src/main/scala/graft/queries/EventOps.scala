@@ -1532,6 +1532,78 @@ object EventOps {
         sum(col("cents")).cast("long").as("cents"))
   }
 
+  /** EXACTLY-ONCE streaming ingestion into the snapshot lake
+    * ([[graft.lake.Snapshots.appendBatch]] via foreachBatch) — the shape
+    * that turns Structured Streaming's at-least-once foreachBatch
+    * delivery into an exactly-once TABLE: each micro-batch publishes one
+    * lake version whose manifest records the batch id, and a
+    * re-delivered batch id no-ops instead of double-appending. The gate
+    * stages the events log as two mtime-ordered files
+    * (`maxFilesPerTrigger=1` → two batches), and inside foreachBatch
+    * DELIVERS EVERY BATCH TWICE — the second call simulates the
+    * sink-failed-after-publish retry and must return None. Contract
+    * columns: the per-type aggregate of the final table (a duplicated
+    * batch doubles counts → red) and `n_versions` pinned to exactly one
+    * version per batch. At 100 TB this is the ingestion front door:
+    * micro-batch cost ∝ delta (one manifest + its files), and crash
+    * recovery needs no reconciliation scan because idempotence lives in
+    * the commit log itself.
+    */
+  def streamSinkLake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.Scratch.dir("graft_sink_src")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val base = System.currentTimeMillis()
+    stageParquetFile(raw.filter(col("event_id") % 2 === 0), stage,
+      "a.parquet", base)
+    stageParquetFile(raw.filter(col("event_id") % 2 === 1), stage,
+      "b.parquet", base + 60000)
+    val table = graft.util.Scratch.dir("graft_sink_lake").toString
+    val rec = graft.util.EventTs.readEventsStream(spark, dir, stage.toString,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val q = rec.writeStream
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft_sink_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, bid: Long) =>
+        val first = graft.lake.Snapshots.appendBatch(bdf, table, bid)
+        require(first.isDefined, s"batch $bid was not published")
+        // at-least-once redelivery simulated: same id again must no-op
+        val again = graft.lake.Snapshots.appendBatch(bdf, table, bid)
+        require(again.isEmpty, s"duplicate batch $bid published twice")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.lake.Snapshots.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("long").as("sum_id"))
+      .withColumn("n_versions",
+        lit(graft.lake.Snapshots.latestVersion(table).toLong))
+  }
+
+  /** Commit history — DESCRIBE HISTORY over the snapshot table
+    * ([[graft.lake.Snapshots.history]]): the fixture's two appends, a
+    * predicate delete, and an OPTIMIZE rewrite must each surface as one
+    * row with the op kind and the `#rows=` commit-log stat (rows landed
+    * in that version's own files — the number an operator reads off the
+    * history instead of scanning data). The delete predicate
+    * (`s_no % 6 = 1`) matches rows in every v2 file, so the delete's
+    * rewritten-survivor count and the rewrite's live-row count are both
+    * pure functions of the events log the oracle can replay. `n_files`
+    * is deliberately NOT a contract column — it tracks write
+    * parallelism, not data.
+    */
+  def lakeHistory(spark: SparkSession, dir: String): DataFrame = {
+    val table = snapshotFixture(spark, dir)
+    graft.lake.Snapshots.delete(spark, table, "s_no % 6 = 1")
+    graft.lake.Snapshots.rewrite(spark, table)
+    graft.lake.Snapshots.history(spark, table)
+      .select(col("version"), col("op"), col("rows_written"))
+  }
+
   /** Snapshot-lake retention lifecycle
     * ([[graft.lake.Snapshots.rewrite]] + [[graft.lake.Snapshots.vacuum]]
     * — the OPTIMIZE + VACUUM pair): two appends (v1, v2), a

@@ -243,6 +243,36 @@ class MergeUpsertSpec extends SparkSpec {
     assert(delta.columns.toSeq == Seq("k", "s") && delta.count() == 0)
   }
 
+  test("appendBatch is idempotent on batch id, across maintenance versions") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_sink_spec").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((3L, "c")).toDF("k", "s")
+    assert(Snapshots.appendBatch(b0, table, 0L) == Some(1))
+    // redelivery of the same batch id: no-op, no new version
+    assert(Snapshots.appendBatch(b0, table, 0L) == None)
+    assert(Snapshots.latestVersion(table) == 1)
+    assert(Snapshots.appendBatch(b1, table, 1L) == Some(2))
+    // maintenance versions interleave WITHOUT batch headers; the
+    // high-water walk must see through them
+    Snapshots.rewrite(spark, table)
+    assert(Snapshots.latestVersion(table) == 3)
+    assert(Snapshots.appendBatch(b1, table, 1L) == None,
+      "rewrite masked the ingest high-water mark")
+    assert(Snapshots.appendBatch(b1, table, 2L) == Some(4))
+    assert(Snapshots.lastBatchId(table) == Some(2L))
+    // the table holds each batch exactly once
+    assert(Snapshots.read(spark, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 3L))
+    // history: ops + batch ids + commit-log row stats line up
+    val h = Snapshots.history(spark, table).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1)
+    assert(h.toSeq == Seq((1, "append", 2L, 0L), (2, "append", 1L, 1L),
+      (3, "rewrite", 3L, -1L), (4, "append", 1L, 2L)))
+  }
+
   test("mergeUpsert aligns delta columns by name") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
