@@ -331,6 +331,10 @@ object SparkEntry {
     // truncation) over the symmetrized part<->supplier graph
     "x_graph_pagerank"   -> ((s, d) =>
       graft.ext.graph.GraphOps.pagerankGate(s, d)),
+    // per-node triangle counts via degree-ordered orientation (the
+    // O(m^1.5) skew-proof form); oracle replays the id-canonical 3-join
+    "x_graph_triangles"  -> ((s, d) =>
+      graft.ext.graph.GraphOps.triangleGate(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -2222,6 +2226,7 @@ object SparkEntry {
     // (shared iteration constants — gate and oracle can't drift); the
     // (pr DESC, node ASC) cut is a total order, so top-100 is exact
     "x_graph_pagerank" -> graft.ext.graph.GraphOps.pagerankOracleSql(5),
+    "x_graph_triangles" -> graft.ext.graph.GraphOps.triangleOracleSql,
     // the portable 48-bit md5 row hash XORed per cell: chr(1)/chr(0)
     // are the canonicalization separator/null-sentinel; bit_xor is
     // order-invariant so partitioning cannot perturb the checksum

@@ -2047,6 +2047,59 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(run(1) == run(100))
   }
+
+  /** Brute-force per-node triangle counts: enumerate all id-ordered
+    * vertex triples with all three edges present.
+    */
+  private def bruteTriangles(und: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } Seq(x, y, z).foreach(v => counts(v) = counts.getOrElse(v, 0L) + 1L)
+    counts.toMap
+  }
+
+  test("triangleCounts: planted triangle + hub wedge that must NOT count") {
+    import spark.implicits._
+    // K3 on {1,2,3}; node 4 is a hub touching 1 and 2 (an open wedge),
+    // node 5 dangles off 3 — hub wedges and pendant edges contribute 0
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 5L))
+    val got = GraphOps.triangleCounts(und.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,4} IS a triangle too (edges 1-2, 1-4, 2-4)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts == brute force on random graphs (incl. skewed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 5) {
+      val n = 12 + trial * 3
+      // dense-ish random graph plus a deliberate hub (node 0 wired to
+      // everything) so the orientation's skew handling is exercised
+      val base = for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 25 || a == 0L
+      } yield (a, b)
+      val got = GraphOps.triangleCounts(base.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTriangles(base.toSet), s"trial=$trial")
+    }
+  }
+
+  test("triangleCounts counts each triangle once despite degree ties") {
+    import spark.implicits._
+    // C4 with one chord: all-tied degrees on the cycle break by id
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val got = GraphOps.triangleCounts(und.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }
 
 class MarkupSpec extends SparkSpec {
