@@ -399,6 +399,10 @@ object SparkEntry {
     // DESCRIBE HISTORY: append/delete/rewrite each one row with the
     // #rows= commit-log stat — history read from manifests, never data
     "p_lake_history"     -> EventOps.lakeHistory _,
+    // kappa backfill: batch bootstrap, then a stream whose first batch
+    // OVERLAPS it — hwm-split reconciliation (fresh rows append with no
+    // table read; overlap anti-joins the pinned bootstrap version only)
+    "p_stream_backfill"  -> EventOps.streamBackfill _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -3017,6 +3021,21 @@ object SparkEntry {
         |  TRUE AS v1_expired, TRUE AS orphans_reclaimed
         |FROM events WHERE event_id % 3 IN (0, 1)
         |GROUP BY event_type""".stripMargin,
+    // the final table must hold every event exactly once; the per-
+    // version commit stats pin WHERE each row landed — the overlap
+    // batch may only have written its fresh half
+    "p_stream_backfill" ->
+      """WITH t AS (SELECT max(event_id) + 1 AS t FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id < (SELECT t FROM t) // 2) AS boot_rows,
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id >= (SELECT t FROM t) // 2
+        |     AND event_id < 2 * (SELECT t FROM t) // 3) AS overlap_rows,
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id >= 2 * (SELECT t FROM t) // 3) AS tail_rows
+        |FROM events GROUP BY event_type""".stripMargin,
     // a duplicated micro-batch would double a type's count/sum, an extra
     // published version would bump n_versions — both red here
     "p_stream_sink_lake" ->

@@ -1584,6 +1584,73 @@ object EventOps {
         lit(graft.lake.Snapshots.latestVersion(table).toLong))
   }
 
+  /** Batch-bootstrap → streaming-tail HANDOFF (the kappa backfill): a
+    * batch job bootstraps the table from the historical log, then the
+    * stream starts over a range OVERLAPPING the bootstrap — and the
+    * overlap must reconcile to exactly one copy of every row. The
+    * production-shaped reconciliation: the bootstrap records its key
+    * high-water mark; each micro-batch splits on it, appends `key >
+    * hwm` rows DIRECTLY (no table read — the steady-state path after
+    * the first batch), and anti-joins only the `key <= hwm` slice
+    * against the PINNED bootstrap version (never the growing latest —
+    * the reconciliation read stays bounded by the bootstrap forever,
+    * and the stream's own batches are already exactly-once via
+    * [[graft.lake.Snapshots.appendBatch]]). Fixture: bootstrap covers
+    * `id < T/2`; the stream's first file covers `[T/3, 2T/3)` (partial
+    * overlap — half dies in the anti-join, half is fresh), its second
+    * `[2T/3, ∞)` (pure tail). Contract columns: the per-type aggregate
+    * of the final table (any unreconciled duplicate doubles a count)
+    * plus each version's `#rows=` commit stat — v2 must equal ONLY the
+    * fresh half of the overlap batch.
+    */
+  def streamBackfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val t = raw.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val (third, half, twoThird) = (t / 3, t / 2, 2 * t / 3)
+    val stage = graft.util.Scratch.dir("graft_bf_src")
+    val base = System.currentTimeMillis()
+    stageParquetFile(raw.filter(col("event_id") >= third &&
+      col("event_id") < twoThird), stage, "a.parquet", base)
+    stageParquetFile(raw.filter(col("event_id") >= twoThird), stage,
+      "b.parquet", base + 60000)
+    val table = graft.util.Scratch.dir("graft_bf_lake").toString
+    val vBoot = graft.lake.Snapshots.append(
+      raw.filter(col("event_id") < half)
+        .select(col("user_id"), col("event_id"), col("event_type")), table)
+    val hwm = half - 1 // the bootstrap's recorded key high-water mark
+    val rec = graft.util.EventTs.readEventsStream(spark, dir, stage.toString,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val q = rec.writeStream
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft_bf_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, bid: Long) =>
+        val fresh = bdf.filter(col("event_id") > hwm)
+        val overlap = bdf.filter(col("event_id") <= hwm)
+        val merged =
+          if (overlap.isEmpty) fresh // steady state: no table read at all
+          else fresh.unionByName(overlap.join(
+            graft.lake.Snapshots.read(bdf.sparkSession, table, Some(vBoot))
+              .select(col("event_id")),
+            Seq("event_id"), "left_anti"))
+        graft.lake.Snapshots.appendBatch(merged, table, bid)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val rows = (1 to 3).map(v =>
+      graft.lake.Snapshots.rowsWritten(table, v))
+    graft.lake.Snapshots.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("long").as("sum_id"))
+      .withColumn("boot_rows", lit(rows(0)))
+      .withColumn("overlap_rows", lit(rows(1)))
+      .withColumn("tail_rows", lit(rows(2)))
+  }
+
   /** Commit history — DESCRIBE HISTORY over the snapshot table
     * ([[graft.lake.Snapshots.history]]): the fixture's two appends, a
     * predicate delete, and an OPTIMIZE rewrite must each surface as one

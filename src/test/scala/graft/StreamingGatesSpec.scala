@@ -104,6 +104,30 @@ class StreamingGatesSpec extends SparkSpec {
     assert(out.exists { case (_, (ttl, dur)) => ttl < dur })
   }
 
+  test("backfill handoff reconciles the overlap to exactly one copy") {
+    val rows = EventOps.streamBackfill(spark, dir).collect()
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val want = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // the overlap batch wrote ONLY its fresh half: versions partition
+    // the log into bootstrap / fresh-overlap / tail with nothing counted
+    // twice and nothing lost
+    val t = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val (half, twoThird) = (t / 2, 2 * t / 3)
+    val n = events.count()
+    val nBoot = events.filter(col("event_id") < half).count()
+    val nOver = events.filter(col("event_id") >= half &&
+      col("event_id") < twoThird).count()
+    val r0 = rows.head
+    assert((r0.getLong(3), r0.getLong(4), r0.getLong(5)) ==
+      ((nBoot, nOver, n - nBoot - nOver)))
+  }
+
   test("wire decode drops malformed JSON and invalid enums, keeps the rest") {
     val out = EventOps.wireDecode(spark, dir)
     val events = spark.read.parquet(s"$dir/events.parquet")
