@@ -335,6 +335,15 @@ object SparkEntry {
     // O(m^1.5) skew-proof form); oracle replays the id-canonical 3-join
     "x_graph_triangles"  -> ((s, d) =>
       graft.ext.graph.GraphOps.triangleGate(s, d)),
+    // single-source BFS levels (Pregel superstep loop, one round per
+    // level); unreachable nodes absent by contract
+    "x_graph_bfs"        -> ((s, d) =>
+      graft.ext.graph.GraphOps.bfsGate(s, d)),
+    // k-core peeling to the fixpoint (k=6), surviving nodes with
+    // within-core degree; engine asserts convergence fits the oracle's
+    // unrolled rounds
+    "x_graph_kcore"      -> ((s, d) =>
+      graft.ext.graph.GraphOps.kCoreGate(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
@@ -2231,6 +2240,8 @@ object SparkEntry {
     // (pr DESC, node ASC) cut is a total order, so top-100 is exact
     "x_graph_pagerank" -> graft.ext.graph.GraphOps.pagerankOracleSql(5),
     "x_graph_triangles" -> graft.ext.graph.GraphOps.triangleOracleSql,
+    "x_graph_bfs" -> graft.ext.graph.GraphOps.bfsOracleSql,
+    "x_graph_kcore" -> graft.ext.graph.GraphOps.kCoreOracleSql,
     // the portable 48-bit md5 row hash XORed per cell: chr(1)/chr(0)
     // are the canonicalization separator/null-sentinel; bit_xor is
     // order-invariant so partitioning cannot perturb the checksum

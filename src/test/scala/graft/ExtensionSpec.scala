@@ -2092,6 +2092,64 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("bfsLevels == brute force; unreachable nodes absent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    for (trial <- 0 until 4) {
+      val n = 14 + trial * 4
+      val und = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 12
+      } yield (a, b)) :+ (((n - 2).toLong, (n - 1).toLong))
+      val adj = scala.collection.mutable.Map[Long, List[Long]]()
+        .withDefaultValue(Nil)
+      und.foreach { case (a, b) =>
+        adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+      val src = und.map(_._1).min
+      // plain BFS reference
+      val want = scala.collection.mutable.Map(src -> 0L)
+      var cur = List(src); var lvl = 0L
+      while (cur.nonEmpty) {
+        lvl += 1
+        val next = cur.flatMap(adj).distinct.filterNot(want.contains)
+        next.foreach(v => want(v) = lvl)
+        cur = next
+      }
+      val got = GraphOps.bfsLevels(und.toDF("a", "b"), src)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want.toMap, s"trial=$trial")
+    }
+  }
+
+  test("kCore == brute-force peeling; empty core is empty, not an error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for ((k, trial) <- Seq((3, 0), (4, 1), (5, 2))) {
+      val n = 16 + trial * 4
+      val und = for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 30
+      } yield (a, b)
+      var e = und.toSet
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, g) => v -> g.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val ne = e.filter(p => keep(p._1) && keep(p._2))
+        if (ne == e) stable = true else e = ne
+      }
+      val want = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      val got = GraphOps.kCore(und.toDF("a", "b"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"k=$k trial=$trial")
+    }
+    // a graph with no k-core yields an empty frame
+    val sparse = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.kCore(sparse, 3).count() == 0)
+  }
+
   test("triangleCounts counts each triangle once despite degree ties") {
     import spark.implicits._
     // C4 with one chord: all-tied degrees on the cycle break by id
