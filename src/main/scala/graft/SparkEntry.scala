@@ -2694,10 +2694,12 @@ object SparkEntry {
         |    // greatest(tot.n_exact, 1) AS recall_permille
         |FROM (VALUES (0), (1), (2), (4)) r(radius), tot""".stripMargin,
     // directed containment |S(A) ∩ S(B)| / |S(A)| over the same 3-gram
-    // shingle definition as the Jaccard oracle
+    // shingle definition as the Jaccard oracle; doc_id < 512 is the
+    // winnow-style bench slice (= the whole corpus at sf0.01)
     "x_dedup_containment" ->
       """WITH toks AS (
-        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents
+        |  WHERE doc_id < 512),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles

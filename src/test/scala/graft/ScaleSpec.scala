@@ -138,7 +138,8 @@ class ScaleSpec extends SparkSpec {
       "q11_scalar_subq", "q12_tumbling_window", "q13_rollup", "q13_cube",
       "q14_pivot", "q14_unpivot",
       "q15_percentiles", "q15_percentiles_approx", "q16_session_window",
-      "q37_session_dynamic", "q38_decimal", "q39_range_frame",
+      "q37_session_dynamic", "q38_decimal", "q38_decimal_parts",
+      "q39_range_frame",
       "q40_grouping_sets", "q41_window_distinct",
       "q17_top_terms", "q18_string_funcs", "q19_correlated",
       "q20_sketch_distinct", "q21_except", "q22_hopping_window",
@@ -159,6 +160,7 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
       "x_text_tokens", "x_text_bpe", "x_text_nfc", "x_pack_bpe",
+      "x_text_extract", "x_extract_dedup", "x_graph_triangles",
       "x_text_quality", "x_text_langid",
       "x_text_classify",
       "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
@@ -189,11 +191,12 @@ class ScaleSpec extends SparkSpec {
       "p_stream_join_rocks", "p_state_reader", "p_agg_maintain_stream",
       // write their snapshot versions on construction (batch plan after)
       "p_time_travel", "p_snapshot_diff", "p_vacuum",
-      "p_partition_overwrite",
+      "p_partition_overwrite", "p_snapshot_delete", "p_lake_history",
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
-      "x_dedup_stream",
+      "x_dedup_stream", "p_state_ttl", "p_stream_backfill",
+      "p_stream_sink_lake",
       // write/stage side effects on construction (covered by their specs)
       // x_text_winnow_pairs: localCheckpoint materializes the fingerprint
       // table on construction AND truncates the inspectable plan at the
@@ -212,7 +215,7 @@ class ScaleSpec extends SparkSpec {
       "x_ann_filtered", "x_index_postings", "x_index_lookup",
       "x_rag_mmr",
       // localCheckpoint mid-loop materializes + truncates the plan
-      "x_graph_pagerank",
+      "x_graph_pagerank", "x_graph_bfs", "x_graph_kcore",
       // observe() requires its action during construction
       "p_observe",
       "x_dedup_clusters", "x_dedup_clusters_lss", "x_dedup_clusters_inc",
