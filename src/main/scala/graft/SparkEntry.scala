@@ -33,6 +33,7 @@ object SparkEntry {
   def prestage(spark: SparkSession, dir: String): Unit = {
     TextDedup.dedupClustersShared(spark, dir)
     TextDedup.incrementalBaseShared(spark, dir)
+    EventOps.lakeSkippingTable(spark, dir)
     ()
   }
 
@@ -412,6 +413,10 @@ object SparkEntry {
     // OVERLAPS it — hwm-split reconciliation (fresh rows append with no
     // table read; overlap anti-joins the pinned bootstrap version only)
     "p_stream_backfill"  -> EventOps.streamBackfill _,
+    // manifest-stat data skipping: a selective predicate over four
+    // value-banded lake files opens exactly one; kept/total pinned in
+    // the oracle
+    "p_lake_skipping"    -> EventOps.lakeSkipping _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -3049,6 +3054,18 @@ object SparkEntry {
         |  (SELECT count(*) FROM events
         |   WHERE event_id >= 2 * (SELECT t FROM t) // 3) AS tail_rows
         |FROM events GROUP BY event_type""".stripMargin,
+    // the filtered answer, plus the pruning contract as pinned literals:
+    // the bands are deterministic, so exactly 1 of the 4 banded files can
+    // hold value >= 320 — a skipping regression (0 pruned, or the band
+    // file itself wrongly pruned) reds the row independent of the answer
+    "p_lake_skipping" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  1 AS n_kept_files, 4 AS n_total_files
+        |FROM events WHERE value >= 320.0 AND event_type = 'click'
+        |GROUP BY event_type""".stripMargin,
     // a duplicated micro-batch would double a type's count/sum, an extra
     // published version would bump n_versions — both red here
     "p_stream_sink_lake" ->

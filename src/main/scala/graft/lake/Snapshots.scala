@@ -1,7 +1,9 @@
 package graft.lake
 
 import java.nio.file.{Files, Path, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL for a parquet table —
@@ -57,6 +59,97 @@ object Snapshots {
 
   private def manifestFiles(table: String, version: Int): Seq[String] =
     manifestLines(table, version).filterNot(_.startsWith("#"))
+
+  // --- per-file column statistics (the data-skipping substrate) -------
+
+  /** Stats recorded for one column of one data file: min/max rendered
+    * through `CAST(x AS STRING)` (None for an all-null file) plus the
+    * null count — enough to answer "could this file contain a row
+    * matching the predicate?" without opening it.
+    */
+  case class ColStat(min: Option[String], max: Option[String], nulls: Long)
+
+  /** Per-file statistics line from a manifest: file path (manifest-
+    * relative), row count, and per-column [[ColStat]]s.
+    */
+  case class FileStat(file: String, rows: Long, cols: Map[String, ColStat])
+
+  /** Columns tracked in per-file stats: the orderable scalar types whose
+    * min/max a comparison predicate can act on. Nested/array/binary
+    * columns are untracked — files stay un-prunable on them, which is
+    * conservative, never wrong.
+    */
+  private def statFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           BooleanType => true
+      case _ => false
+    })
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def statsLines(table: String, version: Int): Seq[String] =
+    manifestLines(table, version).filter(_.startsWith("#stats="))
+  private def statsRelOf(line: String): String =
+    line.stripPrefix("#stats=").takeWhile(_ != '|')
+
+  /** Compute `#stats=` header lines for freshly written delta files in
+    * ONE grouped aggregation (min/max/nulls per tracked column, grouped
+    * by `input_file_name`), plus the delta's total row count. The
+    * collect is ∝ delta FILE count — bounded commit-log metadata, the
+    * same class as the manifest write itself, never data-sized.
+    */
+  private def deltaStats(spark: SparkSession, table: String,
+      fresh: Seq[String]): (Seq[String], Long) = {
+    if (fresh.isEmpty) return (Seq.empty, 0L)
+    val bySuffix = fresh.map(rel =>
+      rel.split('/').takeRight(2).mkString("/") -> rel).toMap
+    val df = spark.read.parquet(
+      fresh.map(f => Paths.get(table).resolve(f).toString): _*)
+    val cols = statFields(df.schema)
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"m0_${f.name}"),
+        max(col(f.name)).cast("string").as(s"m1_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L))
+          .as(s"nn_${f.name}"))
+    }
+    val perFile = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()                                // ∝ delta file count
+    val entries = perFile.toSeq.map { r =>
+      val rel = bySuffix(r.getString(0).split('/').takeRight(2)
+        .mkString("/"))
+      val n = r.getLong(r.fieldIndex("__rows"))
+      val parts = cols.map { f =>
+        val mn = Option(r.getString(r.fieldIndex(s"m0_${f.name}")))
+        val mx = Option(r.getString(r.fieldIndex(s"m1_${f.name}")))
+        val nulls = r.getLong(r.fieldIndex(s"nn_${f.name}"))
+        Seq(b64(f.name), mn.map(b64).getOrElse("-"),
+          mx.map(b64).getOrElse("-"), nulls.toString).mkString(":")
+      }
+      (s"#stats=$rel|$n|" + parts.mkString("|"), n)
+    }
+    (entries.map(_._1).sorted, entries.map(_._2).sum)
+  }
+
+  /** Parse `version`'s per-file stats. Files published before stats
+    * existed simply have no entry — [[pruneFiles]] keeps them
+    * unconditionally.
+    */
+  def fileStats(table: String, version: Int): Seq[FileStat] =
+    statsLines(table, version).map { l =>
+      val parts = l.stripPrefix("#stats=").split('|')
+      val cols = parts.drop(2).filter(_.nonEmpty).map { p =>
+        val Array(c, mn, mx, nn) = p.split(':')
+        unb64(c) -> ColStat(
+          if (mn == "-") None else Some(unb64(mn)),
+          if (mx == "-") None else Some(unb64(mx)), nn.toLong)
+      }.toMap
+      FileStat(parts(0), parts(1).toLong, cols)
+    }
 
   /** Operation kind that produced `version`: "append", "rewrite", or
     * "delete". Recorded as a `#op=` header line in the manifest; a
@@ -169,18 +262,23 @@ object Snapshots {
     val next = current + 1
     val (sub, fresh) = writeData(df, table, next)
     // commit-log stats, the production pattern (Delta's commitInfo /
-    // Iceberg's snapshot summary): count the WRITTEN delta files, not
-    // the input plan — delta-sized cost, and the number describes what
-    // actually landed even if the input was nondeterministic
-    val rows =
-      if (fresh.isEmpty) 0L
-      else df.sparkSession.read.parquet(
-        fresh.map(f => Paths.get(table).resolve(f).toString): _*).count()
-    val all = (if (current == 0 || !carryForward) Seq.empty
-               else manifestFiles(table, current)) ++ fresh
+    // Iceberg's snapshot summary + per-file min/max): computed over the
+    // WRITTEN delta files, not the input plan — delta-sized cost, and
+    // the numbers describe what actually landed even if the input was
+    // nondeterministic. Carried files keep their original stats lines
+    // (immutable files, immutable stats).
+    val (statHdrs, rows) = deltaStats(df.sparkSession, table, fresh)
+    val carried = if (current == 0 || !carryForward) Seq.empty[String]
+                  else manifestFiles(table, current)
+    val carriedSet = carried.toSet
+    val carriedStats =
+      if (carried.isEmpty) Seq.empty[String]
+      else statsLines(table, current).filter(l => carriedSet(statsRelOf(l)))
+    val all = carried ++ fresh
     val op = if (carryForward) "append" else "rewrite"
     publishManifest(table, next,
-      (s"#op=$op" +: s"#rows=$rows" +: extraHeaders) ++ all, Seq(sub))
+      (s"#op=$op" +: s"#rows=$rows" +:
+        (extraHeaders ++ carriedStats ++ statHdrs)) ++ all, Seq(sub))
   }
 
   /** Rows written into `version`'s own fresh files (from the `#rows=`
@@ -342,19 +440,22 @@ object Snapshots {
       .encodeToString(predicate.getBytes("UTF-8"))
     if (affected.isEmpty)
       return publishManifest(table, next,
-        Seq(header, "#rows=0") ++ files, Seq.empty)
+        Seq(header, "#rows=0") ++ statsLines(table, current) ++ files,
+        Seq.empty)
     val keepAbs = affected.toSeq.sorted
       .map(rel => Paths.get(table).resolve(rel).toString)
     val survivors = spark.read.parquet(keepAbs: _*)
       .filter(!expr(predicate) || expr(predicate).isNull)
     val (sub, fresh) = writeData(survivors, table, next)
-    val rows =
-      if (fresh.isEmpty) 0L
-      else spark.read.parquet(
-        fresh.map(f => Paths.get(table).resolve(f).toString): _*).count()
-    val all = files.filterNot(affected) ++ fresh
+    val (statHdrs, rows) = deltaStats(spark, table, fresh)
+    val keptFiles = files.filterNot(affected)
+    val keptSet = keptFiles.toSet
+    val keptStats =
+      statsLines(table, current).filter(l => keptSet(statsRelOf(l)))
+    val all = keptFiles ++ fresh
     publishManifest(table, next,
-      Seq(header, s"#rows=$rows") ++ all, Seq(sub))
+      Seq(header, s"#rows=$rows") ++ keptStats ++ statHdrs ++ all,
+      Seq(sub))
   }
 
   /** Rows a `delete` version REMOVED — the deletion side of the change
@@ -427,5 +528,148 @@ object Snapshots {
     if (added.isEmpty) return read(spark, table, Some(toVersion)).limit(0)
     spark.read.parquet(
       added.map(rel => Paths.get(table).resolve(rel).toString): _*)
+  }
+
+  // --- data skipping ---------------------------------------------------
+
+  /** Files of `version` that COULD contain rows matching `predicate`,
+    * decided purely from the manifest's per-file min/max/null stats —
+    * Delta/Iceberg-style DATA SKIPPING: at 100 TB the win is that
+    * skipping happens at PLAN time from commit-log arithmetic, before a
+    * single data byte is opened, and composes with (runs ahead of) the
+    * row-group pruning parquet itself does.
+    *
+    * Conservative by construction: a file is dropped only when the
+    * rewritten predicate PROVES no row can match — files without stats
+    * (pre-stats manifests), columns outside the tracked set, and
+    * predicate shapes the rewriter doesn't understand all KEEP the file.
+    * The possibility check is evaluated by Spark itself over a
+    * file-count-sized stats frame (one job, distributes past 10⁶
+    * files), reusing Spark's own cast/comparison semantics so the
+    * stats-vs-literal comparison can never disagree with the real scan's
+    * filter. Returns `(kept, allFiles)` in manifest order.
+    */
+  def pruneFiles(spark: SparkSession, table: String, predicate: String,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse(latestVersion(table))
+    val files = manifestFiles(table, v)
+    val stats = fileStats(table, v)
+    if (stats.isEmpty) return (files, files)
+    val schema = read(spark, table, Some(v)).schema
+    import spark.implicits._
+    val sdf = stats.map(fs => (fs.file, fs.rows,
+        fs.cols.collect { case (c, s) if s.min.isDefined => c -> s.min.get },
+        fs.cols.collect { case (c, s) if s.max.isDefined => c -> s.max.get },
+        fs.cols.map { case (c, s) => c -> s.nulls }))
+      .toDF("file", "rows", "mins", "maxs", "nulls")
+    // parse to a REAL catalyst tree — Spark 4's expr() wraps the raw SQL
+    // in an opaque SqlExpression column node that only unwraps during
+    // analysis, so the rewriter would see one unknown leaf and keep all
+    val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val possible = sdf.filter(possibility(pred, schema))
+      .select("file").collect().map(_.getString(0)).toSet // ∝ file count
+    val hasStats = stats.map(_.file).toSet
+    (files.filter(f => !hasStats(f) || possible(f)), files)
+  }
+
+  /** Versioned read that SKIPS files [[pruneFiles]] proves irrelevant,
+    * then applies the full predicate to the survivors — the answer is
+    * always exactly `read(...).filter(predicate)`, pruning only changes
+    * which files the scan opens.
+    */
+  def prunedScan(spark: SparkSession, table: String, predicate: String,
+      version: Option[Int] = None): DataFrame = {
+    val (kept, _) = pruneFiles(spark, table, predicate, version)
+    if (kept.isEmpty)
+      return read(spark, table, version).limit(0).filter(expr(predicate))
+    spark.read.parquet(
+        kept.map(rel => Paths.get(table).resolve(rel).toString): _*)
+      .filter(expr(predicate))
+  }
+
+  /** Rewrite `pred` (over table rows) into a POSSIBILITY predicate over
+    * the stats frame (`file, rows, mins, maxs, nulls` with map-typed
+    * per-column entries): true ⇒ the file may hold a matching row,
+    * false ⇒ provably cannot. Handles conjunction/disjunction,
+    * comparisons between one column and one literal (either side),
+    * IN-lists, and IS [NOT] NULL; any other subtree rewrites to `true`
+    * (keep — never prune on what we can't reason about). Per-leaf
+    * rules: an untracked column keeps the file; an all-null column
+    * yields NULL intervals which coalesce to false — correct, since no
+    * comparison matches NULL.
+    */
+  private def possibility(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.Column
+    def field(n: String): Option[StructField] =
+      schema.find(_.name.equalsIgnoreCase(n))
+    // UnresolvedAttribute (from expr()) and AttributeReference both
+    // surface here as Attribute
+    object A {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: Attribute => Some(a.name)
+        case _ => None
+      }
+    }
+    def litCol(l: Literal): Column = GraftBridge.toColumn(l)
+    def leaf(n: String)(interval: (Column, Column) => Column): Column =
+      field(n) match {
+        case None => lit(true)
+        case Some(f) =>
+          val tracked = element_at(col("nulls"), f.name).isNotNull
+          val mn = element_at(col("mins"), f.name).cast(f.dataType)
+          val mx = element_at(col("maxs"), f.name).cast(f.dataType)
+          when(!tracked, lit(true))
+            .otherwise(coalesce(interval(mn, mx), lit(false)))
+      }
+    def eq(n: String, l: Literal): Column =
+      leaf(n)((mn, mx) => mn <= litCol(l) && mx >= litCol(l))
+    def nullLeaf(n: String)(f: Column => Column): Column =
+      field(n) match {
+        case None => lit(true)
+        case Some(sf) =>
+          val nulls = element_at(col("nulls"), sf.name)
+          when(nulls.isNull, lit(true)).otherwise(f(nulls))
+      }
+    def go(e: Expression): Column = e match {
+      case And(a, b) => go(a) && go(b)
+      case Or(a, b) => go(a) || go(b)
+      case EqualTo(A(n), l: Literal) => eq(n, l)
+      case EqualTo(l: Literal, A(n)) => eq(n, l)
+      case EqualNullSafe(A(n), l: Literal) if l.value != null => eq(n, l)
+      case EqualNullSafe(l: Literal, A(n)) if l.value != null => eq(n, l)
+      case LessThan(A(n), l: Literal) => leaf(n)((mn, _) => mn < litCol(l))
+      case LessThan(l: Literal, A(n)) => leaf(n)((_, mx) => mx > litCol(l))
+      case LessThanOrEqual(A(n), l: Literal) =>
+        leaf(n)((mn, _) => mn <= litCol(l))
+      case LessThanOrEqual(l: Literal, A(n)) =>
+        leaf(n)((_, mx) => mx >= litCol(l))
+      case GreaterThan(A(n), l: Literal) =>
+        leaf(n)((_, mx) => mx > litCol(l))
+      case GreaterThan(l: Literal, A(n)) =>
+        leaf(n)((mn, _) => mn < litCol(l))
+      case GreaterThanOrEqual(A(n), l: Literal) =>
+        leaf(n)((_, mx) => mx >= litCol(l))
+      case GreaterThanOrEqual(l: Literal, A(n)) =>
+        leaf(n)((mn, _) => mn <= litCol(l))
+      // BETWEEN survives parsing as an unresolved function call (it only
+      // desugars during analysis) — expand it here
+      case b: Between =>
+        go(And(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper)))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.size == 3 =>
+        go(And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2))))
+      case In(A(n), es) if es.nonEmpty && es.forall(_.isInstanceOf[Literal]) =>
+        es.map(l => eq(n, l.asInstanceOf[Literal])).reduce(_ || _)
+      case IsNull(A(n)) => nullLeaf(n)(nulls => nulls > 0)
+      case IsNotNull(A(n)) => nullLeaf(n)(nulls => nulls < col("rows"))
+      case _ => lit(true) // unknown shape: cannot prune on it
+    }
+    go(pred)
   }
 }

@@ -1487,6 +1487,61 @@ object EventOps {
     * delta files. Checksummed per event_type so a delta that leaked v1
     * files (or dropped part of the append) reds the named type row.
     */
+  /** File-level DATA SKIPPING over the snapshot lake
+    * ([[graft.lake.Snapshots.prunedScan]]): publish the events log as
+    * four value-banded versions (one file each, bands chosen inside the
+    * data's [0, ~490] range), then answer a selective predicate through
+    * the manifest's per-file min/max/null stats — 1 of 4 files survives
+    * pruning by construction, and the kept/total counts are CONTRACT
+    * COLUMNS pinned as literals in the oracle, so a stats regression
+    * that stops pruning (or over-prunes) reds the row even though the
+    * filtered ANSWER would still be correct. At 100 TB this is the
+    * Delta/Iceberg skipping story: the decision happens at plan time
+    * from commit-log arithmetic — the three cold files are never
+    * opened, not even for footers.
+    */
+  /** The skipping gate's staged lake, memoized per (app, dir): the
+    * table layout is deterministic, so it is staged ONCE per process
+    * (prestage in Bench) and the gate times pruning + the pruned scan —
+    * the production split, where the lake already EXISTS and skipping
+    * is the read-side win.
+    */
+  private val skipLakeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def lakeSkippingTable(spark: SparkSession, dir: String): String =
+    skipLakeMemo.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir, _ => {
+        import graft.lake.Snapshots
+        val table = graft.util.Scratch.dir("graft_skip").toString
+        val ev = events(spark, dir).select(col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+        // ONE ingest producing four range-clustered files — the CLUSTER
+        // BY layout whose per-file stats make skipping effective (a
+        // value-shuffled layout would keep every file). Range boundaries
+        // come from deterministic sampling, so the file ranges are
+        // disjoint and ordered: exactly ONE file (the top range) can
+        // admit value >= 320 regardless of where the sampled boundaries
+        // land.
+        Snapshots.append(ev.repartitionByRange(4, col("value")), table)
+        table
+      })
+
+  def lakeSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = lakeSkippingTable(spark, dir)
+    val pred = "value >= 320.0 AND event_type = 'click'"
+    val (kept, all) = Snapshots.pruneFiles(spark, table, pred)
+    Snapshots.prunedScan(spark, table, pred)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("n_kept_files", lit(kept.size))
+      .withColumn("n_total_files", lit(all.size))
+  }
+
   def snapshotChanges(spark: SparkSession, dir: String): DataFrame = {
     val table = snapshotFixture(spark, dir)
     graft.lake.Snapshots.readChanges(spark, table, 1, 2)

@@ -216,6 +216,59 @@ class MergeUpsertSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
   }
 
+  test("data skipping prunes by manifest stats, never the answer") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_skip_spec").toString
+    // three files with disjoint k ranges; one holds nulls in s
+    Snapshots.append(Seq((1L, Option("a")), (2L, Option("b")))
+      .toDF("k", "s").repartition(1), table)
+    Snapshots.append(Seq((10L, Option("c")), (11L, None: Option[String]))
+      .toDF("k", "s").repartition(1), table)
+    Snapshots.append(Seq((20L, Option("d")), (21L, Option("e")))
+      .toDF("k", "s").repartition(1), table)
+
+    def kept(pred: String): Int =
+      Snapshots.pruneFiles(spark, table, pred)._1.size
+    def answer(pred: String): Seq[Long] =
+      Snapshots.prunedScan(spark, table, pred).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def full(pred: String): Seq[Long] =
+      Snapshots.read(spark, table).filter(expr(pred)).select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+
+    // point + range predicates open only the band file
+    assert(kept("k = 10") == 1)
+    assert(kept("k >= 20") == 1)
+    assert(kept("k < 3") == 1)
+    assert(kept("k BETWEEN 9 AND 12") == 1)   // parser expands to >= AND <=
+    assert(kept("k IN (2, 21)") == 2)
+    assert(kept("k = 15") == 0)               // falls between bands
+    // IS NULL opens only the file that HAS nulls; IS NOT NULL keeps all
+    // files with at least one non-null
+    assert(kept("s IS NULL") == 1)
+    assert(kept("s IS NOT NULL") == 3)
+    // disjunction: union of the bands
+    assert(kept("k = 1 OR k = 20") == 2)
+    // unknown shapes keep everything (conservative, never wrong)
+    assert(kept("k % 2 = 0") == 3)
+    assert(kept("length(s) > 0") == 3)
+    // every pruned answer equals the unpruned one
+    Seq("k = 10", "k >= 20", "k < 3", "k IN (2, 21)", "k = 15",
+        "s IS NULL", "k = 1 OR k = 20", "k % 2 = 0").foreach { p =>
+      assert(answer(p) == full(p), s"pruned answer drifted for: $p")
+    }
+    // an all-pruned scan still returns the schema'd empty frame
+    assert(Snapshots.prunedScan(spark, table, "k = 15").columns.toSeq ==
+      Seq("k", "s"))
+    // stats survive carry-forward: the delete rewrites ONE file, the
+    // other two keep their original stats lines and still prune
+    Snapshots.delete(spark, table, "k = 11")
+    assert(kept("k = 1") == 1)
+    assert(kept("s IS NULL") <= 1) // nulls gone; rewritten file re-statted
+    assert(answer("k >= 10") == Seq(10L, 20L, 21L))
+  }
+
   test("change feed refuses spans crossing a rewrite/delete; empty delta is empty, not an error") {
     import spark.implicits._
     import graft.lake.Snapshots
