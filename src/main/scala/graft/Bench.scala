@@ -10,8 +10,38 @@ import org.apache.spark.sql.SparkSession
   * start; each query is then timed on a single cold-plan execution.
   */
 object Bench {
+
+  /** One machine-load sample for the metric JSON: 1/5/15-min loadavg plus
+    * the io-pressure stall percentages (`/proc/pressure/io` some/full
+    * avg10). BENCH.md's adjudication rule — believe a regression only
+    * after a quiet solo TimeOne — needs the run's OWN load on record;
+    * without it every environmentally contaminated driver run costs a
+    * judge session to re-derive what these two files would have said.
+    */
+  private def loadSample(): String = {
+    def read(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    val load = read("/proc/loadavg").map(_.trim.split("\\s+").take(3))
+      .filter(_.length == 3)
+      .map(a => s"""[${a.mkString(",")}]""").getOrElse("null")
+    // lines look like: "some avg10=1.23 avg60=... avg300=... total=..."
+    def pct(line: String): String =
+      line.split("\\s+").collectFirst {
+        case kv if kv.startsWith("avg10=") => kv.stripPrefix("avg10=")
+      }.getOrElse("null")
+    val (ioSome, ioFull) = read("/proc/pressure/io").map { s =>
+      val ls = s.linesIterator.toSeq
+      (ls.find(_.startsWith("some")).map(pct).getOrElse("null"),
+       ls.find(_.startsWith("full")).map(pct).getOrElse("null"))
+    }.getOrElse(("null", "null"))
+    s"""{"loadavg":$load,"io_some_avg10":$ioSome,"io_full_avg10":$ioFull}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val startLoad = loadSample()
     val spark = GraftSession.harnessSession()
 
     // warmup: file metadata + scan paths, plus one aggregate query so
@@ -46,6 +76,8 @@ object Bench {
         }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val endLoad = loadSample()
+    val telemetry = s""","telemetry":{"start":$startLoad,"end":$endLoad}"""
     val failed = results.collect { case (n, v) if v < 0 => n }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     def render(entries: Seq[(String, Double)], extra: String): String = {
@@ -61,14 +93,15 @@ object Bench {
     // (~2.8 KB) overflows that window (BENCH_r02/r03 both came back
     // parsed:null). So stdout gets a compact line: total + as many of the
     // slowest queries as fit a conservative budget, with the omitted count.
-    val full = render(results, "")
+    val full = render(results, telemetry)
     val budget = 1500  // line + sbt's trailing "[success] ..." must fit 2000
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.length
     def compact(k: Int): String = {
       val omitted = results.length - k
       render(bySlowest.take(k).sortBy(_._1),
-        if (omitted > 0) s""","omitted_queries":$omitted""" else "")
+        (if (omitted > 0) s""","omitted_queries":$omitted""" else "") +
+          telemetry)
     }
     while (keep > 0 && compact(keep).length > budget) keep -= 1
     println(compact(keep))

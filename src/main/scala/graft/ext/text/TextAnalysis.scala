@@ -1106,11 +1106,18 @@ object TextAnalysis {
 
   /** BPE tokens of the augmented stream under the frozen 500-merge
     * sf0.1-trained vocabulary — the realism-sized twin of [[bpeTokens]];
-    * still ONE codegen'd zero-shuffle pass.
+    * still ONE codegen'd zero-shuffle pass. Uses the imperative
+    * augmented encode (`bpe_tokenize_augmented`): token-identical to
+    * `bpe_tokenize(bpeAugmentedText(text))` (a spec pins the equality)
+    * but one regex split per row instead of the HOF chain's
+    * O(words²) re-evaluation of the word array — the difference between
+    * ~10 s and scan speed over the sf0.1 documents. Null maps to an
+    * empty token array, matching the declarative form's
+    * `when(isNull, "")`.
     */
   def bpeTokens500(text: Column): Column =
-    graft.functions.BpeTokenize.bpe_tokenize(
-      bpeAugmentedText(text), BpeFixture500.Merges)
+    graft.functions.BpeTokenize.bpe_tokenize_augmented(
+      coalesce(text, lit("")), BpeFixture500.Merges)
 
   /** Distributed trainer over the augmented stream — the job that
     * produced (and in [[BpeSpec]] must reproduce) [[BpeFixture500]]:

@@ -31,14 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * whose running vocabulary is tiny next to their token count. At 100 TB
   * this runs at scan speed like the rest of the text family.
   */
-case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
+    augmentAdjacent: Boolean = false)
     extends UnaryExpression {
 
   require(merges.nonEmpty, "merge table must not be empty")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val codec = new BpeCodec(merges)
+  @transient private lazy val codec = BpeCodec.canonical(merges)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -50,12 +51,14 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
     }
 
   override def nullSafeEval(input: Any): Any =
-    codec.encodeDoc(input.asInstanceOf[UTF8String])
+    if (augmentAdjacent) codec.encodeDocAugmented(input.asInstanceOf[UTF8String])
+    else codec.encodeDoc(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val codecRef =
       ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $codecRef.encodeDoc($s);")
+    val method = if (augmentAdjacent) "encodeDocAugmented" else "encodeDoc"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $codecRef.$method($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
@@ -67,6 +70,21 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
 object BpeTokenize {
   def bpe_tokenize(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.toColumn(BpeTokenize(GraftBridge.toExpression(text), merges))
+
+  /** BPE over the ADJACENT-AUGMENTED word stream — equivalent to
+    * `bpe_tokenize(array_join(concat(words, adjacent_pairs), ' '))` where
+    * `words` is the whitespace split and `adjacent_pairs` the in-order
+    * `w_i || w_{i+1}` concatenations, but built imperatively in the same
+    * single codegen'd pass as the encode. The declarative HOF form
+    * ([[graft.ext.text.TextAnalysis.bpeAugmentedText]], kept as the
+    * oracle-documented spec of the stream) re-evaluates the word-array
+    * subexpression on every `element_at` inside the lambda — O(words²)
+    * regex splits per row, ~10 s over 5k sf0.1 docs; this form is one
+    * split per row and runs at scan speed.
+    */
+  def bpe_tokenize_augmented(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.toColumn(BpeTokenize(GraftBridge.toExpression(text), merges,
+      augmentAdjacent = true))
 }
 
 /** The merge table + encode loop, shared between interpreted eval and the
@@ -109,6 +127,34 @@ final class BpeCodec(merges: Seq[(String, String)]) extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Encode the adjacent-augmented stream of `text`: every whitespace
+    * word in order, then every in-order adjacent concatenation
+    * `w_i || w_{i+1}` — byte-identical to encoding
+    * `array_join(concat(words, pairs), ' ')` (the declarative
+    * `bpeAugmentedText` spec) but with ONE split per document.
+    */
+  def encodeDocAugmented(text: UTF8String): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = s.split("\\s+")
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < words.length) {
+      val toks = encodeWord(words(i))
+      var j = 0
+      while (j < toks.length) { out.add(toks(j)); j += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < words.length - 1) {
+      val toks = encodeWord(words(i) + words(i + 1))
+      var j = 0
+      while (j < toks.length) { out.add(toks(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private def encodeWord(w: String): Array[UTF8String] = {
     val cached = memo.get(w)
     if (cached != null) return cached
@@ -143,6 +189,13 @@ final class BpeCodec(merges: Seq[(String, String)]) extends Serializable {
     if (memo.size < BpeCodec.MemoCap) memo.putIfAbsent(w, out)
     out
   }
+
+  /** Deserialization resolves to the process-canonical instance for this
+    * merge table, so every plan (and every task deserialization of the
+    * same plan) shares ONE word→tokens memo per vocabulary instead of
+    * re-warming a private memo per expression instance.
+    */
+  private def readResolve(): Object = BpeCodec.canonical(merges)
 }
 
 object BpeCodec {
@@ -150,4 +203,14 @@ object BpeCodec {
     * single-digit MB per executor; real vocabularies fit with room over.
     */
   val MemoCap = 1 << 16
+
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], BpeCodec]()
+
+  /** The process-wide codec for `merges` — one memo per vocabulary per
+    * JVM (a handful of vocabularies per process; each bounded by
+    * [[MemoCap]]), shared across all expressions and tasks.
+    */
+  def canonical(merges: Seq[(String, String)]): BpeCodec =
+    instances.computeIfAbsent(merges, m => new BpeCodec(m))
 }

@@ -300,4 +300,25 @@ class BpeSpec extends SparkSpec {
     assert(r1 == r2)
     assert(r1(3).take(1) == List("ab"))
   }
+
+  test("imperative augmented encode == declarative bpeAugmentedText form") {
+    // bpeTokens500 now augments inside the codec (one split per row); it
+    // must stay token-identical to tokenizing the declarative
+    // bpeAugmentedText stream — the form the oracle SQL replays.
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ 'é')).map(_.mkString))
+    val doc = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts: Seq[String] = samples(doc, 120) ++ Seq("", "   ", "one",
+      "customer  filter\tjoin", "the quick brown fox", null)
+    val merges = graft.ext.text.BpeFixture500.Merges
+    val df = texts.toDF("text")
+    val fast = df.select(TextAnalysis.bpeTokens500(col("text")))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    val slow = df.select(BpeTokenize.bpe_tokenize(
+        TextAnalysis.bpeAugmentedText(col("text")), merges))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    assert(fast == slow, fast.zip(slow).zipWithIndex.collectFirst {
+      case ((f, s), i) if f != s => s"row $i '${texts(i)}': $f vs $s" }.toString)
+  }
 }

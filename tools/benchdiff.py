@@ -23,6 +23,13 @@ def load(path):
     d = json.load(open(path))
     if "parsed" in d and d["parsed"]:
         d = d["parsed"]
+    tel = d.get("telemetry")
+    if tel:
+        for phase in ("start", "end"):
+            s = tel.get(phase) or {}
+            print(f"{path} {phase}: loadavg={s.get('loadavg')} "
+                  f"io_some_avg10={s.get('io_some_avg10')} "
+                  f"io_full_avg10={s.get('io_full_avg10')}")
     return d.get("queries", {})
 
 
