@@ -212,6 +212,21 @@ object SparkEntry {
     // results are hash-collision-free by construction
     "x_dedup_lines_hashed" -> ((s, d) =>
       TextDedup.removeRepeatedLines(s, d, hashKeys = true)),
+    // exact substring dedup (Lee et al. 2022 ExactSubstr): 8-token spans
+    // in >= 2 distinct docs removed from every doc, tokens reassembled
+    // in order — the last public dedup family (lines/fingerprints cover
+    // fixed windows; this removes arbitrary repeated cross-doc ranges)
+    "x_dedup_substrings" -> ((s, d) =>
+      TextDedup.removeRepeatedSubstrings(s, d)),
+    // the xxhash64-keyed wire shape; same string-keyed oracle (results
+    // are collision-free by construction at gate scale)
+    "x_dedup_substr_hashed" -> ((s, d) =>
+      TextDedup.removeRepeatedSubstrings(s, d, hashKeys = true)),
+    // composition: substring-dedup -> per-source quality accounting
+    // (exact-integer kept ratio), proving the rewrite output feeds
+    // downstream curation without a materialization boundary
+    "x_substr_quality"   -> ((s, d) =>
+      TextDedup.substrQualityBySource(s, d)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
@@ -1560,6 +1575,12 @@ object SparkEntry {
     // the xxhash64-keyed production shape computes the identical result
     // (hash collisions aside), so the same string-keyed SQL verifies it
     "x_dedup_lines_hashed" -> repeatedLinesOracle,
+    // ExactSubstr replay: window slide -> df>=2 span selection -> covered
+    // positions -> in-order reassembly; the hashed twin verifies against
+    // the same string-keyed SQL (collision-free at gate scale)
+    "x_dedup_substrings" -> substrOracle,
+    "x_dedup_substr_hashed" -> substrOracle,
+    "x_substr_quality" -> substrQualityOracle,
     // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
     // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
     // so the result equals the exhaustive n-gram join
@@ -3253,6 +3274,65 @@ object SparkEntry {
       |  CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
       |  COALESCE(k.cleaned_text, '') AS cleaned_text
       |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin
+
+  /** Shared CTE chain for the ExactSubstr gates: slide the 8-token
+    * window per document, select spans in ≥2 distinct docs, mark covered
+    * token positions, reassemble survivors in order. Rooted at
+    * `documents` in the final select so null/short docs surface with
+    * zero spans and their full text kept.
+    */
+  private val substrCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |spans AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS start, t
+      |  FROM toks WHERE len(t) >= 8),
+      |grams AS (
+      |  SELECT doc_id, start,
+      |    array_to_string(t[start + 1 : start + 8], ' ') AS gram
+      |  FROM spans),
+      |hot AS (
+      |  SELECT gram FROM grams
+      |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |bad AS (
+      |  SELECT doc_id, list(start) AS bads FROM grams
+      |  WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, len(t))) AS j, t FROM toks),
+      |posk AS (
+      |  SELECT p.doc_id, p.j, p.t[p.j + 1] AS tok,
+      |    (b.bads IS NOT NULL AND len(list_filter(b.bads,
+      |      s -> p.j >= s AND p.j < s + 8)) > 0) AS covered
+      |  FROM pos p LEFT JOIN bad b USING (doc_id)),
+      |kept AS (
+      |  SELECT doc_id, count(*) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY j) AS cleaned_text
+      |  FROM posk WHERE NOT covered GROUP BY doc_id),
+      |cleaned AS (
+      |  SELECT d.doc_id,
+      |    CAST(COALESCE(len(t.t), 0) AS INTEGER) AS n_tokens,
+      |    CAST(COALESCE(k.kept_tokens, 0) AS INTEGER) AS kept_tokens,
+      |    COALESCE(k.cleaned_text, '') AS cleaned_text
+      |  FROM documents d
+      |  LEFT JOIN toks t USING (doc_id)
+      |  LEFT JOIN kept k USING (doc_id))""".stripMargin
+
+  private val substrOracle =
+    s"""$substrCtes
+      |SELECT doc_id, n_tokens, kept_tokens, cleaned_text FROM cleaned"""
+      .stripMargin
+
+  private val substrQualityOracle =
+    s"""$substrCtes
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(c.n_tokens - c.kept_tokens) AS BIGINT) AS removed_tokens,
+      |  count(*) FILTER (WHERE c.kept_tokens < c.n_tokens)
+      |    AS n_docs_affected,
+      |  round(CAST(sum(c.kept_tokens) AS DOUBLE) /
+      |    CAST(sum(c.n_tokens) AS DOUBLE), 4) AS kept_ratio
+      |FROM documents d JOIN cleaned c USING (doc_id)
+      |GROUP BY d.source""".stripMargin
 
   /** Shared by `x_multimodal_video` and `x_multimodal_vstats`: the
     * per-frame (doc_id, fi, w, h, cs) table replaying the motion-PNG

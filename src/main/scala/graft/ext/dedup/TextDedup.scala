@@ -79,6 +79,90 @@ object TextDedup {
           s => s("line"))).as("cleaned_text"))
   }
 
+  /** Exact SUBSTRING deduplication — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") ExactSubstr family:
+    * any `k`-token span occurring in ≥ `minDocs` DISTINCT documents is
+    * removed from EVERY document (the paper's all-occurrences rule —
+    * removing all copies of a duplicated span measurably helps and
+    * needs no arbitrary survivor choice), and each document is
+    * reassembled from its surviving tokens in order. Token `j` is
+    * removed iff some repeated span starting at `s ≤ j < s+k` covers it,
+    * so overlapping repeated spans union into one removed region —
+    * exactly the paper's "remove the repeated range" semantics at
+    * span-start granularity.
+    *
+    * Distributed shape (NEVER a suffix array on the driver, never
+    * all-pairs): pass one slides a width-`k` window per document (narrow,
+    * scan-speed) and aggregates span document-frequency with map-side
+    * combine — a syndicated span is a hot KEY, not a hot partition; pass
+    * two inner-joins the spans against the (small, ∝ true duplication)
+    * hot-span set, folds each document's repeated starts into one sorted
+    * array, and rewrites the document with a single co-partitioned join
+    * on doc_id. With `hashKeys = true` (the production wire shape, gated
+    * as `x_dedup_substr_hashed`) the df aggregate and marker join key on
+    * `xxhash64(span)` — 8 bytes per shuffled key regardless of k — with
+    * results identical modulo 64-bit collisions, which is why the
+    * string-keyed DuckDB oracle verifies both. At 100 TB nothing holds
+    * more than one document's tokens in memory at once, and the only
+    * corpus-sized shuffle carries (key, doc_id, start) triples.
+    */
+  def removeRepeatedSubstrings(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val spans = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))))
+      .withColumnRenamed("pos", "start")
+      .withColumnRenamed("col", "span")
+      .withColumn("key",
+        if (hashKeys) xxhash64(col("span")) else col("span"))
+    val hot = spans.groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("key"))
+    val bad = spans.join(hot, Seq("key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("bads"))
+    // left join + coalesce-to-empty so a doc with no repeated span (or
+    // null/short text) keeps everything; a null `exists` result would
+    // silently DROP tokens (filter treats null predicates as false)
+    toks.join(bad, Seq("doc_id"), "left")
+      .withColumn("bads",
+        coalesce(col("bads"), array().cast("array<int>")))
+      .withColumn("kept", when(col("t").isNull, array().cast("array<string>"))
+        .otherwise(filter(col("t"), (tok, j) =>
+          !exists(col("bads"), s => j >= s && j < s + k))))
+      .select(col("doc_id"),
+        coalesce(size(col("t")), lit(0)).as("n_tokens"),
+        size(col("kept")).as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
+  /** Composition gate: [[removeRepeatedSubstrings]] → per-source quality
+    * accounting — the "how much cross-document boilerplate did
+    * ExactSubstr reclaim, and from where" report a curation pipeline
+    * runs after the rewrite. The kept ratio divides two EXACT integer
+    * sums (one correctly-rounded double division, engine-stable), never
+    * averages per-doc floats whose summation order could drift.
+    */
+  def substrQualityBySource(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val cleaned = removeRepeatedSubstrings(spark, dir, k, minDocs)
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(cleaned, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_tokens") - col("kept_tokens")).cast("long")
+          .as("removed_tokens"),
+        count(when(col("kept_tokens") < col("n_tokens"), lit(1)))
+          .as("n_docs_affected"),
+        round(sum(col("kept_tokens")).cast("double") /
+          sum(col("n_tokens")).cast("double"), 4).as("kept_ratio"))
+  }
+
   /** Exact dedup accounting by content hash, per source: documents vs unique
     * documents (md5 — portable to every oracle engine).
     */

@@ -280,6 +280,100 @@ class TextDedupSpec extends SparkSpec {
     assert(byHash == byString)
     assert(byString.nonEmpty)
   }
+
+  private def substrRows(scratch: String, k: Int = 8) =
+    TextDedup.removeRepeatedSubstrings(spark, scratch, k = k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("kept_tokens"),
+          r.getAs[String]("cleaned_text"))).toMap
+
+  test("exact substring dedup removes a planted cross-doc span everywhere") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_substr_plant").toString
+    // "p q r s t u v w" (8 tokens) appears in docs 1 AND 2 at different
+    // offsets; Lee et al. semantics remove EVERY occurrence
+    Seq((1L, "p q r s t u v w x y z"),
+        (2L, "m n p q r s t u v w k"),
+        (3L, "totally unrelated content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = substrRows(scratch)
+    assert(out(1L) == ((11, 3, "x y z")))
+    assert(out(2L) == ((11, 3, "m n k")))
+    assert(out(3L)._1 == out(3L)._2, "untouched doc keeps everything")
+  }
+
+  test("within-one-doc repetition is df=1, never removed") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_substr_within").toString
+    val span = (1 to 8).map(i => s"a$i").mkString(" ")
+    Seq((1L, s"$span $span"), (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = substrRows(scratch)
+    assert(out(1L) == ((16, 16, s"$span $span")),
+      "a span repeated only inside one document is not cross-doc boilerplate")
+  }
+
+  test("overlapping repeated spans union into one removed region") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_substr_overlap").toString
+    // 9 shared consecutive tokens = two overlapping hot 8-grams; the
+    // covered region is their 9-token union, not 16 tokens
+    val nine = (1 to 9).map(i => s"s$i").mkString(" ")
+    Seq((1L, s"head $nine tail"), (2L, s"$nine other words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = substrRows(scratch)
+    assert(out(1L) == ((11, 2, "head tail")))
+    assert(out(2L) == ((12, 3, "other words here")))
+  }
+
+  test("substring dedup surfaces null/empty/short docs untouched") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_substr_null").toString
+    Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "just seven tokens"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = substrRows(scratch)
+    assert(out(1L) == ((0, 0, "")), "null-text doc surfaces, never vanishes")
+    // "" splits to one empty token (the lines-gate convention): 1 in, 1 kept
+    assert(out(2L) == ((1, 1, "")))
+    assert(out(3L) == ((3, 3, "just seven tokens")))
+  }
+
+  test("hash-keyed substring dedup equals the string-keyed form") {
+    val byString = TextDedup.removeRepeatedSubstrings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    val byHash = TextDedup.removeRepeatedSubstrings(spark, dir,
+        hashKeys = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(byHash == byString)
+    assert(byString.exists { case (_, n, kept, _) => kept < n },
+      "testdata's syndicated docs should lose at least one repeated span")
+  }
+
+  test("substring quality rollup conserves token accounting per source") {
+    val perDoc = TextDedup.removeRepeatedSubstrings(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens").toLong, r.getAs[Int]("kept_tokens").toLong))
+    val want = perDoc.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.map(_._2).sum,
+        rows.map(x => x._2 - x._3).sum) }
+    val got = TextDedup.substrQualityBySource(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("removed_tokens"))).toMap
+    assert(got == want)
+    TextDedup.substrQualityBySource(spark, dir).collect().foreach { r =>
+      val ratio = r.getAs[Double]("kept_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
 }
 
 class IncrementalClusterSpec extends SparkSpec {
