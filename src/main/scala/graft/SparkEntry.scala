@@ -295,6 +295,11 @@ object SparkEntry {
     // append-fragmented index compacted to one file per bucket (the
     // lake compactor on the index layout); probes must see no difference
     "x_ann_compact"      -> ((s, d) => Similarity.lshIndexCompactReport(s, d)),
+    // index DELETE lifecycle: tombstone the probe's 3 nearest (probes
+    // must stop returning them while still resident), then reclaim
+    // (same answers, rows physically gone, tombstones cleared) — the
+    // serving-index twin of p_snapshot_delete
+    "x_ann_delete"       -> ((s, d) => Similarity.lshIndexDeleteReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_ann_ivf_append"   -> ((s, d) => Similarity.ivfIndexAppendReport(s, d)),
     "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
@@ -421,6 +426,11 @@ object SparkEntry {
     // version per batch id; every batch is delivered TWICE and the
     // redelivery must no-op (at-least-once in, exactly-once table out)
     "p_stream_sink_lake" -> EventOps.streamSinkLake _,
+    // OPTIMIZE-races-ingest: streaming exactly-once appends WHILE a
+    // compactor thread publishes rewrites, both under CAS + OCC retry;
+    // the pinned contract is interleaving-invariant (rows exactly once,
+    // versions = appends + rewrites, history = 4 appends / 3 rewrites)
+    "p_lake_concurrent"  -> EventOps.streamConcurrentWriters _,
     // DESCRIBE HISTORY: append/delete/rewrite each one row with the
     // #rows= commit-log stat — history read from manifests, never data
     "p_lake_history"     -> EventOps.lakeHistory _,
@@ -2216,6 +2226,34 @@ object SparkEntry {
     // four interleaved append generations then Archive.compact on the
     // bucket layout: the compacted index answers identically
     "x_ann_compact" -> annTopkOracle,
+    // brute-force replay of the delete lifecycle: victims = exact top-3
+    // (the full-probe gate config is exact by construction), both stages
+    // answer top-10 over the survivors; physical row counts pin
+    // tombstoned (resident) vs compacted (reclaimed)
+    "x_ann_delete" ->
+      """WITH scored AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings WHERE vec_id <> 0),
+        |victims AS (
+        |  SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC
+        |  LIMIT 3),
+        |top AS (
+        |  SELECT vec_id, score FROM scored
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |n AS (SELECT count(*) AS total FROM embeddings)
+        |SELECT vec_id, score, 'tombstoned' AS stage,
+        |  CAST(3 AS BIGINT) AS n_tombstones,
+        |  (SELECT total FROM n) AS n_index_rows
+        |FROM top
+        |UNION ALL
+        |SELECT vec_id, score, 'compacted' AS stage,
+        |  CAST(0 AS BIGINT) AS n_tombstones,
+        |  (SELECT total FROM n) - 3 AS n_index_rows
+        |FROM top""".stripMargin,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,
@@ -3087,6 +3125,15 @@ object SparkEntry {
         |  1 AS n_kept_files, 4 AS n_total_files
         |FROM events WHERE value >= 320.0 AND event_type = 'click'
         |GROUP BY event_type""".stripMargin,
+    // a lost row (stale-read rewrite) or doubled batch breaks n/sum_id;
+    // a swallowed conflict or double-publish breaks the version columns
+    "p_lake_concurrent" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(7 AS BIGINT) AS n_versions,
+        |  CAST(4 AS BIGINT) AS n_appends,
+        |  CAST(3 AS BIGINT) AS n_rewrites
+        |FROM events GROUP BY event_type""".stripMargin,
     // a duplicated micro-batch would double a type's count/sum, an extra
     // published version would bump n_versions — both red here
     "p_stream_sink_lake" ->

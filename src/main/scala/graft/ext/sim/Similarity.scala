@@ -242,8 +242,14 @@ object Similarity {
       graft.functions.HyperplaneBucket.hyperplane_bucket(col("query_vec"), nBits)
         .as("qb")).collect().head.getInt(0)
     val keep = rankHammingBuckets(qb, nBits, probes)
-    val idx = spark.read.parquet(indexPath)
+    val pruned = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(keep: _*))
+    // every probe reads the LIVE view: tombstoned vectors are invisible
+    // the moment the delete lands (broadcast anti-join on the tiny
+    // tombstone set, applied AFTER bucket pruning so partition pruning
+    // is untouched); an index with no tombstones takes the plain path
+    val idx = lshTombstones(spark, indexPath).fold(pruned)(t =>
+      pruned.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val labeled = labelEq.fold(idx)(l => idx.filter(col("label") === l))
     val probed =
       excludeVecId.fold(labeled)(id => labeled.filter(col("vec_id") =!= id))
@@ -385,6 +391,89 @@ object Similarity {
       prefix = "graft_lsh_index_cmp")
     graft.lake.Archive.compact(spark, indexPath, Seq("bucket"))
     gateProbe(spark, indexPath, queryVec0(spark, dir))
+  }
+
+  /** The index's tombstone set, if any: deleted vec_ids live under
+    * `_tombstones/` INSIDE the index directory — the underscore prefix
+    * makes the parquet file index treat it as hidden, so plain index
+    * scans never read it as data, while every probe
+    * ([[lshTopKIndexed]]) anti-joins it out. None when no delete has
+    * ever landed (the existence check is one driver-side stat, so
+    * tombstone-free indexes pay nothing).
+    */
+  private def lshTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(indexPath, "_tombstones")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(spark.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
+  /** DELETE vectors from a persisted LSH index by tombstone — the
+    * GDPR/unlearning path the lake side already has
+    * (`Snapshots.delete`), now for the serving index: the delete is a
+    * tiny append (one parquet file of vec_ids under `_tombstones/`),
+    * never a resident-bucket rewrite — cost ∝ the delete, not the
+    * index. Probes exclude tombstoned ids immediately;
+    * [[lshIndexReclaim]] later rewrites buckets without them and
+    * clears the tombstones (physical reclamation). Idempotent: deleting
+    * an id twice appends a duplicate tombstone row, which the anti-join
+    * semantics absorb.
+    */
+  def deleteFromLshIndex(spark: SparkSession, indexPath: String,
+      vecIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    vecIds.toDF("vec_id").coalesce(1).write.mode("append")
+      .parquet(java.nio.file.Paths.get(indexPath, "_tombstones").toString)
+  }
+
+  /** Physically reclaim tombstoned vectors: rewrite every bucket from
+    * the LIVE view (one file per bucket, the compactor's layout) behind
+    * [[graft.lake.Archive.compact]]'s rename-aside swap. The
+    * `_tombstones/` directory lives inside the OLD index directory, so
+    * the swap retires it atomically with the rows it masked — after
+    * reclaim the index is byte-equivalent to one never containing the
+    * deleted vectors.
+    */
+  def lshIndexReclaim(spark: SparkSession, indexPath: String): Unit = {
+    val tomb = lshTombstones(spark, indexPath)
+    graft.lake.Archive.compact(spark, indexPath, Seq("bucket"),
+      rewrite = df => tomb.fold(df)(t =>
+        df.join(broadcast(t), Seq("vec_id"), "left_anti")))
+  }
+
+  /** Lifecycle gate for ANN deletes: build → probe → DELETE the probe's
+    * 3 nearest (deterministic victims: top of the full-probe ranking,
+    * which the oracle replays as brute force) → probe again (tombstone
+    * stage: deleted ids must be gone from results while still
+    * physically resident) → [[lshIndexReclaim]] → probe again
+    * (compacted stage: same answers, rows physically gone, tombstone
+    * set cleared). The two stages are pinned with physical row counts
+    * and tombstone counts, so "hidden but resident" and "reclaimed"
+    * are distinguishable in the contract, not just asserted.
+    */
+  def lshIndexDeleteReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = appendedIndex(spark, dir, generations = 2L,
+      prefix = "graft_lsh_index_del")
+    val q = queryVec0(spark, dir)
+    val victims = gateProbe(spark, indexPath, q)
+      .limit(3).collect().map(_.getLong(0)).toSeq   // 3 rows, driver-side
+    deleteFromLshIndex(spark, indexPath, victims)
+    def stage(name: String, nTomb: Long): DataFrame =
+      gateProbe(spark, indexPath, q)
+        .withColumn("stage", lit(name))
+        .withColumn("n_tombstones", lit(nTomb))
+        .withColumn("n_index_rows",
+          lit(spark.read.parquet(indexPath).count()))
+    val tombstoned = stage("tombstoned", victims.size.toLong)
+      .collect()                                    // pin BEFORE reclaim
+    val tombstonedDf = spark.createDataFrame(
+      java.util.Arrays.asList(tombstoned: _*),
+      stage("tombstoned", 0L).schema)
+    lshIndexReclaim(spark, indexPath)
+    require(lshTombstones(spark, indexPath).isEmpty,
+      "reclaim must clear the tombstone set")
+    tombstonedDf.unionAll(stage("compacted", 0L))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket

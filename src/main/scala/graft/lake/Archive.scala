@@ -84,9 +84,16 @@ object Archive {
     * layout compacts the same way — e.g. the ANN index's `bucket=`
     * directories after [[graft.ext.sim.Similarity.appendLshIndex]]
     * generations accrete (gated by `x_ann_compact`).
+    *
+    * `rewrite` transforms the content during the rewrite pass (default
+    * identity — pure compaction). This is the reclamation hook: a
+    * tombstone-aware caller passes the live-view anti-join
+    * ([[graft.ext.sim.Similarity.lshIndexReclaim]]) so deleted rows are
+    * physically dropped by the same atomic swap that collapses files.
     */
   def compact(spark: SparkSession, path: String,
-      partitionCols: Seq[String] = PartitionCols): Unit = {
+      partitionCols: Seq[String] = PartitionCols,
+      rewrite: DataFrame => DataFrame = identity): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
     // Path-based FileSystem resolution: `new URI(path)` throws on spaces
     // and other URI-illegal characters that are perfectly legal in paths
@@ -97,7 +104,7 @@ object Archive {
         "readers would silently lose every compacted row. Rewrite through " +
         "a fresh path (or a log-aware table format) instead.")
     val tmp = path + ".compacting"
-    val df = spark.read.parquet(path)
+    val df = rewrite(spark.read.parquet(path))
     // hash-repartition on the partition keys: every hive partition's rows
     // land in one task → one output file per partition
     df.repartition(partitionCols.map(df.col): _*)

@@ -91,6 +91,39 @@ object Snapshots {
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** Column reference robust to names a bare `col(name)` would
+    * mis-parse as nested-field access (dots) or break on (backticks).
+    */
+  private def qcol(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Render one stat value for the manifest. Timestamps are stored as
+    * epoch MICROS, not `CAST(ts AS STRING)`: the string render (and its
+    * re-parse in [[pruneFiles]]) goes through
+    * `spark.sql.session.timeZone` at call time, so a zone change
+    * between publish and prune would shift the reconstructed interval
+    * by the offset and let pruning prove "no match" for a file that
+    * HAS matching rows — the one failure mode an answer-preserving
+    * skipper must never have. Epoch micros round-trip zone-free (the
+    * Delta/Iceberg convention); [[decodeStat]] is the inverse.
+    */
+  private def encodeStat(dt: org.apache.spark.sql.types.DataType,
+      agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dt match {
+      case TimestampType => unix_micros(agg).cast("string")
+      case _ => agg.cast("string")
+    }
+
+  /** Inverse of [[encodeStat]]: reconstruct a typed bound from its
+    * manifest string, zone-free for timestamps.
+    */
+  private def decodeStat(raw: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case TimestampType => timestamp_micros(raw.cast("long"))
+      case _ => raw.cast(dt)
+    }
+
   private def statsLines(table: String, version: Int): Seq[String] =
     manifestLines(table, version).filter(_.startsWith("#stats="))
   private def statsRelOf(line: String): String =
@@ -111,9 +144,9 @@ object Snapshots {
       fresh.map(f => Paths.get(table).resolve(f).toString): _*)
     val cols = statFields(df.schema)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"m0_${f.name}"),
-        max(col(f.name)).cast("string").as(s"m1_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L))
+      Seq(encodeStat(f.dataType, min(qcol(f.name))).as(s"m0_${f.name}"),
+        encodeStat(f.dataType, max(qcol(f.name))).as(s"m1_${f.name}"),
+        sum(when(qcol(f.name).isNull, 1L).otherwise(0L))
           .as(s"nn_${f.name}"))
     }
     val perFile = df.groupBy(input_file_name().as("__f"))
@@ -156,10 +189,21 @@ object Snapshots {
     * header-less manifest (pre-header table) reads as "append".
     */
   def opKind(table: String, version: Int): String =
+    opKindOpt(table, version).getOrElse("append")
+
+  /** [[opKind]] without the "append" default: None for a header-less
+    * manifest (published by pre-header code), where the operation that
+    * produced the version is genuinely UNKNOWN. Consumers whose
+    * correctness depends on the kind (the change feed's span guard)
+    * must use this form — defaulting an unknown rewrite/delete to
+    * "append" would let the manifest set-difference double-count every
+    * republished row as an add.
+    */
+  def opKindOpt(table: String, version: Int): Option[String] =
     manifestLines(table, version).collectFirst {
       case l if l.startsWith("#op=") =>
         l.stripPrefix("#op=").takeWhile(_ != '|')
-    }.getOrElse("append")
+    }
 
   /** The SQL predicate a `delete` version removed, None otherwise.
     * Stored base64-encoded in the manifest header so the change feed
@@ -330,6 +374,44 @@ object Snapshots {
       case e: IllegalStateException =>
         if (lastBatchId(table).exists(_ >= batchId)) None else throw e
     }
+  }
+
+  /** Optimistic-concurrency retry around [[appendBatch]] — the commit
+    * protocol every lakehouse runs when ingest races maintenance
+    * (Delta's conflict-detection-and-retry, Iceberg's commit loop): a
+    * lost CAS against a CONCURRENT writer re-reads the new latest
+    * version and re-attempts, because an append COMMUTES with any
+    * content-preserving rewrite/compaction (the delta rows are new
+    * either way) and a duplicate delivery of this same batch id still
+    * degrades to the no-op inside [[appendBatch]]. Losers clean up
+    * their staged files before retrying (publishManifest deletes the
+    * owned subdirectory on EEXIST), so retries never leak data files.
+    * Bounded attempts keep a livelock loud instead of silent.
+    */
+  def appendBatchRetry(df: DataFrame, table: String, batchId: Long,
+      maxAttempts: Int = 32): Option[Int] = {
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return appendBatch(df, table, batchId)
+      catch { case _: IllegalStateException => attempt += 1 }
+    }
+    appendBatch(df, table, batchId) // last attempt surfaces the conflict
+  }
+
+  /** [[rewrite]] under the same OCC retry loop: a compactor that loses
+    * its CAS to a concurrent ingest re-reads (picking up the newly
+    * appended rows — a rewrite must republish the LATEST content, so
+    * retrying from a stale read would be wrong and the loop re-enters
+    * [[rewrite]] from scratch) and re-attempts publication.
+    */
+  def rewriteRetry(spark: SparkSession, table: String,
+      targetFiles: Int = 1, maxAttempts: Int = 32): Int = {
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return rewrite(spark, table, targetFiles)
+      catch { case _: IllegalStateException => attempt += 1 }
+    }
+    rewrite(spark, table, targetFiles)
   }
 
   /** Commit history — DESCRIBE HISTORY for the snapshot table: one row
@@ -513,10 +595,15 @@ object Snapshots {
     // span's first offending version instead of silently over-reporting
     // — the consumer re-syncs from a post-rewrite baseline.
     ((fromVersion + 1) to toVersion).foreach { v =>
-      val op = opKind(table, v)
-      require(op == "append",
+      // header-less manifests (pre-header publishers) are UNKNOWN, not
+      // appends: a rewrite published by old code would pass an
+      // append-defaulting guard and double-count every republished row
+      val op = opKindOpt(table, v)
+      require(op.contains("append"),
         s"change-feed span v$fromVersion..v$toVersion of $table crosses" +
-          s" a $op at v$v — re-baseline the consumer at v$v instead")
+          s" a ${op.getOrElse("version of unknown kind (header-less " +
+            "manifest; rewrite the table once to re-baseline)")} at v$v" +
+          s" — re-baseline the consumer at v$v instead")
     }
     val before =
       if (fromVersion == 0) Set.empty[String]
@@ -619,8 +706,8 @@ object Snapshots {
         case None => lit(true)
         case Some(f) =>
           val tracked = element_at(col("nulls"), f.name).isNotNull
-          val mn = element_at(col("mins"), f.name).cast(f.dataType)
-          val mx = element_at(col("maxs"), f.name).cast(f.dataType)
+          val mn = decodeStat(element_at(col("mins"), f.name), f.dataType)
+          val mx = decodeStat(element_at(col("maxs"), f.name), f.dataType)
           when(!tracked, lit(true))
             .otherwise(coalesce(interval(mn, mx), lit(false)))
       }

@@ -314,8 +314,28 @@ object EventOps {
           val qq = writer
             .trigger(Trigger.ProcessingTime("1000 milliseconds")).start()
           val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-          while (qq.isActive && qq.recentProgress.iterator
-              .map(_.numInputRows).sum < total) {
+          // accumulate input rows INCREMENTALLY from lastProgress deltas
+          // by batchId: recentProgress is a ring buffer (default 100
+          // entries), so re-summing it loses evicted batches' counts
+          // once a slow drain crosses ~100 triggers and the loop could
+          // then only exit via the timeout below
+          var seen = 0L
+          var lastBatch = -1L
+          def consumed(): Long = {
+            val p = qq.lastProgress
+            if (p != null && p.batchId > lastBatch) {
+              // between polls more than one batch may complete; fold in
+              // any ring entries newer than the last counted batch, then
+              // the latest progress itself
+              qq.recentProgress.iterator
+                .filter(rp => rp.batchId > lastBatch && rp.batchId < p.batchId)
+                .foreach(rp => seen += rp.numInputRows)
+              seen += p.numInputRows
+              lastBatch = p.batchId
+            }
+            seen
+          }
+          while (qq.isActive && consumed() < total) {
             if (System.nanoTime() > deadline) {
               qq.stop()
               sys.error(s"drain of $sink timed out before $total input rows")
@@ -1518,12 +1538,28 @@ object EventOps {
           col("user_id"), col("event_type"), col("value"))
         // ONE ingest producing four range-clustered files — the CLUSTER
         // BY layout whose per-file stats make skipping effective (a
-        // value-shuffled layout would keep every file). Range boundaries
-        // come from deterministic sampling, so the file ranges are
-        // disjoint and ordered: exactly ONE file (the top range) can
-        // admit value >= 320 regardless of where the sampled boundaries
-        // land.
-        Snapshots.append(ev.repartitionByRange(4, col("value")), table)
+        // value-shuffled layout would keep every file). The bands are
+        // EXPLICIT cuts (not repartitionByRange's sampled boundaries,
+        // which only guaranteed one admissible file while the sampler
+        // happened to place the third boundary at or below the
+        // predicate cutoff): the top band starts exactly at the gate
+        // predicate's 320.0, so precisely one file can admit
+        // value >= 320 by construction, at any SF and under any
+        // regenerated fixture. Routing: each band gets a KEY whose
+        // Murmur3 hash lands in its own partition of 4 (hash%4 of
+        // 12/6/2/0 = 0/1/2/3 — fixed seed, engine constant; a
+        // union-of-coalesced/repartitioned legs form would NOT work,
+        // the optimizer collapses per-leg repartitions through Union
+        // to one partition). The require keeps layout drift loud.
+        val bandKey = when(col("value") < 100.0, 12)
+          .when(col("value") < 200.0, 6)
+          .when(col("value") < 320.0, 2)
+          .otherwise(0)
+        Snapshots.append(
+          ev.withColumn("__band", bandKey)
+            .repartition(4, col("__band")).drop("__band"), table)
+        val n = Snapshots.fileStats(table, 1).size
+        require(n == 4, s"skipping fixture expected 4 band files, got $n")
         table
       })
 
@@ -1637,6 +1673,79 @@ object EventOps {
         sum(col("event_id")).cast("long").as("sum_id"))
       .withColumn("n_versions",
         lit(graft.lake.Snapshots.latestVersion(table).toLong))
+  }
+
+  /** CONCURRENT-WRITER composition — the OPTIMIZE-races-ingest
+    * production incident: a streaming ingest publishes exactly-once
+    * batches ([[graft.lake.Snapshots.appendBatchRetry]]) WHILE a
+    * compactor thread publishes content-preserving rewrites
+    * ([[graft.lake.Snapshots.rewriteRetry]]), both under the lake's
+    * CAS + OCC-retry commit protocol. The contract is
+    * interleaving-INVARIANT (which is what makes it oracle-checkable
+    * despite a real race): whatever order the CAS serializes, the
+    * final table holds every staged row exactly once, the version
+    * count is appends + rewrites (each publication wins exactly one
+    * version; losers retry, never vanish and never double-publish),
+    * and the history records exactly 4 appends and 3 rewrites. A lost
+    * row (rewrite from a stale read), a doubled batch (retry
+    * re-publishing a delivered id), or a swallowed conflict (either
+    * writer giving up) each break a pinned column.
+    */
+  def streamConcurrentWriters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.Snapshots
+    val stage = graft.util.Scratch.dir("graft_ccw_src")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val base = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      stageParquetFile(raw.filter(col("event_id") % 4 === i), stage,
+        s"s$i.parquet", base + i * 60000L)
+    }
+    val table = graft.util.Scratch.dir("graft_ccw_lake").toString
+    val nRewrites = 3
+    @volatile var compactorErr: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try {
+        var done = 0
+        while (done < nRewrites) {
+          if (Snapshots.latestVersion(table) >= 1) {
+            Snapshots.rewriteRetry(spark, table)
+            done += 1
+            Thread.sleep(150) // spread rewrites across the batch drain
+          } else Thread.sleep(5)
+        }
+      } catch { case t: Throwable => compactorErr = Some(t) }
+    }, "graft-ccw-compactor")
+    compactor.setDaemon(true)
+    compactor.start()
+    val rec = graft.util.EventTs.readEventsStream(spark, dir,
+        stage.toString, options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val q = rec.writeStream
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft_ccw_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, bid: Long) =>
+        require(Snapshots.appendBatchRetry(bdf, table, bid).isDefined,
+          s"batch $bid was not published")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    compactor.join(120000)
+    compactorErr.foreach(t => throw t)
+    require(!compactor.isAlive, "compactor did not finish its rewrites")
+    val hist = Snapshots.history(spark, table)
+    def ops(kind: String): Long =
+      hist.filter(col("op") === kind).count()
+    Snapshots.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("long").as("sum_id"))
+      .withColumn("n_versions",
+        lit(Snapshots.latestVersion(table).toLong))
+      .withColumn("n_appends", lit(ops("append")))
+      .withColumn("n_rewrites", lit(ops("rewrite")))
   }
 
   /** Batch-bootstrap → streaming-tail HANDOFF (the kappa backfill): a

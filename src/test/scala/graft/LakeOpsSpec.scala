@@ -269,6 +269,97 @@ class MergeUpsertSpec extends SparkSpec {
     assert(answer("k >= 10") == Seq(10L, 20L, 21L))
   }
 
+  test("timestamp stats prune zone-free: publish and prune under different session TZs") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_skip_tz").toString
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      // publish under UTC: two files with disjoint hour bands
+      spark.conf.set(tzKey, "UTC")
+      Snapshots.append(Seq(1L, 2L).toDF("id").select(col("id"),
+        to_timestamp(lit("2024-03-01 01:00:00")).as("ts")).repartition(1),
+        table)
+      Snapshots.append(Seq(3L, 4L).toDF("id").select(col("id"),
+        to_timestamp(lit("2024-03-01 13:00:00")).as("ts")).repartition(1),
+        table)
+      // prune under a +14h zone: the stored stat must reconstruct the
+      // SAME instant — a session-zone string round-trip would shift the
+      // interval by the offset and prune the matching file away
+      spark.conf.set(tzKey, "Pacific/Kiritimati")
+      val pred = "ts >= TIMESTAMP'2024-03-01 13:00:00'"
+      // under +14, 13:00 local = 2024-02-29T23:00 UTC — BOTH files match
+      val (kept, all) = Snapshots.pruneFiles(spark, table, pred)
+      assert(all.size == 2)
+      val ans = Snapshots.prunedScan(spark, table, pred)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = Snapshots.read(spark, table).filter(expr(pred))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ans == want, "pruned answer drifted across a TZ change")
+      assert(want == Seq(1L, 2L, 3L, 4L))
+      assert(kept.size == 2)
+      // and pruning still bites zone-free: a UTC-anchored literal that
+      // only the second file can match keeps exactly one file
+      spark.conf.set(tzKey, "UTC")
+      assert(Snapshots.pruneFiles(spark, table,
+        "ts >= TIMESTAMP'2024-03-01 13:00:00'")._1.size == 1)
+    } finally spark.conf.set(tzKey, prev)
+  }
+
+  test("stats tolerate column names with dots and backticks") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_skip_dots").toString
+    val df = Seq((1L, 5L), (2L, 9L)).toDF("a.b", "c`d")
+    Snapshots.append(df.repartition(1), table)   // stats pass must not throw
+    val stats = Snapshots.fileStats(table, 1)
+    assert(stats.size == 1)
+    assert(stats.head.cols.keySet == Set("a.b", "c`d"))
+    assert(stats.head.cols("a.b").min.contains("1"))
+    assert(stats.head.cols("c`d").max.contains("9"))
+  }
+
+  test("concurrent appends and rewrites serialize under OCC retry: no lost or doubled rows") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_ccw_spec").toString
+    val nBatches = 6; val nRewrites = 4
+    @volatile var err: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try {
+        var done = 0
+        while (done < nRewrites) {
+          if (Snapshots.latestVersion(table) >= 1) {
+            Snapshots.rewriteRetry(spark, table); done += 1
+          } else Thread.sleep(2)
+        }
+      } catch { case t: Throwable => err = Some(t) }
+    })
+    compactor.start()
+    (0 until nBatches).foreach { b =>
+      val slice = ((b * 10) until (b * 10 + 10)).map(i => (i.toLong, s"r$i"))
+      assert(Snapshots.appendBatchRetry(
+        slice.toDF("k", "s"), table, b.toLong).isDefined,
+        s"batch $b must eventually publish")
+      // duplicate delivery of a published id stays a no-op under retry
+      assert(Snapshots.appendBatchRetry(
+        slice.toDF("k", "s"), table, b.toLong).isEmpty)
+    }
+    compactor.join(120000)
+    err.foreach(t => throw t)
+    assert(!compactor.isAlive)
+    // interleaving-invariant contract: every row exactly once, every
+    // publication exactly one version, history = appends + rewrites
+    val ks = Snapshots.read(spark, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L until (nBatches * 10).toLong))
+    assert(Snapshots.latestVersion(table) == nBatches + nRewrites)
+    val ops = Snapshots.history(spark, table).collect()
+      .groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    assert(ops == Map("append" -> nBatches, "rewrite" -> nRewrites))
+  }
+
   test("change feed refuses spans crossing a rewrite/delete; empty delta is empty, not an error") {
     import spark.implicits._
     import graft.lake.Snapshots
@@ -409,6 +500,42 @@ class CompactionSpec extends SparkSpec {
     assert(filesPerBucket().values.forall(_ == 1), filesPerBucket().toString)
     assert(answer() == before)
     // pruning survives the rewrite (bucket stays the partition column)
+    val plan = spark.read.parquet(indexPath)
+      .filter(col("bucket") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("ANN delete: tombstoned vectors vanish from probes, reclaim drops them physically") {
+    import graft.ext.sim.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = graft.util.Scratch.dir("graft_del_spec").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    (0L until 2L).foreach(g =>
+      Similarity.appendLshIndex(
+        e.filter(pmod(col("vec_id"), lit(2L)) === g), indexPath, nBits = 6))
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    def answer(): List[Long] = Similarity
+      .lshTopKIndexed(spark, indexPath, qVec, nBits = 6, probes = 64,
+        excludeVecId = Some(0L))
+      .collect().map(_.getLong(0)).toList
+    val before = answer()
+    val victims = before.take(3)
+    Similarity.deleteFromLshIndex(spark, indexPath, victims)
+    // a second delete of the same ids is an absorbed no-op, not a double
+    Similarity.deleteFromLshIndex(spark, indexPath, victims.take(1))
+    val masked = answer()
+    assert(victims.forall(v => !masked.contains(v)),
+      s"tombstoned $victims still probed: $masked")
+    assert(masked.size == 10, "k results still returned after delete")
+    val physicalBefore = spark.read.parquet(indexPath).count()
+    Similarity.lshIndexReclaim(spark, indexPath)
+    assert(answer() == masked, "reclaim changed probe answers")
+    assert(spark.read.parquet(indexPath).count() == physicalBefore - 3,
+      "reclaim must physically drop exactly the tombstoned rows")
+    assert(!new java.io.File(indexPath, "_tombstones").exists(),
+      "reclaim must clear the tombstone set")
+    // pruning survives the reclaim rewrite
     val plan = spark.read.parquet(indexPath)
       .filter(col("bucket") === 3).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))

@@ -159,6 +159,7 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_exact", "x_dedup_ngram", "x_dedup_minhash",
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
+      "x_dedup_substrings", "x_dedup_substr_hashed", "x_substr_quality",
       "x_text_tokens", "x_text_bpe", "x_text_nfc", "x_pack_bpe",
       "x_text_extract", "x_extract_dedup", "x_graph_triangles",
       "x_text_quality", "x_text_langid",
@@ -197,7 +198,7 @@ class ScaleSpec extends SparkSpec {
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
       "x_dedup_stream", "p_state_ttl", "p_stream_backfill",
-      "p_stream_sink_lake",
+      "p_stream_sink_lake", "p_lake_concurrent",
       // write/stage side effects on construction (covered by their specs)
       // x_text_winnow_pairs: localCheckpoint materializes the fingerprint
       // table on construction AND truncates the inspectable plan at the
@@ -208,6 +209,7 @@ class ScaleSpec extends SparkSpec {
       "p_bucketed_join", "p_schema_evolve", "p_salted_stats",
       "x_jsonl_roundtrip", "x_sql_surface",
       "x_ann_lsh_indexed", "x_ann_lsh_append", "x_ann_compact",
+      "x_ann_delete",
       "x_ann_ivf_indexed", "x_ann_ivf_append", "x_ann_ivfpq_indexed",
       // driver-side collect in construction (index build / query vector /
       // bloom bytes)
