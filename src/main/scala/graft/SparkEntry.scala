@@ -429,7 +429,7 @@ object SparkEntry {
     // OPTIMIZE-races-ingest: streaming exactly-once appends WHILE a
     // compactor thread publishes rewrites, both under CAS + OCC retry;
     // the pinned contract is interleaving-invariant (rows exactly once,
-    // versions = appends + rewrites, history = 4 appends / 3 rewrites)
+    // versions = appends + rewrites, history = 3 appends / 2 rewrites)
     "p_lake_concurrent"  -> EventOps.streamConcurrentWriters _,
     // DESCRIBE HISTORY: append/delete/rewrite each one row with the
     // #rows= commit-log stat — history read from manifests, never data
@@ -3130,9 +3130,9 @@ object SparkEntry {
     "p_lake_concurrent" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(7 AS BIGINT) AS n_versions,
-        |  CAST(4 AS BIGINT) AS n_appends,
-        |  CAST(3 AS BIGINT) AS n_rewrites
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  CAST(3 AS BIGINT) AS n_appends,
+        |  CAST(2 AS BIGINT) AS n_rewrites
         |FROM events GROUP BY event_type""".stripMargin,
     // a duplicated micro-batch would double a type's count/sum, an extra
     // published version would bump n_versions — both red here

@@ -453,14 +453,22 @@ object Similarity {
     * are distinguishable in the contract, not just asserted.
     */
   def lshIndexDeleteReport(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = appendedIndex(spark, dir, generations = 2L,
-      prefix = "graft_lsh_index_del")
+    // private mutable path (the gate deletes + rewrites), single build:
+    // generational accretion is x_ann_append/compact's contract, not
+    // this one's. nBits = 4 (16 buckets) keeps the lifecycle's two
+    // full-directory rewrites at 16 files each while probes stay EXACT
+    // (probes = 16 = every bucket), so the oracle is still brute force.
+    val indexPath = graft.util.Scratch.dir("graft_lsh_index_del").toString
+    writeLshIndex(spark, dir, indexPath, nBits = 4)
     val q = queryVec0(spark, dir)
-    val victims = gateProbe(spark, indexPath, q)
+    def probe(): DataFrame =
+      lshTopKIndexed(spark, indexPath, q, nBits = 4, probes = 16,
+        excludeVecId = Some(0L))
+    val victims = probe()
       .limit(3).collect().map(_.getLong(0)).toSeq   // 3 rows, driver-side
     deleteFromLshIndex(spark, indexPath, victims)
     def stage(name: String, nTomb: Long): DataFrame =
-      gateProbe(spark, indexPath, q)
+      probe()
         .withColumn("stage", lit(name))
         .withColumn("n_tombstones", lit(nTomb))
         .withColumn("n_index_rows",

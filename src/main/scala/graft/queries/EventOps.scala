@@ -1686,7 +1686,7 @@ object EventOps {
     * final table holds every staged row exactly once, the version
     * count is appends + rewrites (each publication wins exactly one
     * version; losers retry, never vanish and never double-publish),
-    * and the history records exactly 4 appends and 3 rewrites. A lost
+    * and the history records exactly 3 appends and 2 rewrites. A lost
     * row (rewrite from a stale read), a doubled batch (retry
     * re-publishing a delivered id), or a swallowed conflict (either
     * writer giving up) each break a pinned column.
@@ -1697,12 +1697,12 @@ object EventOps {
     val stage = graft.util.Scratch.dir("graft_ccw_src")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val base = System.currentTimeMillis()
-    (0 until 4).foreach { i =>
-      stageParquetFile(raw.filter(col("event_id") % 4 === i), stage,
+    (0 until 3).foreach { i =>
+      stageParquetFile(raw.filter(col("event_id") % 3 === i), stage,
         s"s$i.parquet", base + i * 60000L)
     }
     val table = graft.util.Scratch.dir("graft_ccw_lake").toString
-    val nRewrites = 3
+    val nRewrites = 2
     @volatile var compactorErr: Option[Throwable] = None
     val compactor = new Thread(() => {
       try {
