@@ -305,6 +305,10 @@ object SparkEntry {
     "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
     "x_embed_stats"      -> Similarity.normStats _,
     "x_embed_quantize"   -> ((s, d) => Similarity.quantizeReport(s, d)),
+    // distributed Lloyd over int8-quantized codes: integer-exact
+    // assignment/update, 2 iterations, deterministic init — the
+    // corpus-scale clustering primitive, fully DuckDB-replayable
+    "x_embed_kmeans"     -> ((s, d) => Similarity.kmeansQuantized(s, d)),
     "x_embed_neardup"    -> ((s, d) => Similarity.embedNearDupGate(s, d)),
     // SemDeDup (cluster -> within-cluster lower-id prune) with literal
     // integer hyperplane clusters + planted twins, fully DuckDB-oracled
@@ -2409,6 +2413,7 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     // integer checksums: associative sums, immune to FP reduction order;
     // floor(x+0.5) is the shared bit-deterministic rounding rule
+    "x_embed_kmeans" -> kmeansOracle,
     "x_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3666,6 +3671,70 @@ object SparkEntry {
       |SELECT d1, d2, round(shared / (n1 + n2 - shared), 3) AS jaccard
       |FROM pairs
       |WHERE round(shared / (n1 + n2 - shared), 3) >= 0.8""".stripMargin
+
+  /** Unrolled 2-iteration Lloyd replay over the quantized codes (the
+    * same `codes` formula as the x_embed_quantize oracle): assignment =
+    * integer argmin with row_number ties to the lowest centroid,
+    * update = floor(sum/n) per dimension with empty clusters keeping
+    * their previous centroid — exactly Similarity.kmeansQuantized.
+    */
+  private val kmeansOracle: String = {
+    def assign(a: String, cent: String) =
+      s"""$a AS (
+         |  SELECT vec_id, codes, c, d FROM (
+         |    SELECT vec_id, codes, c, d,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d ASC, c ASC) AS rn
+         |    FROM (
+         |      SELECT cd.vec_id AS vec_id, cd.codes AS codes, ct.c AS c,
+         |        list_reduce(list_transform(range(1, len(cd.codes) + 1),
+         |          i -> (CAST(cd.codes[i] AS BIGINT) - ct.cc[i])
+         |             * (CAST(cd.codes[i] AS BIGINT) - ct.cc[i])),
+         |          (x, y) -> x + y) AS d
+         |      FROM cds cd CROSS JOIN $cent ct) dd) t
+         |  WHERE rn = 1)""".stripMargin
+    def update(next: String, a: String, prev: String) =
+      s"""$next AS (
+         |  SELECT c, list(v ORDER BY dim) AS cc FROM (
+         |    SELECT c, i AS dim,
+         |      CAST(floor(CAST(sum(codes[i]) AS DOUBLE) / count(*))
+         |        AS BIGINT) AS v
+         |    FROM $a, unnest(range(1, len(codes) + 1)) AS r(i)
+         |    GROUP BY c, i) u
+         |  GROUP BY c
+         |  UNION ALL
+         |  SELECT p.c, p.cc FROM $prev p
+         |  WHERE p.c NOT IN (SELECT DISTINCT c FROM $a))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, e,
+       |    CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+       |  FROM (SELECT vec_id, e,
+       |          list_max(list_transform(e, x -> abs(x))) AS m FROM q) t),
+       |cds AS (
+       |  SELECT vec_id,
+       |    list_transform(e,
+       |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS codes
+       |  FROM s),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |      AS c,
+       |    list_transform(codes, x -> CAST(x AS BIGINT)) AS cc
+       |  FROM (SELECT vec_id, codes FROM cds ORDER BY vec_id LIMIT 4) i),
+       |${assign("a1", "cent0")},
+       |${update("cent1", "a1", "cent0")},
+       |${assign("a2", "cent1")},
+       |${update("cent2", "a2", "cent1")},
+       |${assign("a3", "cent2")}
+       |SELECT a.c AS cluster, count(*) AS n,
+       |  CAST(sum(a.vec_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(a.d) AS BIGINT) AS inertia,
+       |  CAST(min(cs.s) AS BIGINT) AS centroid_sum
+       |FROM a3 a JOIN (SELECT c, list_sum(cc) AS s FROM cent2) cs
+       |  ON a.c = cs.c
+       |GROUP BY a.c""".stripMargin
+  }
 
   private val annTopkOracle =
     """SELECT vec_id,

@@ -1092,6 +1092,91 @@ object Similarity {
         aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("codes_l1"),
         size(filter(col("codes"), c => abs(c) === 127)).as("n_saturated"))
 
+  /** DISTRIBUTED Lloyd's k-means over the int8-quantized embedding codes
+    * — the corpus-scale clustering primitive behind SemDeDup's clusters,
+    * IVF list training, and curriculum bucketing, as a first-class
+    * oracle-gated operator (the float-centroid sample trainer
+    * [[ivfFitCentroids]] stays the IVF coarse quantizer; it is
+    * deliberately NOT gated because learned float centroids aren't
+    * SQL-replayable). Quantized codes make every step integer-EXACT and
+    * engine-replayable: distances are integer sums of squares,
+    * centroid updates are floor(sum/n) on exact integers (one
+    * correctly-rounded double division), ties break to the lowest
+    * centroid index. Deterministic init: the k smallest vec_ids' code
+    * vectors.
+    *
+    * Scale shape — the real distributed Lloyd, not the driver-sample
+    * shortcut: each iteration is ONE narrow codegen'd assignment pass
+    * (the k×dims centroid matrix rides into executors as literals —
+    * kilobytes) plus ONE k×dims-group aggregate with map-side partial
+    * combine; the only driver-side materialization is the k×dims
+    * codebook itself, the artifact every consumer needs anyway. Nothing
+    * is ∝ corpus size on the driver, and the corpus never reshuffles —
+    * at 100 TB each iteration reads the codes once at scan speed.
+    */
+  def kmeansQuantized(spark: SparkSession, dir: String, k: Int = 4,
+      iterations: Int = 2): DataFrame = {
+    // materialize the codes once (tiny next to the corpus; the codes
+    // table is a corpus-snapshot artifact anyway) so the 2·iterations+2
+    // downstream actions replan a one-node scan instead of the whole
+    // quantize pipeline
+    val codes = quantizeInt8(emb(spark, dir))
+      .select(col("vec_id"), col("codes")).localCheckpoint(true)
+    var centroids: Seq[Seq[Long]] = codes.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Int](1).map(_.toLong)).toSeq
+    // project the k distances as NAMED columns first, so each
+    // zip_with/aggregate tree appears exactly once in the plan — the
+    // argmin CASE and the inertia lookup then reference the columns,
+    // not copies of the trees
+    def withDists(cents: Seq[Seq[Long]]): DataFrame =
+      codes.select(col("vec_id") +: col("codes") +:
+        cents.zipWithIndex.map { case (cent, i) =>
+          aggregate(
+            zip_with(col("codes"), typedLit(cent),
+              (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+            lit(0L), (acc, x) => acc + x).as(s"d$i")
+        }: _*)
+    // argmin with ties to the LOWEST index: i wins iff d_i <= d_j ∀ j>i,
+    // tested from i = 0 outward
+    def assignCol(n: Int): Column = {
+      var c: Column = lit(n - 1)
+      for (i <- n - 2 to 0 by -1) {
+        val leAll = (i + 1 until n)
+          .map(j => col(s"d$i") <= col(s"d$j")).reduce(_ && _)
+        c = when(leAll, lit(i)).otherwise(c)
+      }
+      c
+    }
+    for (_ <- 1 to iterations) {
+      val sums = withDists(centroids).withColumn("c", assignCol(k))
+        .select(col("c"), posexplode(col("codes")).as(Seq("d", "v")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()                      // k×dims rows — the codebook
+      val byC = sums.groupBy(_.getInt(0))
+      centroids = (0 until k).map(c => byC.get(c) match {
+        case Some(rows) => rows
+          .map(r => (r.getInt(1),
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong))
+          .sortBy(_._1).map(_._2).toSeq
+        case None => centroids(c)       // empty cluster keeps its centroid
+      })
+    }
+    val centroidSums: Seq[Long] = centroids.map(_.sum)
+    withDists(centroids).withColumn("c", assignCol(k))
+      .withColumn("dist",
+        element_at(array((0 until k).map(i => col(s"d$i")): _*),
+          col("c") + 1))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vec_id")).cast("long").as("sum_ids"),
+        sum(col("dist")).cast("long").as("inertia"))
+      .select(col("c").as("cluster"), col("n"), col("sum_ids"),
+        col("inertia"),
+        element_at(typedLit(centroidSums), col("c") + 1)
+          .as("centroid_sum"))
+  }
+
   /** Embedding column statistics per label: count, mean norm — the sanity
     * profile a pipeline runs before indexing.
     */

@@ -505,6 +505,43 @@ class CompactionSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("quantized k-means recovers planted clusters and keeps empty centroids") {
+    import spark.implicits._
+    import graft.ext.sim.Similarity
+    val scratch = graft.util.Scratch.dir("graft_km_spec").toString
+    // 4 tight clusters at scaled basis directions; vec_ids 0..3 are one
+    // member of each cluster, so the k-smallest-ids init starts spread
+    val rows = (0 until 40).map { i =>
+      val cluster = i % 4
+      val base = Array.fill(8)(0.1f)
+      base(cluster * 2) = 10.0f + (i / 4) * 0.01f   // tight, distinct
+      (i.toLong, base.toSeq, cluster)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val out = Similarity.kmeansQuantized(spark, scratch).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every planted cluster recovered wholesale: 10 members each, and
+    // the id-sum per cluster matches the planted residue class
+    assert(out.keySet == Set(0, 1, 2, 3))
+    (0 until 4).foreach { c =>
+      val ids = (0 until 40).filter(_ % 4 == c).map(_.toLong)
+      assert(out(c) == ((10L, ids.sum)),
+        s"cluster $c: got ${out(c)}, want (10, ${ids.sum})")
+    }
+    // empty-cluster rule: with all points identical, clusters 1..3 go
+    // empty after the first update and must KEEP their init centroids
+    // (not crash or emit nulls); every point lands in cluster 0 (lowest
+    // index wins ties)
+    val same = (0 until 12).map(i => (i.toLong, Seq.fill(8)(1.0f), 0))
+    same.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val degenerate = Similarity.kmeansQuantized(spark, scratch).collect()
+    assert(degenerate.map(_.getInt(0)).toSeq == Seq(0))
+    assert(degenerate.head.getLong(1) == 12L)
+    assert(degenerate.head.getLong(3) == 0L, "identical points: zero inertia")
+  }
+
   test("ANN delete: tombstoned vectors vanish from probes, reclaim drops them physically") {
     import graft.ext.sim.Similarity
     val dir = "/root/testdata/sf0.001"

@@ -212,8 +212,8 @@ class ScaleSpec extends SparkSpec {
       "x_ann_delete",
       "x_ann_ivf_indexed", "x_ann_ivf_append", "x_ann_ivfpq_indexed",
       // driver-side collect in construction (index build / query vector /
-      // bloom bytes)
-      "p_bloom_prune",
+      // bloom bytes / k-means codebook between iterations)
+      "p_bloom_prune", "x_embed_kmeans",
       "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq", "x_ann_pq",
       "x_ann_filtered", "x_index_postings", "x_index_lookup",
       "x_rag_mmr",
