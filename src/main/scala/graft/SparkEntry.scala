@@ -227,6 +227,11 @@ object SparkEntry {
     // downstream curation without a materialization boundary
     "x_substr_quality"   -> ((s, d) =>
       TextDedup.substrQualityBySource(s, d)),
+    // incremental ExactSubstr: arriving (odd) docs rewritten per
+    // micro-batch against the persisted hot-span set of the resident
+    // (even) corpus — the span-set artifact amortized across batches
+    "x_dedup_substr_stream" -> ((s, d) =>
+      TextDedup.streamingSubstrGate(s, d)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
@@ -1595,6 +1600,48 @@ object SparkEntry {
     "x_dedup_substrings" -> substrOracle,
     "x_dedup_substr_hashed" -> substrOracle,
     "x_substr_quality" -> substrQualityOracle,
+    // hot spans from the even (index) half only; odd (arriving) docs
+    // rewritten against them — the streaming scheduler must compute the
+    // same answer as this batch replay
+    "x_dedup_substr_stream" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |idx_grams AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[start + 1 : start + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS start, t
+        |        FROM toks WHERE len(t) >= 8 AND doc_id % 2 = 0) i),
+        |hot AS (
+        |  SELECT gram FROM idx_grams
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |new_grams AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(t[start + 1 : start + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS start, t
+        |        FROM toks WHERE len(t) >= 8 AND doc_id % 2 = 1) s),
+        |bad AS (
+        |  SELECT doc_id, list(start) AS bads FROM new_grams
+        |  WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len(t))) AS j, t FROM toks
+        |  WHERE doc_id % 2 = 1),
+        |posk AS (
+        |  SELECT p.doc_id, p.j, p.t[p.j + 1] AS tok,
+        |    (b.bads IS NOT NULL AND len(list_filter(b.bads,
+        |      s -> p.j >= s AND p.j < s + 8)) > 0) AS covered
+        |  FROM pos p LEFT JOIN bad b USING (doc_id)),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS kept_tokens,
+        |    string_agg(tok, ' ' ORDER BY j) AS cleaned_text
+        |  FROM posk WHERE NOT covered GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(t.t), 0) AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(k.kept_tokens, 0) AS INTEGER) AS kept_tokens,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM documents d
+        |LEFT JOIN toks t USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |WHERE d.doc_id % 2 = 1""".stripMargin,
     // MinHash+LSH banding at 32 hashes / 8 bands has full recall at
     // jaccard >= 0.8 on this data (verified); candidates are exact-verified,
     // so the result equals the exhaustive n-gram join

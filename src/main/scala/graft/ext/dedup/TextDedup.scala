@@ -108,9 +108,23 @@ object TextDedup {
     */
   def removeRepeatedSubstrings(spark: SparkSession, dir: String,
       k: Int = 8, minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-    val spans = toks.filter(size(col("t")) >= k)
+    val toks = substrToks(docs(spark, dir))
+    val spans = substrSpans(toks, k, hashKeys)
+    val hot = spans.groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("key"))
+    substrRewrite(toks, spans, hot, k)
+  }
+
+  /** (doc_id, t): the tokenized view the substring operators share. */
+  private def substrToks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), tokens(col("text")).as("t"))
+
+  /** Every k-token span of every document: (doc_id, start, span, key). */
+  private def substrSpans(toks: DataFrame, k: Int,
+      hashKeys: Boolean): DataFrame =
+    toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))))
@@ -118,10 +132,13 @@ object TextDedup {
       .withColumnRenamed("col", "span")
       .withColumn("key",
         if (hashKeys) xxhash64(col("span")) else col("span"))
-    val hot = spans.groupBy(col("key"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("key"))
+
+  /** Rewrite each document dropping every token covered by a span whose
+    * key is in `hot`; surfaces every doc in `toks` (null/short docs keep
+    * everything).
+    */
+  private def substrRewrite(toks: DataFrame, spans: DataFrame,
+      hot: DataFrame, k: Int): DataFrame = {
     val bad = spans.join(hot, Seq("key"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("start"))).as("bads"))
@@ -138,6 +155,54 @@ object TextDedup {
         coalesce(size(col("t")), lit(0)).as("n_tokens"),
         size(col("kept")).as("kept_tokens"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
+  /** STREAMING ExactSubstr — the incremental form: arriving documents
+    * are rewritten against a PERSISTED hot-span set (yesterday's
+    * boilerplate artifact, built once from the resident corpus), the
+    * production shape where the expensive df aggregate runs per corpus
+    * snapshot and the stream pays only a narrow window-slide plus a
+    * broadcastable join per micro-batch. Fixture: hot spans from the
+    * even doc_ids (df ≥ `minDocs` within the index half), the odd half
+    * arrives as a file stream; each micro-batch writes its rewritten
+    * docs to a batchId-named subdirectory (the idempotent foreachBatch
+    * recipe [[streamingNearDupsGate]] uses), and the gate returns their
+    * union — hash-equal to the batch rewrite of the odd half against
+    * the same span set.
+    */
+  def streamingSubstrGate(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val d = docs(spark, dir)
+    val hot = substrSpans(substrToks(d.filter(col("doc_id") % 2 === 0)),
+        k, hashKeys = false)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("key"))
+      .localCheckpoint(true)         // the persisted span-set artifact
+    val src = graft.util.Scratch.dir("graft_substr_stream_src")
+    d.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(src.toString)
+    val out = graft.util.Scratch.dir("graft_substr_stream_out").toString
+    val q = spark.readStream.schema(d.schema).parquet(src.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = substrToks(batch)
+        substrRewrite(toks, substrSpans(toks, k, hashKeys = false), hot, k)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tokens", IntegerType),
+      StructField("kept_tokens", IntegerType),
+      StructField("cleaned_text", StringType)))
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Composition gate: [[removeRepeatedSubstrings]] → per-source quality

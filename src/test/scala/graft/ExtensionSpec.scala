@@ -355,6 +355,30 @@ class TextDedupSpec extends SparkSpec {
       "testdata's syndicated docs should lose at least one repeated span")
   }
 
+  test("streaming substring dedup equals the batch rewrite against the index half") {
+    import spark.implicits._
+    val scratch = graft.util.Scratch.dir("graft_substr_stream_spec").toString
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    // even docs are the index: the span is hot there (df=2); odd docs
+    // arrive as the stream — doc 1 carries the span (must lose it),
+    // doc 3 does not; a span repeated only among ARRIVING docs (z1..z8
+    // in 3 and 5) must NOT be removed (df counts the index half only)
+    val z = (1 to 8).map(i => s"z$i").mkString(" ")
+    Seq((0L, s"$span a b"), (2L, s"c $span"),
+        (1L, s"lead $span tail"), (3L, s"$z plain"), (5L, s"also $z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val out = TextDedup.streamingSubstrGate(spark, scratch)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("kept_tokens"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L), "exactly the arriving half")
+    assert(out(1L) == ((10, 2, "lead tail")))
+    assert(out(3L) == ((9, 9, s"$z plain")),
+      "spans repeated only among arriving docs are not in the index set")
+    assert(out(5L) == ((9, 9, s"also $z")))
+  }
+
   test("substring quality rollup conserves token accounting per source") {
     val perDoc = TextDedup.removeRepeatedSubstrings(spark, dir)
       .join(spark.read.parquet(s"$dir/documents.parquet")

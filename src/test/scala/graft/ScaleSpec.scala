@@ -197,7 +197,8 @@ class ScaleSpec extends SparkSpec {
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
-      "x_dedup_stream", "p_state_ttl", "p_stream_backfill",
+      "x_dedup_stream", "x_dedup_substr_stream", "p_state_ttl",
+      "p_stream_backfill",
       "p_stream_sink_lake", "p_lake_concurrent",
       // write/stage side effects on construction (covered by their specs)
       // x_text_winnow_pairs: localCheckpoint materializes the fingerprint
