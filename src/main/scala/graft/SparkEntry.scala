@@ -305,6 +305,9 @@ object SparkEntry {
     // (same answers, rows physically gone, tombstones cleared) — the
     // serving-index twin of p_snapshot_delete
     "x_ann_delete"       -> ((s, d) => Similarity.lshIndexDeleteReport(s, d)),
+    // same tombstone lifecycle over the learned-quantizer IVF layout —
+    // the _tombstones convention is index-agnostic
+    "x_ann_ivf_delete"   -> ((s, d) => Similarity.ivfIndexDeleteReport(s, d)),
     "x_ann_ivf_indexed"  -> ((s, d) => Similarity.ivfIndexedReport(s, d)),
     "x_ann_ivf_append"   -> ((s, d) => Similarity.ivfIndexAppendReport(s, d)),
     "x_ann_ivfpq_indexed" -> ((s, d) => Similarity.ivfPqIndexedReport(s, d)),
@@ -2281,30 +2284,10 @@ object SparkEntry {
     // (the full-probe gate config is exact by construction), both stages
     // answer top-10 over the survivors; physical row counts pin
     // tombstoned (resident) vs compacted (reclaimed)
-    "x_ann_delete" ->
-      """WITH scored AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-        |       WHERE vec_id = 0)), 6) AS score
-        |  FROM embeddings WHERE vec_id <> 0),
-        |victims AS (
-        |  SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC
-        |  LIMIT 3),
-        |top AS (
-        |  SELECT vec_id, score FROM scored
-        |  WHERE vec_id NOT IN (SELECT vec_id FROM victims)
-        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
-        |n AS (SELECT count(*) AS total FROM embeddings)
-        |SELECT vec_id, score, 'tombstoned' AS stage,
-        |  CAST(3 AS BIGINT) AS n_tombstones,
-        |  (SELECT total FROM n) AS n_index_rows
-        |FROM top
-        |UNION ALL
-        |SELECT vec_id, score, 'compacted' AS stage,
-        |  CAST(0 AS BIGINT) AS n_tombstones,
-        |  (SELECT total FROM n) - 3 AS n_index_rows
-        |FROM top""".stripMargin,
+    // identical brute-force replay for both index layouts: full probes
+    // are exact in each, and the victims/survivors are layout-free
+    "x_ann_ivf_delete" -> annDeleteOracle,
+    "x_ann_delete" -> annDeleteOracle,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,
@@ -3782,6 +3765,31 @@ object SparkEntry {
        |  ON a.c = cs.c
        |GROUP BY a.c""".stripMargin
   }
+
+  private val annDeleteOracle =
+    """WITH scored AS (
+      |  SELECT vec_id,
+      |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+      |       WHERE vec_id = 0)), 6) AS score
+      |  FROM embeddings WHERE vec_id <> 0),
+      |victims AS (
+      |  SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC
+      |  LIMIT 3),
+      |top AS (
+      |  SELECT vec_id, score FROM scored
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+      |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+      |n AS (SELECT count(*) AS total FROM embeddings)
+      |SELECT vec_id, score, 'tombstoned' AS stage,
+      |  CAST(3 AS BIGINT) AS n_tombstones,
+      |  (SELECT total FROM n) AS n_index_rows
+      |FROM top
+      |UNION ALL
+      |SELECT vec_id, score, 'compacted' AS stage,
+      |  CAST(0 AS BIGINT) AS n_tombstones,
+      |  (SELECT total FROM n) - 3 AS n_index_rows
+      |FROM top""".stripMargin
 
   private val annTopkOracle =
     """SELECT vec_id,

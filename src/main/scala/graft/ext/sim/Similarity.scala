@@ -248,7 +248,7 @@ object Similarity {
     // the moment the delete lands (broadcast anti-join on the tiny
     // tombstone set, applied AFTER bucket pruning so partition pruning
     // is untouched); an index with no tombstones takes the plain path
-    val idx = lshTombstones(spark, indexPath).fold(pruned)(t =>
+    val idx = indexTombstones(spark, indexPath).fold(pruned)(t =>
       pruned.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val labeled = labelEq.fold(idx)(l => idx.filter(col("label") === l))
     val probed =
@@ -401,7 +401,7 @@ object Similarity {
     * ever landed (the existence check is one driver-side stat, so
     * tombstone-free indexes pay nothing).
     */
-  private def lshTombstones(spark: SparkSession,
+  private def indexTombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] = {
     val p = java.nio.file.Paths.get(indexPath, "_tombstones")
     if (java.nio.file.Files.isDirectory(p))
@@ -420,7 +420,7 @@ object Similarity {
     * an id twice appends a duplicate tombstone row, which the anti-join
     * semantics absorb.
     */
-  def deleteFromLshIndex(spark: SparkSession, indexPath: String,
+  def deleteFromVecIndex(spark: SparkSession, indexPath: String,
       vecIds: Seq[Long]): Unit = {
     import spark.implicits._
     vecIds.toDF("vec_id").coalesce(1).write.mode("append")
@@ -435,9 +435,17 @@ object Similarity {
     * reclaim the index is byte-equivalent to one never containing the
     * deleted vectors.
     */
-  def lshIndexReclaim(spark: SparkSession, indexPath: String): Unit = {
-    val tomb = lshTombstones(spark, indexPath)
-    graft.lake.Archive.compact(spark, indexPath, Seq("bucket"),
+  def lshIndexReclaim(spark: SparkSession, indexPath: String): Unit =
+    indexReclaim(spark, indexPath, "bucket")
+
+  /** [[lshIndexReclaim]] for the IVF layout (`ivf_list` partitions). */
+  def ivfIndexReclaim(spark: SparkSession, indexPath: String): Unit =
+    indexReclaim(spark, indexPath, "ivf_list")
+
+  private def indexReclaim(spark: SparkSession, indexPath: String,
+      partitionCol: String): Unit = {
+    val tomb = indexTombstones(spark, indexPath)
+    graft.lake.Archive.compact(spark, indexPath, Seq(partitionCol),
       rewrite = df => tomb.fold(df)(t =>
         df.join(broadcast(t), Seq("vec_id"), "left_anti")))
   }
@@ -466,7 +474,7 @@ object Similarity {
         excludeVecId = Some(0L))
     val victims = probe()
       .limit(3).collect().map(_.getLong(0)).toSeq   // 3 rows, driver-side
-    deleteFromLshIndex(spark, indexPath, victims)
+    deleteFromVecIndex(spark, indexPath, victims)
     def stage(name: String, nTomb: Long): DataFrame =
       probe()
         .withColumn("stage", lit(name))
@@ -479,7 +487,7 @@ object Similarity {
       java.util.Arrays.asList(tombstoned: _*),
       stage("tombstoned", 0L).schema)
     lshIndexReclaim(spark, indexPath)
-    require(lshTombstones(spark, indexPath).isEmpty,
+    require(indexTombstones(spark, indexPath).isEmpty,
       "reclaim must clear the tombstone set")
     tombstonedDf.unionAll(stage("compacted", 0L))
   }
@@ -784,8 +792,12 @@ object Similarity {
     import spark.implicits._
     val probeLists = rankProbeLists(centroids, qVec.map(_.toDouble), nProbe)
     val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
-    val idx = spark.read.parquet(indexPath)
+    val pruned = spark.read.parquet(indexPath)
       .filter(col("ivf_list").isin(probeLists: _*))
+    // live view: tombstoned vectors invisible (same contract as the LSH
+    // probe); no-tombstone indexes take the plain path
+    val idx = indexTombstones(spark, indexPath).fold(pruned)(t =>
+      pruned.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
     probed
       .crossJoin(broadcast(qDf))
@@ -840,6 +852,41 @@ object Similarity {
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     ivfTopKIndexed(spark, indexPath, centroids, qVec, nProbe = 16,
       excludeVecId = Some(0L))
+  }
+
+  /** [[lshIndexDeleteReport]] for the IVF layout — the same
+    * tombstone → probe → reclaim lifecycle over `ivf_list` partitions,
+    * with the learned-quantizer index: full-probe config (nProbe =
+    * nLists) keeps every stage exact, so the oracle is brute force over
+    * the survivors. Proves the tombstone contract is INDEX-AGNOSTIC:
+    * the same `_tombstones/` convention serves any vec_id-keyed
+    * partitioned layout.
+    */
+  def ivfIndexDeleteReport(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = graft.util.Scratch.dir("graft_ivf_index_del").toString
+    val centroids = writeIvfIndex(spark, dir, indexPath, nLists = 8)
+    val q = queryVec0(spark, dir)
+    def probe(): DataFrame =
+      ivfTopKIndexed(spark, indexPath, centroids, q, nProbe = 8,
+        excludeVecId = Some(0L))
+    val victims = probe()
+      .limit(3).collect().map(_.getLong(0)).toSeq   // 3 rows, driver-side
+    deleteFromVecIndex(spark, indexPath, victims)
+    def stage(name: String, nTomb: Long): DataFrame =
+      probe()
+        .withColumn("stage", lit(name))
+        .withColumn("n_tombstones", lit(nTomb))
+        .withColumn("n_index_rows",
+          lit(spark.read.parquet(indexPath).count()))
+    val tombstoned = stage("tombstoned", victims.size.toLong)
+      .collect()                                    // pin BEFORE reclaim
+    val tombstonedDf = spark.createDataFrame(
+      java.util.Arrays.asList(tombstoned: _*),
+      stage("tombstoned", 0L).schema)
+    ivfIndexReclaim(spark, indexPath)
+    require(indexTombstones(spark, indexPath).isEmpty,
+      "reclaim must clear the tombstone set")
+    tombstonedDf.unionAll(stage("compacted", 0L))
   }
 
   /** Product-quantization codebooks: the vector space is split into `m`

@@ -558,9 +558,9 @@ class CompactionSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toList
     val before = answer()
     val victims = before.take(3)
-    Similarity.deleteFromLshIndex(spark, indexPath, victims)
+    Similarity.deleteFromVecIndex(spark, indexPath, victims)
     // a second delete of the same ids is an absorbed no-op, not a double
-    Similarity.deleteFromLshIndex(spark, indexPath, victims.take(1))
+    Similarity.deleteFromVecIndex(spark, indexPath, victims.take(1))
     val masked = answer()
     assert(victims.forall(v => !masked.contains(v)),
       s"tombstoned $victims still probed: $masked")

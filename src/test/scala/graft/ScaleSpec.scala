@@ -210,7 +210,7 @@ class ScaleSpec extends SparkSpec {
       "p_bucketed_join", "p_schema_evolve", "p_salted_stats",
       "x_jsonl_roundtrip", "x_sql_surface",
       "x_ann_lsh_indexed", "x_ann_lsh_append", "x_ann_compact",
-      "x_ann_delete",
+      "x_ann_delete", "x_ann_ivf_delete",
       "x_ann_ivf_indexed", "x_ann_ivf_append", "x_ann_ivfpq_indexed",
       // driver-side collect in construction (index build / query vector /
       // bloom bytes / k-means codebook between iterations)
