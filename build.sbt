@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128 GiB): measured ~5-12% off the full-suite
+  // bench vs 8g, with the worst streaming-drain gate dropping from
+  // ~10.5 s to ~7.3 s — the suite's long-lived JVM accumulates state
+  // stores + memory-sink tables across 220 gates and the extra
+  // headroom keeps GC out of the drain floors
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
