@@ -250,6 +250,9 @@ object SparkEntry {
     // hashed-feature linear classifier (the fastText-shaped model filter):
     // poly_hash buckets -> integer weight lookup -> per-token threshold
     "x_text_classify"    -> ((s, d) => TextAnalysis.classifyQuality(s, d)),
+    // Aho-Corasick blocklist/topic tagging: one automaton pass per doc
+    // counts ALL (overlapping) occurrences of every dictionary entry
+    "x_text_tag"         -> TextAnalysis.dictTagReport _,
     "x_text_quality"     -> TextAnalysis.qualityScores _,
     "x_text_langid"      -> TextAnalysis.languageId _,
     "x_text_fingerprint" -> TextAnalysis.fingerprints _,
@@ -1861,6 +1864,24 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, raw_score,
          |  raw_score * 4 > n_tokens AS keep
          |FROM sc""".stripMargin,
+    // exhaustive position-scan replay (1-based character slices count
+    // every overlapping occurrence, exactly the automaton's semantics);
+    // VALUES generated from the SAME TagDict the gate uses
+    "x_text_tag" -> {
+      val values = TextAnalysis.TagDict.zipWithIndex
+        .map { case (w, i) => s"($i, '" + w.replace("'", "''") + "')" }
+        .mkString(", ")
+      s"""WITH kws AS (SELECT * FROM (VALUES $values) AS t(ki, kw)),
+        |per AS (
+        |  SELECT d.doc_id, k.ki, k.kw,
+        |    CASE WHEN d.text IS NULL THEN 0 ELSE
+        |      len(list_filter(range(1, len(d.text) - len(k.kw) + 2),
+        |        i -> d.text[i : i + len(k.kw) - 1] = k.kw)) END AS c
+        |  FROM documents d CROSS JOIN kws k)
+        |SELECT kw AS keyword, count(*) FILTER (WHERE c > 0) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_hits
+        |FROM per GROUP BY kw""".stripMargin
+    },
     "x_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_actual,
         |  CAST(len(t) AS INTEGER) AS n_tokens,

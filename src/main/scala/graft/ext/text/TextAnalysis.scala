@@ -109,6 +109,35 @@ object TextAnalysis {
           / length(col("text"))).otherwise(0.0), 4).as("space_ratio"))
   }
 
+  /** The fixture blocklist/topic dictionary for [[dictTagReport]]:
+    * single words, multi-word phrases (matches straddle token
+    * boundaries), and a deliberate prefix ("windo") plus an entry
+    * embedded in others ("row") so overlap semantics are exercised.
+    * One definition shared with the oracle generator.
+    */
+  val TagDict: Seq[String] = Seq("spark", "stream", "merge sort",
+    "table part", "row", "agg", "fast merge", "value table", "batch",
+    "windo")
+
+  /** Dictionary tagging over the corpus — per keyword, how many
+    * documents mention it and how many times in total (ALL occurrences,
+    * overlapping included). ONE Aho–Corasick pass per document
+    * ([[graft.functions.DictTagCounts]]) regardless of dictionary size,
+    * then a k-group rollup: the scan is the only corpus-sized work and
+    * the shuffle carries k×partitions partial counters.
+    */
+  def dictTagReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).select(
+      graft.functions.DictTagCounts.dict_tag_counts(
+        coalesce(col("text"), lit("")), TagDict).as("c"))
+    counts.select(posexplode(col("c")).as(Seq("ki", "n")))
+      .groupBy(col("ki"))
+      .agg(count(when(col("n") > 0, lit(1))).as("n_docs"),
+        sum(col("n")).cast("long").as("n_hits"))
+      .select(element_at(typedLit(TagDict), col("ki") + 1).as("keyword"),
+        col("n_docs"), col("n_hits"))
+  }
+
   /** Language ID by marker-token counting: score each candidate language by
     * occurrences of its high-frequency function words, predict the argmax
     * (ties broken by language code). A classic n-gram/stopword heuristic —

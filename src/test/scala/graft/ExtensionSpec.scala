@@ -355,6 +355,31 @@ class TextDedupSpec extends SparkSpec {
       "testdata's syndicated docs should lose at least one repeated span")
   }
 
+  test("dict tagging == naive all-occurrence scan (random texts + overlap edges)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def naive(text: String, dict: Seq[String]): Seq[Int] =
+      dict.map { w =>
+        (0 to text.length - w.length).count(i => text.startsWith(w, i))
+      }
+    val dict = Seq("aa", "ab", "aab", "b", "ba ab", "aaa")
+    val gen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    val texts: Seq[String] = (0 until 150).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(31L + i))) ++
+      Seq("", "aaa", "aaaa", "ba ab", "ba aab b")
+    val got = texts.toDF("t")
+      .select(graft.functions.DictTagCounts.dict_tag_counts(col("t"), dict))
+      .collect().map(_.getSeq[Int](0).toList).toSeq
+    val want = texts.map(t => naive(t, dict).toList)
+    assert(got == want, got.zip(want).zipWithIndex.collectFirst {
+      case ((g, w), i) if g != w => s"'${texts(i)}': $g vs $w" }.toString)
+    // overlap sanity pinned explicitly: "aaaa" holds 3x"aa" and 2x"aaa"
+    val aaaa = naive("aaaa", dict)
+    assert(aaaa(0) == 3 && aaaa(5) == 2)
+  }
+
   test("streaming substring dedup equals the batch rewrite against the index half") {
     import spark.implicits._
     val scratch = graft.util.Scratch.dir("graft_substr_stream_spec").toString

@@ -163,7 +163,7 @@ class ScaleSpec extends SparkSpec {
       "x_text_tokens", "x_text_bpe", "x_text_nfc", "x_pack_bpe",
       "x_text_extract", "x_extract_dedup", "x_graph_triangles",
       "x_text_quality", "x_text_langid",
-      "x_text_classify",
+      "x_text_classify", "x_text_tag",
       "x_text_fingerprint", "x_text_winnow", "x_text_redact", "x_text_chunk",
       "x_text_repetition", "x_sample_stratified", "x_sample_per_key",
       "x_shard_pack", "x_pack_sequences", "x_corpus_ids",
