@@ -73,7 +73,11 @@ object GraftSession {
       val form = if (exprs.length > 1)
         exprs(1).eval(null).toString else "NFC"
       graft.functions.UnicodeNormalize(exprs.head, form)
-    }))
+    }),
+    // SQL surface uses the fixture dictionary (the gate path);
+    // programmatic callers pass their own dict through DictTagCounts
+    "dict_tag_counts" -> (exprs => graft.functions.DictTagCounts(exprs.head,
+      graft.ext.text.TextAnalysis.TagDict)))
 
   /** Register graft's custom expressions in the session's function registry
     * so they're callable from SQL:

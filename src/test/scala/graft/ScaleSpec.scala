@@ -929,6 +929,29 @@ class ScaleSpec extends SparkSpec {
     val chunked = graft.ext.text.TextAnalysis.chunkReport(spark, dir)
     assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("r12 text/dedup ops prune the scan to (doc_id, text) and pack-bpe stays narrow") {
+    val dir = "/root/testdata/sf0.001"
+    // ExactSubstr reads exactly two columns however many stages follow
+    val sub = graft.ext.dedup.TextDedup
+      .removeRepeatedSubstrings(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sub.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      sub.take(800))
+    // dictionary tagging: one automaton pass, zero joins, text-only scan
+    val tag = graft.ext.text.TextAnalysis.dictTagReport(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tag.contains("ReadSchema: struct<text:string>"), tag.take(800))
+    assert(!tag.contains("Join"), tag.take(800))
+    // the imperative augmented-BPE pack: no join, no HOF blowup — the
+    // only exchanges are the window's and the final aggregate's
+    val pack = graft.ext.corpus.Corpus.packSequencesBpe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pack.contains("Join"), pack.take(800))
+    assert(pack.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      pack.take(800))
+  }
 }
 
 class WindowedStatsSpec extends SparkSpec {
