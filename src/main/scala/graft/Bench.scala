@@ -36,7 +36,21 @@ object Bench {
       (ls.find(_.startsWith("some")).map(pct).getOrElse("null"),
        ls.find(_.startsWith("full")).map(pct).getOrElse("null"))
     }.getOrElse(("null", "null"))
-    s"""{"loadavg":$load,"io_some_avg10":$ioSome,"io_full_avg10":$ioFull}"""
+    // cumulative guest CPU ticks from /proc/stat's aggregate line
+    // (user nice system idle iowait irq softirq STEAL ...): the
+    // start→end STEAL delta is the one signal that sees HOST-side
+    // contention — loadavg and io-pressure are guest-local and read
+    // clean while a co-tenant eats the physical cores (measured: the
+    // same drain gate at 4.1–5.1 s in a steal-quiet window and
+    // 5.7–7.3 s hours later, identical code, loadavg ≈ 0 both times)
+    val (steal, total) = read("/proc/stat")
+      .flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+      .map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7).toString else "null", f.sum.toString)
+      }.getOrElse(("null", "null"))
+    s"""{"loadavg":$load,"io_some_avg10":$ioSome,"io_full_avg10":$ioFull,""" +
+      s""""cpu_steal_ticks":$steal,"cpu_total_ticks":$total}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -30,6 +30,16 @@ def load(path):
             print(f"{path} {phase}: loadavg={s.get('loadavg')} "
                   f"io_some_avg10={s.get('io_some_avg10')} "
                   f"io_full_avg10={s.get('io_full_avg10')}")
+        st, en = tel.get("start") or {}, tel.get("end") or {}
+        try:
+            dsteal = en["cpu_steal_ticks"] - st["cpu_steal_ticks"]
+            dtotal = en["cpu_total_ticks"] - st["cpu_total_ticks"]
+            if dtotal:
+                print(f"{path} host steal over run: "
+                      f"{100.0 * dsteal / dtotal:.2f}% "
+                      f"({dsteal} of {dtotal} ticks)")
+        except (KeyError, TypeError):
+            pass
     return d.get("queries", {})
 
 
