@@ -34,6 +34,7 @@ object SparkEntry {
     TextDedup.dedupClustersShared(spark, dir)
     TextDedup.incrementalBaseShared(spark, dir)
     EventOps.lakeSkippingTable(spark, dir)
+    EventOps.lakeSkipping2dTable(spark, dir)
     ()
   }
 
@@ -457,6 +458,9 @@ object SparkEntry {
     // value-banded lake files opens exactly one; kept/total pinned in
     // the oracle
     "p_lake_skipping"    -> EventOps.lakeSkipping _,
+    // conjunctive 2-dim skipping: each conjunct prunes files the other
+    // cannot — the OPTIMIZE-ZORDER read-side contract (1 of 4 kept)
+    "p_lake_skipping2d"  -> EventOps.lakeSkipping2d _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -3173,6 +3177,16 @@ object SparkEntry {
     // the bands are deterministic, so exactly 1 of the 4 banded files can
     // hold value >= 320 — a skipping regression (0 pruned, or the band
     // file itself wrongly pruned) reds the row independent of the answer
+    "p_lake_skipping2d" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  1 AS n_kept_files, 4 AS n_total_files
+        |FROM events
+        |WHERE event_id >= (SELECT (max(event_id) + 1) // 2 FROM events)
+        |  AND value >= 100.0
+        |GROUP BY event_type""".stripMargin,
     "p_lake_skipping" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -1563,6 +1563,63 @@ object EventOps {
         table
       })
 
+  /** MULTI-dimensional stats skipping — the OPTIMIZE-ZORDER read-side
+    * story: a table clustered on TWO dimensions (dense event_id halves
+    * × a value cut) with per-file min/max stats on both, probed with a
+    * CONJUNCTIVE predicate where EACH conjunct prunes files the other
+    * cannot (the event_id bound eliminates the low-id quadrants, the
+    * value bound the low-value ones) — exactly 1 of 4 files survives BY
+    * CONSTRUCTION (explicit quadrant cuts; the event_id cut is derived
+    * as (max+1)/2 in exact integers, which the oracle replays as a
+    * scalar subquery, so the contract holds at every SF). Same band→
+    * distinct-hash-partition routing as [[lakeSkippingTable]].
+    */
+  private val skip2dMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def lakeSkipping2dTable(spark: SparkSession, dir: String): (String, Long) = {
+    val v = skip2dMemo.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir, _ => {
+        import graft.lake.Snapshots
+        val table = graft.util.Scratch.dir("graft_skip2d").toString
+        val ev = events(spark, dir).select(col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+        val cut = (ev.agg(max(col("event_id"))).head.getLong(0) + 1L) / 2L
+        // quadrant -> key whose Murmur3 hash%4 is distinct (12/6/2/0 ->
+        // partitions 0/1/2/3; see lakeSkippingTable for why a
+        // union-of-repartitioned legs cannot pin this)
+        val keys = Seq(12, 6, 2, 0)
+        val quadrant =
+          when(col("event_id") < cut && col("value") < 100.0, keys(0))
+            .when(col("event_id") < cut, keys(1))
+            .when(col("value") < 100.0, keys(2))
+            .otherwise(keys(3))
+        Snapshots.append(
+          ev.withColumn("__q", quadrant)
+            .repartition(4, col("__q")).drop("__q"), table)
+        val n = Snapshots.fileStats(table, 1).size
+        require(n == 4, s"2d skipping fixture expected 4 files, got $n")
+        s"$table|$cut"
+      })
+    val Array(table, cut) = v.split('|')
+    (table, cut.toLong)
+  }
+
+  def lakeSkipping2d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val (table, cut) = lakeSkipping2dTable(spark, dir)
+    val pred = s"event_id >= $cut AND value >= 100.0"
+    val (kept, all) = Snapshots.pruneFiles(spark, table, pred)
+    Snapshots.prunedScan(spark, table, pred)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .cast("long").as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("n_kept_files", lit(kept.size))
+      .withColumn("n_total_files", lit(all.size))
+  }
+
   def lakeSkipping(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.Snapshots
     val table = lakeSkippingTable(spark, dir)

@@ -193,7 +193,7 @@ class ScaleSpec extends SparkSpec {
       // write their snapshot versions on construction (batch plan after)
       "p_time_travel", "p_snapshot_diff", "p_vacuum",
       "p_partition_overwrite", "p_snapshot_delete", "p_lake_history",
-      "p_lake_skipping",
+      "p_lake_skipping", "p_lake_skipping2d",
       "p_stream_join_outer", "p_stream_join_full", "p_stream_enrich",
       "p_timeout_offline", "p_dedup_stream", "p_dedup_within_wm",
       "p_edge_alerts", "p_wire_source", "p_wire_restart", "p_wire_decode",
