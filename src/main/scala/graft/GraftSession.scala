@@ -133,6 +133,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // checkpoint/state history retention: the default 100 batches
+      // keeps commit/offset/state files for debugging long-lived jobs;
+      // the gate queries run a handful of batches on throwaway scratch
+      // checkpoints and restart only from the LATEST batch, so retaining
+      // 2 is the recovery contract with less maintenance I/O per commit
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     register(spark)
