@@ -107,6 +107,12 @@ object GraftSession {
             spark.experimental.extraOptimizations :+ rule
         }
       }
+    // planner strategy for the whole-operator as-of join node
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 
   /** Build + register functions + install optimizer rules in one call. */

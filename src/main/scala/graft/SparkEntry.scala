@@ -122,6 +122,9 @@ object SparkEntry {
     "p_wire_source"      -> EventOps.wireSourceReplay _,
     "p_wire_restart"     -> EventOps.wireSourceRestart _,
     "p_asof_state"       -> EventOps.asOfState _,
+    // the same as-of contract through the custom LogicalPlan ->
+    // SparkStrategy -> merge-scan SparkPlan pipeline (AsOfJoinExec)
+    "p_asof_exec"        -> EventOps.asOfStateExec _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
     "p_stream_join"      -> EventOps.streamStreamJoin _,
@@ -711,23 +714,10 @@ object SparkEntry {
     "p_wire_restart" -> wireSourceOracle,
     // the as-of join: the oracle is the naive inequality-join + per-probe
     // top-1 formulation; the engine's union+window shape must equal it
-    "p_asof_state" ->
-      """WITH probes AS (
-        |  SELECT DISTINCT user_id AS station_id,
-        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
-        |      AS pts
-        |  FROM events),
-        |j AS (
-        |  SELECT p.station_id, p.pts, e.event_id,
-        |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
-        |    row_number() OVER (PARTITION BY p.station_id, p.pts
-        |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
-        |  FROM probes p LEFT JOIN events e
-        |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) <= p.pts)
-        |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
-        |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
-        |  round(value, 2) AS value
-        |FROM j WHERE rn = 1""".stripMargin,
+    // one oracle pins BOTH physical strategies (union+window and the
+    // custom merge-scan exec) to the same answer
+    "p_asof_exec" -> asofStateOracle,
+    "p_asof_state" -> asofStateOracle,
     // resample+ffill: per (station, epoch-aligned 6h slot), the latest
     // at-or-before event; pre-first-event slots surface with nulls
     "p_resample_ffill" ->
@@ -3800,6 +3790,28 @@ object SparkEntry {
        |  ON a.c = cs.c
        |GROUP BY a.c""".stripMargin
   }
+
+  /** Shared by p_asof_state (union+window rewrite) and p_asof_exec
+    * (the custom merge-scan physical operator): the two strategies are
+    * pinned answer-equal by construction of the gate pair.
+    */
+  private val asofStateOracle =
+    """WITH probes AS (
+      |  SELECT DISTINCT user_id AS station_id,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
+      |      AS pts
+      |  FROM events),
+      |j AS (
+      |  SELECT p.station_id, p.pts, e.event_id,
+      |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+      |    row_number() OVER (PARTITION BY p.station_id, p.pts
+      |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+      |  FROM probes p LEFT JOIN events e
+      |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) <= p.pts)
+      |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+      |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+      |  round(value, 2) AS value
+      |FROM j WHERE rn = 1""".stripMargin
 
   private val annDeleteOracle =
     """WITH scored AS (

@@ -111,4 +111,37 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select((keys ++ probePayload).map(col) :+ col(matchedCol): _*)
   }
+
+  /** The WHOLE-OPERATOR form of [[asOf]] (backward, inclusive, largest
+    * tie wins): plans through graft's custom
+    * [[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]
+    * pipeline instead of the union+window rewrite — one merge scan over
+    * co-partitioned co-sorted children, O(1) state per partition.
+    * Column names must be disjoint between the two sides (the output is
+    * probe columns ++ nullable build columns); keys pair positionally
+    * between `probeKeys` and `buildKeys`. Requires
+    * [[graft.GraftSession.installOptimizations]] (or the
+    * `spark.sql.extensions` config) to have registered
+    * [[graft.plans.AsOfJoinStrategy]].
+    */
+  def asOfExec(probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      probeTs: String, buildTs: String,
+      buildTie: Seq[String] = Nil): DataFrame = {
+    require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
+      "as-of join needs matching key lists")
+    val overlap = probe.columns.toSet.intersect(build.columns.toSet)
+    require(overlap.isEmpty,
+      s"asOfExec output is probe ++ build columns; rename the build side" +
+        s" first (overlapping: ${overlap.mkString(", ")})")
+    val lp = probe.queryExecution.analyzed
+    val rp = build.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = plan.output.find(_.name == n).getOrElse(
+      sys.error(s"asOfExec: no column '$n' in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.GraftBridge.ofRows(probe.sparkSession,
+      graft.plans.AsOfJoinNode(lp, rp,
+        probeKeys.map(attr(lp, _)), buildKeys.map(attr(rp, _)),
+        attr(lp, probeTs), attr(rp, buildTs), buildTie.map(attr(rp, _))))
+  }
 }

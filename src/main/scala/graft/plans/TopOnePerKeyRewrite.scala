@@ -250,6 +250,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => TopOnePerKeyRewrite)
     e.injectOptimizerRule(_ => TopKPerKeyRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // the SQL function surface rides the same config switch: a cluster
     // that sets spark.sql.extensions gets polyhash/simhash64/... in SQL
     // without any programmatic GraftSession.register call

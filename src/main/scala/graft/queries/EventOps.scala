@@ -1132,6 +1132,34 @@ object EventOps {
     * operator's union+window shape avoids (ScaleSpec plan-asserts zero
     * Join nodes and a single shuffle).
     */
+  /** [[asOfState]] through the WHOLE-OPERATOR pipeline
+    * ([[graft.operators.AsOfJoin.asOfExec]]: custom logical node →
+    * planner strategy → merge-scan physical operator) — same probes,
+    * same build, same output columns, same driver oracle as the
+    * union+window form, so the two physical strategies are pinned
+    * answer-equal by the correctness gate itself.
+    */
+  def asOfStateExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val probes = ev
+      .select(col("user_id").as("station_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 37 minutes"))
+          .as("probe_ts"))
+      .distinct()
+    val build = ev.select(col("user_id").as("b_station"),
+      col("ts").as("b_ts"), col("event_id").as("b_sno"),
+      col("value").as("b_value"))
+    graft.operators.AsOfJoin.asOfExec(probes, build,
+        Seq("station_id"), Seq("b_station"), "probe_ts", "b_ts",
+        buildTie = Seq("b_sno"))
+      .select(col("station_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("b_sno").as("s_no"),
+        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("event_ts"),
+        round(col("b_value"), 2).as("value"))
+  }
+
   def asOfState(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val probes = ev

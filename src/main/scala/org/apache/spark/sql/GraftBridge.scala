@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — `Dataset.ofRows`
+    * is `private[sql]`; graft's custom plan nodes (e.g.
+    * [[graft.plans.AsOfJoinNode]]) need it to enter the query engine.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

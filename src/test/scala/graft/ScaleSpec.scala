@@ -153,6 +153,7 @@ class ScaleSpec extends SparkSpec {
       "p_hotkey_join", "p_agg_maintain", "x_dq_checks", "x_dedup_ppjoin",
       "x_table_diff", "x_part_checksums",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
+      "p_asof_exec",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
       "p_ohlc_bars", "p_resample_interp",
@@ -770,6 +771,42 @@ class ScaleSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(800))
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("custom AsOfJoinExec == union+window asOf; plans the merge exec with one exchange+sort per side") {
+    import graft.operators.AsOfJoin
+    val (build0, probe) = asOfFixture
+    val build = build0.select(col("k").as("bk"), col("t"), col("id"),
+      col("v"))
+    val out = AsOfJoin.asOfExec(probe, build, Seq("k"), Seq("bk"),
+      "pt", "t", buildTie = Seq("id"))
+    val got = out.select(col("k"), unix_timestamp(col("pt")).as("pt"),
+        col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // identical semantics to the union+window form's inclusive mode
+    assert(got == Map((1L, 5L) -> -1L, (1L, 20L) -> 102L,
+      (1L, 30L) -> 102L, (2L, 49L) -> -1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan.take(800)) // Exec's nodeName
+    assert("Exchange".r.findAllIn(plan).size == 2, plan.take(800))
+    assert("Sort".r.findAllIn(plan).size >= 2, plan.take(800))
+    // null keys / null timestamps drop on both sides, never match
+    import spark.implicits._
+    val np = Seq((Option(1L), Option(20L)),
+        (Option.empty[Long], Option(20L)), (Option(1L), Option.empty[Long]))
+      .toDF("k", "pt")
+      .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+    val nOut = AsOfJoin.asOfExec(np, build, Seq("k"), Seq("bk"),
+      "pt", "t", buildTie = Seq("id")).collect()
+    assert(nOut.length == 1 && nOut.head.getLong(0) == 1L)
+    // and equality against the rewrite form on the events fixture shape
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventOps.asOfStateExec(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val b = graft.queries.EventOps.asOfState(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("as-of forward and tolerance variants") {
