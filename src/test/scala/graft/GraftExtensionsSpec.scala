@@ -36,6 +36,17 @@ class GraftExtensionsSpec extends SparkSpec {
       val optimized = top1.queryExecution.optimizedPlan.toString
       assert(optimized.contains("max_by") && !optimized.contains("row_number"),
         optimized.take(800))
+      // planner strategy injected: the as-of node plans as the custom
+      // merge-scan exec with no programmatic registration
+      import s2.implicits._
+      val probe = Seq((1L, 10L)).toDF("k", "pt")
+        .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+      val build = Seq((1L, 5L, 7L)).toDF("bk", "t", "id")
+        .select(col("bk"), timestamp_seconds(col("t")).as("t"), col("id"))
+      val asof = graft.operators.AsOfJoin.asOfExec(probe, build,
+        Seq("k"), Seq("bk"), "pt", "t", buildTie = Seq("id"))
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin ["))
+      assert(asof.collect().map(_.getLong(4)).toSeq == Seq(7L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
