@@ -236,6 +236,9 @@ object SparkEntry {
     // (even) corpus — the span-set artifact amortized across batches
     "x_dedup_substr_stream" -> ((s, d) =>
       TextDedup.streamingSubstrGate(s, d)),
+    // the curator's audit: top repeated spans by document frequency
+    "x_dedup_substr_top" -> ((s, d) =>
+      TextDedup.topRepeatedSubstrings(s, d)),
     "x_dedup_minhash"    -> ((s, d) => TextDedup.minhashLshPairs(s, d)),
     "x_dedup_simhash"    -> ((s, d) =>
       TextDedup.simhashPairs(s, d, portableHash = true)),
@@ -1600,6 +1603,21 @@ object SparkEntry {
     "x_dedup_substrings" -> substrOracle,
     "x_dedup_substr_hashed" -> substrOracle,
     "x_substr_quality" -> substrQualityOracle,
+    // deterministic top-20 cut: (df DESC, span ASC) is a total order
+    "x_dedup_substr_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[start + 1 : start + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS start, t
+        |        FROM toks WHERE len(t) >= 8) i)
+        |SELECT gram AS span, count(DISTINCT doc_id) AS df,
+        |  count(*) AS n_occurrences,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM grams GROUP BY gram
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, span ASC LIMIT 20""".stripMargin,
     // hot spans from the even (index) half only; odd (arriving) docs
     // rewritten against them — the streaming scheduler must compute the
     // same answer as this batch replay

@@ -157,6 +157,29 @@ object TextDedup {
         concat_ws(" ", col("kept")).as("cleaned_text"))
   }
 
+  /** ExactSubstr AUDIT report — what a curator reads before turning the
+    * rewrite on: the `topN` most-duplicated k-token spans with their
+    * document frequency, total occurrence count, and first containing
+    * doc. The (df DESC, span ASC) ordering makes the top-N cut
+    * deterministic. Same single df aggregate as the rewrite's pass one;
+    * the report is ∝ topN.
+    */
+  def topRepeatedSubstrings(spark: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2, topN: Int = 20): DataFrame =
+    // two-level rollup instead of countDistinct: the (span, doc) level
+    // partial-combines map-side and the span level then counts exact
+    // rows — no distinct-expand, one fewer wide pass over the grams
+    substrSpans(substrToks(docs(spark, dir)), k, hashKeys = false)
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("n_in_doc")).cast("long").as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= minDocs)
+      .orderBy(col("df").desc, col("span").asc)
+      .limit(topN)
+
   /** STREAMING ExactSubstr — the incremental form: arriving documents
     * are rewritten against a PERSISTED hot-span set (yesterday's
     * boilerplate artifact, built once from the resident corpus), the

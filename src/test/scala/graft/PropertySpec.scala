@@ -712,4 +712,74 @@ class PropertySpec extends SparkSpec {
         s"t=$t: missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("ExactSubstr == naive reference on random low-entropy corpora") {
+    // tiny alphabet forces genuine cross-doc repeated spans; the naive
+    // reference recomputes selection + coverage + reassembly from first
+    // principles (hot = k-gram in >= 2 distinct docs, token kept iff no
+    // hot start covers it)
+    val k = 3
+    def naive(docs: Seq[(Long, String)]): Map[Long, (Int, Int, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t == null) Array.empty[String]
+               else t.trim.split(" ", -1)) }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ws) =>
+        (0 to ws.length - k).map(i => (ws.slice(i, i + k).mkString(" "), id, i)) }
+      val hot = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+        .keySet
+      docs.map { case (id, _) =>
+        val ws = toks(id)
+        val bad = (0 to ws.length - k)
+          .filter(i => hot(ws.slice(i, i + k).mkString(" "))).toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, j) if !bad.exists(s => j >= s && j < s + k) => w }
+        id -> ((if (ws.isEmpty) 0 else ws.length, kept.length,
+          kept.mkString(" ")))
+      }.toMap
+    }
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    (0 until 6).foreach { round =>
+      val texts = samples(doc, 10).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val scratch = graft.util.Scratch.dir(s"graft_substr_prop$round").toString
+      texts.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+      val got = graft.ext.dedup.TextDedup
+        .removeRepeatedSubstrings(spark, scratch, k = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got == naive(texts), s"round $round: $texts")
+    }
+  }
+
+  test("AsOfJoinExec == union+window asOf on random keyed timelines") {
+    import graft.operators.AsOfJoin
+    val row = for {
+      key <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 40L)
+      id <- Gen.choose(0L, 1000L)
+    } yield (key, ts, id)
+    (0 until 5).foreach { round =>
+      val buildRows = samples(row, 40).distinct
+      val probeRows = samples(row.map(r => (r._1, r._2)), 25).distinct
+      val build = buildRows.toDF("bk", "bt", "id")
+        .select(col("bk"), timestamp_seconds(col("bt")).as("bt"), col("id"))
+      val probe = probeRows.toDF("k", "pt")
+        .select(col("k"), timestamp_seconds(col("pt")).as("pt"))
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(2)) -1L else r.getLong(2)) }.toSet
+      val viaExec = canon(AsOfJoin.asOfExec(probe, build, Seq("k"),
+          Seq("bk"), "pt", "bt", buildTie = Seq("id"))
+        .select(col("k"), col("pt"), col("id")).collect())
+      val viaWindow = canon(AsOfJoin.asOf(probe, build.toDF("k", "pt2", "id")
+          .withColumnRenamed("pt2", "bt2")
+          .select(col("k"), col("bt2"), col("id")),
+          Seq("k"), "pt", "bt2", buildTieBreak = Seq("id"))
+        .select(col("k"), col("pt"), col("matched.id")).collect())
+      assert(viaExec == viaWindow, s"round $round")
+    }
+  }
 }

@@ -161,6 +161,7 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_simhash", "x_dedup_containment", "x_dedup_spans",
       "x_dedup_lines", "x_dedup_lines_hashed", "x_embed_semdedup",
       "x_dedup_substrings", "x_dedup_substr_hashed", "x_substr_quality",
+      "x_dedup_substr_top",
       "x_text_tokens", "x_text_bpe", "x_text_nfc", "x_pack_bpe",
       "x_text_extract", "x_extract_dedup", "x_graph_triangles",
       "x_text_quality", "x_text_langid",
