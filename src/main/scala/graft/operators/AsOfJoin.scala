@@ -127,9 +127,12 @@ object AsOfJoin {
   def asOfExec(probe: DataFrame, build: DataFrame,
       probeKeys: Seq[String], buildKeys: Seq[String],
       probeTs: String, buildTs: String,
-      buildTie: Seq[String] = Nil): DataFrame = {
+      buildTie: Seq[String] = Nil, strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
       "as-of join needs matching key lists")
+    require(toleranceSeconds.forall(_ >= 0),
+      s"as-of tolerance must be non-negative, got $toleranceSeconds")
     val overlap = probe.columns.toSet.intersect(build.columns.toSet)
     require(overlap.isEmpty,
       s"asOfExec output is probe ++ build columns; rename the build side" +
@@ -142,6 +145,8 @@ object AsOfJoin {
     org.apache.spark.sql.GraftBridge.ofRows(probe.sparkSession,
       graft.plans.AsOfJoinNode(lp, rp,
         probeKeys.map(attr(lp, _)), buildKeys.map(attr(rp, _)),
-        attr(lp, probeTs), attr(rp, buildTs), buildTie.map(attr(rp, _))))
+        attr(lp, probeTs), attr(rp, buildTs), buildTie.map(attr(rp, _)),
+        strict = strict,
+        toleranceMicros = toleranceSeconds.map(_ * 1000000L)))
   }
 }

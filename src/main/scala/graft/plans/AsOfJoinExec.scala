@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTie: Seq[Expression]) extends BinaryNode {
+    rightTie: Seq[Expression], strict: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,7 +46,8 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinNode =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.rightTie) :: Nil
+        j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.rightTie,
+        j.strict, j.toleranceMicros) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +75,8 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTie: Seq[Expression]) extends BinaryExecNode {
+    rightTie: Seq[Expression], strict: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs matching key lists")
@@ -128,8 +131,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHeldKey: UnsafeRow = null
       var rHeldTs = 0L
       // latest right row at-or-before the current probe, with its key
+      // and timestamp (the tolerance bound checks the ts at emit time)
       var candKey: UnsafeRow = null
       var cand: InternalRow = null
+      var candTs = 0L
 
       def advanceRight(): Boolean = { // fill rHeld with the next valid row
         while (rHeld == null && rIter.hasNext) {
@@ -163,13 +168,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               while (more && advanceRight()) {
                 val c = keyOrd.compare(rHeldKey, lKey)
                 if (c < 0) { rHeld = null }          // key already passed
-                else if (c == 0 && rHeldTs <= lTs) {
+                else if (c == 0 &&
+                    (if (strict) rHeldTs < lTs else rHeldTs <= lTs)) {
                   candKey = rHeldKey
                   cand = rHeld.copy()
+                  candTs = rHeldTs
                   rHeld = null
                 } else more = false                  // strictly ahead
               }
-              val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0
+              val matched = candKey != null &&
+                keyOrd.compare(candKey, lKey) == 0 &&
+                toleranceMicros.forall(tol => lTs - candTs <= tol)
               nextRow = resultProj(joined(l, if (matched) cand else nullRight))
             }
           }

@@ -780,6 +780,25 @@ class PropertySpec extends SparkSpec {
           Seq("k"), "pt", "bt2", buildTieBreak = Seq("id"))
         .select(col("k"), col("pt"), col("matched.id")).collect())
       assert(viaExec == viaWindow, s"round $round")
+      // strict and tolerance modes agree with the rewrite too
+      val strictExec = canon(AsOfJoin.asOfExec(probe, build, Seq("k"),
+          Seq("bk"), "pt", "bt", buildTie = Seq("id"), strict = true)
+        .select(col("k"), col("pt"), col("id")).collect())
+      val strictWindow = canon(AsOfJoin.asOf(probe,
+          build.select(col("bk").as("k"), col("bt").as("bt2"), col("id")),
+          Seq("k"), "pt", "bt2", buildTieBreak = Seq("id"), strict = true)
+        .select(col("k"), col("pt"), col("matched.id")).collect())
+      assert(strictExec == strictWindow, s"strict round $round")
+      val tolExec = canon(AsOfJoin.asOfExec(probe, build, Seq("k"),
+          Seq("bk"), "pt", "bt", buildTie = Seq("id"),
+          toleranceSeconds = Some(7L))
+        .select(col("k"), col("pt"), col("id")).collect())
+      val tolWindow = canon(AsOfJoin.asOf(probe,
+          build.select(col("bk").as("k"), col("bt").as("bt2"), col("id")),
+          Seq("k"), "pt", "bt2", buildTieBreak = Seq("id"),
+          toleranceSeconds = Some(7L))
+        .select(col("k"), col("pt"), col("matched.id")).collect())
+      assert(tolExec == tolWindow, s"tolerance round $round")
     }
   }
 }
