@@ -948,10 +948,10 @@ object TextDedup {
   private val ClusterMemoMaxEntries = 16
 
   private val clusterMemo =
-    new graft.util.LruMemo[DataFrame](ClusterMemoMaxEntries)
+    new graft.util.LruMemo[String, DataFrame](ClusterMemoMaxEntries)
 
   private val pairsMemo =
-    new graft.util.LruMemo[DataFrame](ClusterMemoMaxEntries)
+    new graft.util.LruMemo[String, DataFrame](ClusterMemoMaxEntries)
 
   /** [[minhashLshPairs]] behind the same per-process memo discipline as
     * [[dedupClustersShared]]: the pair table is the expensive half of
@@ -1176,7 +1176,7 @@ object TextDedup {
     oldLabels: DataFrame)
 
   private val incBaseMemo =
-    new graft.util.LruMemo[IncrementalBase](ClusterMemoMaxEntries)
+    new graft.util.LruMemo[String, IncrementalBase](ClusterMemoMaxEntries)
 
   /** Drop memoized incremental bases (between tenants / corpus rewrites). */
   def clearIncrementalBaseMemo(): Unit = incBaseMemo.clear()

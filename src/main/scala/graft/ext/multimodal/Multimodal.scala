@@ -670,7 +670,7 @@ object Multimodal {
     }
   }
 
-  private val frameMemo = new graft.util.LruMemo[DataFrame](4)
+  private val frameMemo = new graft.util.LruMemo[String, DataFrame](4)
 
   /** Drop memoized frame sets (e.g. after a corpus rewrite). */
   def clearFrameMemo(): Unit = frameMemo.clear()

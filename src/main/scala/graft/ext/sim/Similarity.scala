@@ -261,7 +261,7 @@ object Similarity {
       .limit(k)
   }
 
-  private val indexMemo = new graft.util.LruMemo[String](4)
+  private val indexMemo = new graft.util.LruMemo[String, String](4)
 
   /** Drop memoized shared-index paths (e.g. after an in-session corpus
     * rewrite at the same directory — the memo key is the PATH, not the

@@ -204,13 +204,22 @@ object BpeCodec {
     */
   val MemoCap = 1 << 16
 
+  /** Canonical-instance bound: real jobs use a handful of vocabularies,
+    * but per-query generated merge tables must not pin codecs (each with
+    * a [[MemoCap]]-bounded word memo) for the life of the executor JVM —
+    * past the bound the least-recently-used codec is dropped.
+    */
+  val CanonicalCap = 8
+
   private val instances =
-    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], BpeCodec]()
+    new graft.util.LruMemo[Seq[(String, String)], BpeCodec](CanonicalCap)
 
   /** The process-wide codec for `merges` — one memo per vocabulary per
-    * JVM (a handful of vocabularies per process; each bounded by
-    * [[MemoCap]]), shared across all expressions and tasks.
+    * JVM (LRU-bounded by [[CanonicalCap]]; each codec's word memo
+    * bounded by [[MemoCap]]), shared across all expressions and tasks.
+    * Built outside the memo lock; a racing duplicate build is benign.
     */
   def canonical(merges: Seq[(String, String)]): BpeCodec =
-    instances.computeIfAbsent(merges, m => new BpeCodec(m))
+    instances.get(merges).getOrElse(
+      instances.putIfAbsent(merges, new BpeCodec(merges)))
 }

@@ -135,12 +135,24 @@ final class AcAutomaton(dict: Seq[String]) extends Serializable {
 }
 
 object AcAutomaton {
+  /** Canonical-instance bound: dictionaries are normally process-static
+    * fixtures (a handful per job), but a caller generating distinct
+    * per-query lists must not grow automatons for the life of the
+    * executor JVM — past the bound the least-recently-used automaton is
+    * dropped and would simply be rebuilt on next use.
+    */
+  val CanonicalCap = 32
+
   private val instances =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], AcAutomaton]()
+    new graft.util.LruMemo[Seq[String], AcAutomaton](CanonicalCap)
 
   /** The process-wide automaton for `dict` — one transition table per
-    * dictionary per JVM, shared across all expressions and tasks.
+    * dictionary per JVM (LRU-bounded by [[CanonicalCap]]), shared
+    * across all expressions and tasks. Built outside the memo lock; a
+    * racing duplicate build is benign (identical automatons, loser
+    * dropped).
     */
   def canonical(dict: Seq[String]): AcAutomaton =
-    instances.computeIfAbsent(dict, d => new AcAutomaton(d))
+    instances.get(dict).getOrElse(
+      instances.putIfAbsent(dict, new AcAutomaton(dict)))
 }

@@ -114,14 +114,43 @@ object Snapshots {
       case _ => agg.cast("string")
     }
 
+  /** Stats-format version this code WRITES. v2 = timestamps as epoch
+    * micros; v1 (the pre-marker format, no `#statsv=` header) rendered
+    * timestamps through `CAST(ts AS STRING)` in the publisher's session
+    * zone. The marker lets [[decodeStat]] pick the right inverse per
+    * manifest instead of silently NULL-casting a legacy
+    * `yyyy-MM-dd HH:mm:ss` render to long — which would coalesce the
+    * interval test to false and prune files that DO contain matches.
+    */
+  private val StatsFormatVersion = 2
+
+  /** Stats format of `version`'s manifest: the `#statsv=` header, or 1
+    * for a manifest that predates the marker.
+    */
+  def statsVersion(table: String, version: Int): Int =
+    manifestLines(table, version).collectFirst {
+      case l if l.startsWith("#statsv=") => l.stripPrefix("#statsv=").toInt
+    }.getOrElse(1)
+
   /** Inverse of [[encodeStat]]: reconstruct a typed bound from its
-    * manifest string, zone-free for timestamps.
+    * manifest string — zone-free epoch micros for v2+ timestamps, the
+    * legacy session-zone string render for v1 manifests (parsed under
+    * the CURRENT session zone; graft pins UTC everywhere, and
+    * [[possibility]]'s undecodable guard keeps the file whenever a
+    * non-null raw fails to parse, so a zone-shifted legacy bound can
+    * widen the kept set but never prune a matching file).
     */
   private def decodeStat(raw: org.apache.spark.sql.Column,
-      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      dt: org.apache.spark.sql.types.DataType,
+      statsv: Int): org.apache.spark.sql.Column =
     dt match {
-      case TimestampType => timestamp_micros(raw.cast("long"))
-      case _ => raw.cast(dt)
+      // try-variants, not plain casts: under ANSI (Spark 4 default) a
+      // mis-formatted bound must surface as NULL for the undecodable
+      // guard to catch, not throw mid-prune
+      case TimestampType if statsv >= 2 =>
+        timestamp_micros(raw.try_cast("long"))
+      case TimestampType => try_to_timestamp(raw)
+      case _ => raw.try_cast(dt.sql)
     }
 
   private def statsLines(table: String, version: Int): Seq[String] =
@@ -321,7 +350,7 @@ object Snapshots {
     val all = carried ++ fresh
     val op = if (carryForward) "append" else "rewrite"
     publishManifest(table, next,
-      (s"#op=$op" +: s"#rows=$rows" +:
+      (s"#op=$op" +: s"#rows=$rows" +: s"#statsv=$StatsFormatVersion" +:
         (extraHeaders ++ carriedStats ++ statHdrs)) ++ all, Seq(sub))
   }
 
@@ -654,7 +683,7 @@ object Snapshots {
     // analysis, so the rewriter would see one unknown leaf and keep all
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
-    val possible = sdf.filter(possibility(pred, schema))
+    val possible = sdf.filter(possibility(pred, schema, statsVersion(table, v)))
       .select("file").collect().map(_.getString(0)).toSet // ∝ file count
     val hasStats = stats.map(_.file).toSet
     (files.filter(f => !hasStats(f) || possible(f)), files)
@@ -687,7 +716,7 @@ object Snapshots {
     * comparison matches NULL.
     */
   private def possibility(pred: org.apache.spark.sql.catalyst.expressions.Expression,
-      schema: StructType): org.apache.spark.sql.Column = {
+      schema: StructType, statsv: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.Column
     def field(n: String): Option[StructField] =
@@ -706,9 +735,18 @@ object Snapshots {
         case None => lit(true)
         case Some(f) =>
           val tracked = element_at(col("nulls"), f.name).isNotNull
-          val mn = decodeStat(element_at(col("mins"), f.name), f.dataType)
-          val mx = decodeStat(element_at(col("maxs"), f.name), f.dataType)
-          when(!tracked, lit(true))
+          val rawMn = element_at(col("mins"), f.name)
+          val rawMx = element_at(col("maxs"), f.name)
+          val mn = decodeStat(rawMn, f.dataType, statsv)
+          val mx = decodeStat(rawMx, f.dataType, statsv)
+          // a bound that is PRESENT but fails to decode (stats written
+          // under a different format than the manifest claims — e.g.
+          // legacy lines carried into a v2 manifest) keeps the file:
+          // undecodable must degrade to "can't prune", never to the
+          // all-null-looking NULL interval that coalesces to a prune
+          val undecodable =
+            (rawMn.isNotNull && mn.isNull) || (rawMx.isNotNull && mx.isNull)
+          when(!tracked || undecodable, lit(true))
             .otherwise(coalesce(interval(mn, mx), lit(false)))
       }
     def eq(n: String, l: Literal): Column =

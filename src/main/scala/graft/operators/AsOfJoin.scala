@@ -142,6 +142,21 @@ object AsOfJoin {
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         n: String) = plan.output.find(_.name == n).getOrElse(
       sys.error(s"asOfExec: no column '$n' in ${plan.output.map(_.name)}"))
+    // toleranceSeconds is converted to micros, which is only meaningful
+    // against TIMESTAMP columns (stored as micros). The exec also merges
+    // raw LongType timelines (compared in their native units) — there a
+    // seconds→micros conversion would silently inflate the bound 10⁶×,
+    // so refuse instead of guessing the column's unit.
+    if (toleranceSeconds.isDefined) {
+      val ptsT = probe.schema(probeTs).dataType
+      val btsT = build.schema(buildTs).dataType
+      require(ptsT == org.apache.spark.sql.types.TimestampType &&
+          btsT == org.apache.spark.sql.types.TimestampType,
+        s"asOfExec toleranceSeconds requires TIMESTAMP ts columns (got" +
+          s" $probeTs: ${ptsT.sql}, $buildTs: ${btsT.sql}); for raw" +
+          " LONG timelines bound the match in the column's own units" +
+          " via AsOfJoinNode(toleranceMicros = ...) directly")
+    }
     org.apache.spark.sql.GraftBridge.ofRows(probe.sparkSession,
       graft.plans.AsOfJoinNode(lp, rp,
         probeKeys.map(attr(lp, _)), buildKeys.map(attr(rp, _)),

@@ -9,21 +9,21 @@ package graft.util
   * computation is benign (both sides produce the same value; the loser
   * is dropped).
   */
-private[graft] final class LruMemo[V <: AnyRef](maxEntries: Int) {
+private[graft] final class LruMemo[K, V <: AnyRef](maxEntries: Int) {
   require(maxEntries > 0, s"maxEntries must be positive: $maxEntries")
 
-  private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(
-        eldest: java.util.Map.Entry[String, V]): Boolean =
+        eldest: java.util.Map.Entry[K, V]): Boolean =
       this.size > maxEntries
   }
 
-  def get(key: String): Option[V] = map.synchronized(Option(map.get(key)))
+  def get(key: K): Option[V] = map.synchronized(Option(map.get(key)))
 
   /** Publish `value` unless `key` is already present; returns the winner
     * (and bumps its recency either way).
     */
-  def putIfAbsent(key: String, value: V): V = map.synchronized {
+  def putIfAbsent(key: K, value: V): V = map.synchronized {
     val prev = map.get(key)
     if (prev != null) prev
     else {
@@ -37,7 +37,7 @@ private[graft] final class LruMemo[V <: AnyRef](maxEntries: Int) {
   def size: Int = map.synchronized(map.size)
 
   /** Keys in eviction order (least-recently-used first) — for specs. */
-  private[graft] def keysByRecency: Seq[String] = map.synchronized {
+  private[graft] def keysByRecency: Seq[K] = map.synchronized {
     import scala.jdk.CollectionConverters._
     map.keySet.asScala.toSeq
   }

@@ -307,6 +307,76 @@ class MergeUpsertSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, prev)
   }
 
+  test("legacy v1 manifests: string timestamp stats never cause a wrong prune") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val table = graft.util.Scratch.dir("graft_skip_legacy").toString
+    Snapshots.append(Seq(1L, 2L).toDF("id").select(col("id"),
+      to_timestamp(lit("2024-03-01 01:00:00")).as("ts")).repartition(1),
+      table)
+    Snapshots.append(Seq(3L, 4L).toDF("id").select(col("id"),
+      to_timestamp(lit("2024-03-01 13:00:00")).as("ts")).repartition(1),
+      table)
+    val pred = "ts >= TIMESTAMP'2024-03-01 13:00:00'"
+    assert(Snapshots.statsVersion(table, 2) == 2)
+    assert(Snapshots.pruneFiles(spark, table, pred)._1.size == 1)
+
+    // rewrite v2's manifest as a pre-marker (v1) manifest: drop the
+    // #statsv header and re-render the micros bounds as the legacy
+    // session-zone strings v1 code wrote (session TZ is pinned UTC)
+    def legacyRender(micros: String): String = {
+      val inst = java.time.Instant.EPOCH.plusNanos(micros.toLong * 1000L)
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(inst)
+    }
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def unb64(s: String) =
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val m = Paths.get(table, "_manifests", "v2.list")
+    val rewritten = Files.readAllLines(m).asScala.toSeq
+      .filterNot(_.startsWith("#statsv="))
+      .map { l =>
+        if (!l.startsWith("#stats=")) l
+        else {
+          val Array(head, rows, parts @ _*) = l.split('|')
+          val fixed = parts.map { p =>
+            val Array(c, mn, mx, nn) = p.split(':')
+            if (unb64(c) != "ts") p
+            else Seq(c,
+              if (mn == "-") "-" else b64(legacyRender(unb64(mn))),
+              if (mx == "-") "-" else b64(legacyRender(unb64(mx))),
+              nn).mkString(":")
+          }
+          (head +: rows +: fixed).mkString("|")
+        }
+      }
+    Files.delete(m)
+    Files.write(m, rewritten.asJava)
+
+    // the marker is gone → decode takes the legacy string parse, the
+    // prune still bites, and the answer never changes
+    assert(Snapshots.statsVersion(table, 2) == 1)
+    assert(Snapshots.pruneFiles(spark, table, pred)._1.size == 1)
+    assert(Snapshots.prunedScan(spark, table, pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+
+    // mixed/corrupt case: legacy strings under a manifest that still
+    // CLAIMS v2 — micros decode fails, the undecodable guard must KEEP
+    // both files (conservative), never prune the matching one
+    val claimed = ("#statsv=2" +: rewritten).asJava
+    Files.delete(m)
+    Files.write(m, claimed)
+    assert(Snapshots.statsVersion(table, 2) == 2)
+    val (kept, all) = Snapshots.pruneFiles(spark, table, pred)
+    assert(all.size == 2 && kept.size == 2)
+    assert(Snapshots.prunedScan(spark, table, pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("stats tolerate column names with dots and backticks") {
     import spark.implicits._
     import graft.lake.Snapshots
