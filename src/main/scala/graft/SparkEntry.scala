@@ -389,6 +389,7 @@ object SparkEntry {
       graft.ext.graph.GraphOps.kCoreGate(s, d)),
     "q26_window_suite"   -> Analytics.q26WindowSuite _,
     "p_asof_forward"     -> EventOps.asOfForward _,
+    "p_asof_forward_exec" -> EventOps.asOfForwardExec _,
     "p_merge_upsert"     -> EventOps.mergeUpsert _,
     "x_knn_join"         -> ((s, d) => Similarity.knnJoinGate(s, d)),
     "x_dedup_containment" -> ((s, d) => TextDedup.containmentPairs(s, d)),
@@ -2715,25 +2716,10 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY station_id ORDER BY ts, s_no)""".stripMargin,
     // forward as-of + tolerance: the oracle is the bounded inequality join
-    // + per-probe top-1 (earliest ts wins, largest event_id on ties)
-    "p_asof_forward" ->
-      """WITH probes AS (
-        |  SELECT DISTINCT user_id AS station_id,
-        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
-        |      AS pts
-        |  FROM events),
-        |j AS (
-        |  SELECT p.station_id, p.pts, e.event_id,
-        |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
-        |    row_number() OVER (PARTITION BY p.station_id, p.pts
-        |      ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id DESC) AS rn
-        |  FROM probes p LEFT JOIN events e
-        |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) >= p.pts
-        |      AND CAST(e.ts AS TIMESTAMP) <= p.pts + INTERVAL 30 MINUTE)
-        |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
-        |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
-        |  round(value, 2) AS value
-        |FROM j WHERE rn = 1""".stripMargin,
+    // + per-probe top-1 (earliest ts wins, largest event_id on ties) —
+    // shared by the union+window rewrite and the merge-scan exec
+    "p_asof_forward" -> asofForwardOracle,
+    "p_asof_forward_exec" -> asofForwardOracle,
     // MERGE upsert: NOT EXISTS keeps unmatched base rows, UNION ALL brings
     // every delta row (updates + inserts)
     "p_merge_upsert" ->
@@ -3826,6 +3812,29 @@ object SparkEntry {
       |      ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
       |  FROM probes p LEFT JOIN events e
       |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) <= p.pts)
+      |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+      |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+      |  round(value, 2) AS value
+      |FROM j WHERE rn = 1""".stripMargin
+
+  /** Shared by p_asof_forward (union+window rewrite) and
+    * p_asof_forward_exec (custom merge-scan physical operator, forward
+    * mode): one oracle pinning both physical strategies answer-equal.
+    */
+  private val asofForwardOracle =
+    """WITH probes AS (
+      |  SELECT DISTINCT user_id AS station_id,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 37 MINUTE
+      |      AS pts
+      |  FROM events),
+      |j AS (
+      |  SELECT p.station_id, p.pts, e.event_id,
+      |    CAST(e.ts AS TIMESTAMP) AS ets, e.value,
+      |    row_number() OVER (PARTITION BY p.station_id, p.pts
+      |      ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id DESC) AS rn
+      |  FROM probes p LEFT JOIN events e
+      |    ON e.user_id = p.station_id AND CAST(e.ts AS TIMESTAMP) >= p.pts
+      |      AND CAST(e.ts AS TIMESTAMP) <= p.pts + INTERVAL 30 MINUTE)
       |SELECT station_id, strftime(pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
       |  event_id AS s_no, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
       |  round(value, 2) AS value

@@ -109,7 +109,17 @@ object TextDedup {
   def removeRepeatedSubstrings(spark: SparkSession, dir: String,
       k: Int = 8, minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     val toks = substrToks(docs(spark, dir))
+    // ONE gram pass, not two: the window-slide feeds BOTH the df
+    // aggregate and the marker join, and their exchanges differ (the
+    // aggregate partial-combines below its shuffle) so ReuseExchange
+    // cannot merge them — without pinning, the corpus-sized slide runs
+    // twice. Materialize it once (localCheckpoint, the minhashLshPairsOf
+    // pattern), keeping only the three columns both consumers need:
+    // with hashKeys the artifact is ~20 B per token, far cheaper than a
+    // second full scan + slide at 100 TB.
     val spans = substrSpans(toks, k, hashKeys)
+      .select(col("doc_id"), col("start"), col("key"))
+      .localCheckpoint(true)
     val hot = spans.groupBy(col("key"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)

@@ -112,8 +112,9 @@ object AsOfJoin {
       .select((keys ++ probePayload).map(col) :+ col(matchedCol): _*)
   }
 
-  /** The WHOLE-OPERATOR form of [[asOf]] (backward, inclusive, largest
-    * tie wins): plans through graft's custom
+  /** The WHOLE-OPERATOR form of [[asOf]] (largest tie wins; `forward`
+    * / `strict` / `toleranceSeconds` as in [[asOf]]): plans through
+    * graft's custom
     * [[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]
     * pipeline instead of the union+window rewrite — one merge scan over
     * co-partitioned co-sorted children, O(1) state per partition.
@@ -128,7 +129,8 @@ object AsOfJoin {
       probeKeys: Seq[String], buildKeys: Seq[String],
       probeTs: String, buildTs: String,
       buildTie: Seq[String] = Nil, strict: Boolean = false,
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
       "as-of join needs matching key lists")
     require(toleranceSeconds.forall(_ >= 0),
@@ -162,6 +164,7 @@ object AsOfJoin {
         probeKeys.map(attr(lp, _)), buildKeys.map(attr(rp, _)),
         attr(lp, probeTs), attr(rp, buildTs), buildTie.map(attr(rp, _)),
         strict = strict,
-        toleranceMicros = toleranceSeconds.map(_ * 1000000L)))
+        toleranceMicros = toleranceSeconds.map(_ * 1000000L),
+        forward = forward))
   }
 }

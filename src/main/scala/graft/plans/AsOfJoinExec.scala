@@ -26,7 +26,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     rightTie: Seq[Expression], strict: Boolean = false,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -47,7 +48,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case j: AsOfJoinNode =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.rightTie,
-        j.strict, j.toleranceMicros) :: Nil
+        j.strict, j.toleranceMicros, j.forward) :: Nil
     case _ => Nil
   }
 }
@@ -66,17 +67,24 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   *
   * Semantics (pinned equal to [[graft.operators.AsOfJoin.asOf]] by
   * spec + the shared driver oracle): latest right row with equal keys
-  * and `rightTs <= leftTs`; equal-`rightTs` duplicates resolve to the
-  * sort-latest (i.e. largest `rightTie`); probes with no predecessor
-  * emit null right columns; null-key/null-ts rows drop on both sides.
+  * and `rightTs <= leftTs` (`forward = true` flips the direction: the
+  * EARLIEST right row with `rightTs >= leftTs`; `strict` excludes
+  * equality either way); equal-`rightTs` duplicates resolve to the
+  * sort-latest (i.e. largest `rightTie`) in BOTH directions; probes
+  * with no match emit null right columns; null-key/null-ts rows drop
+  * on both sides; `toleranceMicros` bounds the match distance.
   * Timestamps must be TimestampType or LongType (compared as their
-  * long value — epoch micros for timestamps).
+  * long value — epoch micros for timestamps). Both directions run the
+  * same ascending co-sorted merge — forward differs only in which side
+  * of the probe the frontier settles on, so the child orderings (and
+  * the one-exchange-one-sort-per-side plan) are direction-independent.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     rightTie: Seq[Expression], strict: Boolean = false,
-    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs matching key lists")
@@ -161,25 +169,71 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val lTsRow = lTsProj(l)
             if (!lKey.anyNull && !lTsRow.isNullAt(0)) {
               val lTs = lTsRow.getLong(0)
-              // fold in every right row at-or-before this probe; later
-              // rows in (key, ts, tie) order overwrite the candidate,
-              // so equal-ts ties resolve to the largest tie-break
-              var more = true
-              while (more && advanceRight()) {
-                val c = keyOrd.compare(rHeldKey, lKey)
-                if (c < 0) { rHeld = null }          // key already passed
-                else if (c == 0 &&
-                    (if (strict) rHeldTs < lTs else rHeldTs <= lTs)) {
-                  candKey = rHeldKey
-                  cand = rHeld.copy()
-                  candTs = rHeldTs
-                  rHeld = null
-                } else more = false                  // strictly ahead
+              if (forward) {
+                // EARLIEST right row at-or-after (strict: after) the
+                // probe; equal-ts duplicates resolve to the largest
+                // tie-break. Probes ascend, so right rows too early for
+                // THIS probe are too early for every later one — the
+                // frontier only advances, O(1) state, each side scanned
+                // once. The candidate is only rebuilt when it is absent,
+                // behind the probe's key, or no longer qualifies; a
+                // candidate AHEAD of the probe's key is kept for the
+                // probes that will reach it.
+                def qual(ts: Long): Boolean =
+                  if (strict) ts > lTs else ts >= lTs
+                val cmpCand =
+                  if (candKey == null) -1 else keyOrd.compare(candKey, lKey)
+                if (candKey == null || cmpCand < 0 ||
+                    (cmpCand == 0 && !qual(candTs))) {
+                  candKey = null; cand = null
+                  var more = true
+                  while (more && advanceRight()) {
+                    val c = keyOrd.compare(rHeldKey, lKey)
+                    if (c < 0) rHeld = null          // key already passed
+                    else if (c == 0 && !qual(rHeldTs)) rHeld = null // early
+                    else if (c == 0) {
+                      // first qualifying row: fold its equal-ts run so
+                      // the sort-last (largest tie-break) wins
+                      candKey = rHeldKey; cand = rHeld.copy()
+                      candTs = rHeldTs; rHeld = null
+                      var run = true
+                      while (run && advanceRight()) {
+                        if (keyOrd.compare(rHeldKey, candKey) == 0 &&
+                            rHeldTs == candTs) {
+                          cand = rHeld.copy(); rHeld = null
+                        } else run = false
+                      }
+                      more = false
+                    } else more = false              // key strictly ahead
+                  }
+                }
+                val matched = candKey != null &&
+                  keyOrd.compare(candKey, lKey) == 0 && qual(candTs) &&
+                  toleranceMicros.forall(tol => candTs - lTs <= tol)
+                nextRow =
+                  resultProj(joined(l, if (matched) cand else nullRight))
+              } else {
+                // fold in every right row at-or-before this probe; later
+                // rows in (key, ts, tie) order overwrite the candidate,
+                // so equal-ts ties resolve to the largest tie-break
+                var more = true
+                while (more && advanceRight()) {
+                  val c = keyOrd.compare(rHeldKey, lKey)
+                  if (c < 0) { rHeld = null }        // key already passed
+                  else if (c == 0 &&
+                      (if (strict) rHeldTs < lTs else rHeldTs <= lTs)) {
+                    candKey = rHeldKey
+                    cand = rHeld.copy()
+                    candTs = rHeldTs
+                    rHeld = null
+                  } else more = false                // strictly ahead
+                }
+                val matched = candKey != null &&
+                  keyOrd.compare(candKey, lKey) == 0 &&
+                  toleranceMicros.forall(tol => lTs - candTs <= tol)
+                nextRow =
+                  resultProj(joined(l, if (matched) cand else nullRight))
               }
-              val matched = candKey != null &&
-                keyOrd.compare(candKey, lKey) == 0 &&
-                toleranceMicros.forall(tol => lTs - candTs <= tol)
-              nextRow = resultProj(joined(l, if (matched) cand else nullRight))
             }
           }
         }

@@ -1463,6 +1463,35 @@ object EventOps {
         round(col("matched.value"), 2).as("value"))
   }
 
+  /** [[asOfForward]] through the WHOLE-OPERATOR pipeline — forward +
+    * tolerance planned as [[graft.plans.AsOfJoinExec]]'s merge scan
+    * instead of the union+window rewrite: same probes, same build, same
+    * output columns, same driver oracle, so the exec's forward mode is
+    * pinned answer-equal to the rewrite by the correctness gate itself
+    * (the p_asof_exec / p_asof_state shared-oracle pattern).
+    */
+  def asOfForwardExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val probes = ev
+      .select(col("user_id").as("station_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 37 minutes"))
+          .as("probe_ts"))
+      .distinct()
+    val build = ev.select(col("user_id").as("b_station"),
+      col("ts").as("b_ts"), col("event_id").as("b_sno"),
+      col("value").as("b_value"))
+    graft.operators.AsOfJoin.asOfExec(probes, build,
+        Seq("station_id"), Seq("b_station"), "probe_ts", "b_ts",
+        buildTie = Seq("b_sno"), forward = true,
+        toleranceSeconds = Some(30L * 60))
+      .select(col("station_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("b_sno").as("s_no"),
+        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("event_ts"),
+        round(col("b_value"), 2).as("value"))
+  }
+
   /** MERGE upsert gate — [[graft.lake.Archive.mergeUpsert]] applying a
     * change feed onto a snapshot by primary key (station, s_no): the
     * "delta" re-delivers every third event with a corrected value (+1000)

@@ -799,6 +799,24 @@ class PropertySpec extends SparkSpec {
           toleranceSeconds = Some(7L))
         .select(col("k"), col("pt"), col("matched.id")).collect())
       assert(tolExec == tolWindow, s"tolerance round $round")
+      // forward (and forward+strict+tolerance) agree with the rewrite:
+      // the exec's ascending merge must settle on the EARLIEST
+      // at-or-after row with the largest tie-break, same as the
+      // descending-window formulation
+      for ((st, tol) <- Seq((false, None), (true, None),
+          (false, Some(7L)), (true, Some(7L)))) {
+        val fwdExec = canon(AsOfJoin.asOfExec(probe, build, Seq("k"),
+            Seq("bk"), "pt", "bt", buildTie = Seq("id"), strict = st,
+            toleranceSeconds = tol, forward = true)
+          .select(col("k"), col("pt"), col("id")).collect())
+        val fwdWindow = canon(AsOfJoin.asOf(probe,
+            build.select(col("bk").as("k"), col("bt").as("bt2"), col("id")),
+            Seq("k"), "pt", "bt2", buildTieBreak = Seq("id"), strict = st,
+            toleranceSeconds = tol, forward = true)
+          .select(col("k"), col("pt"), col("matched.id")).collect())
+        assert(fwdExec == fwdWindow,
+          s"forward round $round strict=$st tol=$tol")
+      }
     }
   }
 }

@@ -836,6 +836,37 @@ class ScaleSpec extends SparkSpec {
     assert(matches(forward = false, tol = Some(5L))((1L, 30L)) == -1L)
   }
 
+  test("forward mode through AsOfJoinExec: merge plan, one exchange+sort per side") {
+    import graft.operators.AsOfJoin
+    val (build0, probe) = asOfFixture
+    val build = build0.select(col("k").as("bk"), col("t"), col("id"),
+      col("v"))
+    val out = AsOfJoin.asOfExec(probe, build, Seq("k"), Seq("bk"),
+      "pt", "t", buildTie = Seq("id"), forward = true)
+    val got = out.select(col("k"), unix_timestamp(col("pt")).as("pt"),
+        col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // earliest at-or-after, max-id on equal-ts ties, null past the end —
+    // same answers the union+window forward variant pins above
+    assert(got == Map((1L, 5L) -> 100L, (1L, 20L) -> 102L,
+      (1L, 30L) -> -1L, (2L, 49L) -> 200L))
+    // forward runs the SAME ascending merge: exec node planned, one
+    // exchange + one sort per side, direction-independent
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan.take(800))
+    assert("Exchange".r.findAllIn(plan).size == 2, plan.take(800))
+    assert("Sort".r.findAllIn(plan).size >= 2, plan.take(800))
+    // and equality against the rewrite on the events fixture shape
+    // (forward + 30 min tolerance — the p_asof_forward contract)
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventOps.asOfForwardExec(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val b = graft.queries.EventOps.asOfForward(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("as-of join drops null-key rows on both sides (equi-join semantics)") {
     import spark.implicits._
     import graft.operators.AsOfJoin
