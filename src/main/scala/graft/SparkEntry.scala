@@ -315,6 +315,7 @@ object SparkEntry {
     // (same answers, rows physically gone, tombstones cleared) — the
     // serving-index twin of p_snapshot_delete
     "x_ann_delete"       -> ((s, d) => Similarity.lshIndexDeleteReport(s, d)),
+    "x_ann_stream"       -> ((s, d) => Similarity.lshIndexStreamReport(s, d)),
     // same tombstone lifecycle over the learned-quantizer IVF layout —
     // the _tombstones convention is index-agnostic
     "x_ann_ivf_delete"   -> ((s, d) => Similarity.ivfIndexDeleteReport(s, d)),
@@ -2322,6 +2323,26 @@ object SparkEntry {
     // are exact in each, and the victims/survivors are layout-free
     "x_ann_ivf_delete" -> annDeleteOracle,
     "x_ann_delete" -> annDeleteOracle,
+    // streaming index maintenance: the final table must hold the whole
+    // corpus exactly once (full-probe top-10 == brute force; odd-id
+    // count + id-sum pin the streamed rows), versions = bootstrap + one
+    // per micro-batch (redeliveries no-op)
+    "x_ann_stream" ->
+      """WITH top AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT vec_id, score,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  (SELECT count(*) FROM embeddings) AS n_rows,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+        |    AS odd_rows,
+        |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 2 = 1) AS odd_sum
+        |FROM top""".stripMargin,
     "x_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(l_orderkey) AS n_null,

@@ -492,6 +492,176 @@ object Similarity {
     tombstonedDf.unionAll(stage("compacted", 0L))
   }
 
+  // --- streaming index maintenance (freshness) -----------------------
+
+  /** Bucket-augmented embeddings laid out for file-level skipping: each
+    * output partition holds a contiguous RANGE of bucket values
+    * (`repartitionByRange`, not hash — hash would interleave unrelated
+    * buckets into one file and widen its min/max interval to cover
+    * buckets it doesn't hold), so a published file's manifest stats on
+    * `bucket` are tight and `Snapshots.prunedScan("bucket IN ...")`
+    * skips non-probed buckets at PLAN time.
+    */
+  /** Files per publication: each file covers a contiguous band of ~8
+    * buckets, so an m-bucket probe keeps ceil(m/8)-ish files. At gate
+    * scale more files would just buy per-file open overhead (the corpus
+    * is small); a production deployment sizes this by target file size
+    * (~512 MB), not bucket count — the skipping math is the same.
+    */
+  private val LakeIndexFiles = 8
+
+  private def withBucketFiles(df: DataFrame, nBits: Int): DataFrame =
+    df.withColumn("bucket",
+        graft.functions.HyperplaneBucket.hyperplane_bucket(col("embedding"),
+          nBits))
+      .repartitionByRange(LakeIndexFiles, col("bucket"))
+
+  /** ANN top-k over a LAKE-TABLE index ([[streamAppendLshLake]]'s
+    * layout): the probe set prunes FILES through the manifest's
+    * per-bucket min/max stats instead of `bucket=` directories — same
+    * plan-time skipping, plus the commit protocol a directory layout
+    * can't have (exactly-once streaming appends, snapshot isolation).
+    */
+  def lshLakeTopK(spark: SparkSession, table: String, qVec: Array[Float],
+      k: Int = 10, nBits: Int = 8, probes: Int = 32,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val qDf = Seq(Tuple1(qVec.toSeq)).toDF("query_vec")
+    val qb = qDf.select(
+      graft.functions.HyperplaneBucket.hyperplane_bucket(col("query_vec"),
+        nBits).as("qb")).collect().head.getInt(0)
+    val keep = rankHammingBuckets(qb, nBits, probes)
+    val idx = graft.lake.Snapshots.prunedScan(spark, table,
+      s"bucket IN (${keep.mkString(", ")})")
+    val probed =
+      excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    probed
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** One EXACTLY-ONCE streaming-append session into the lake-table
+    * index: every staged file not yet in the checkpoint becomes one
+    * micro-batch, published through
+    * [[graft.lake.Snapshots.appendBatchRetry]]'s batch-id high-water
+    * mark — Structured Streaming's at-least-once foreachBatch delivery
+    * degrades to exactly-once because a redelivered id no-ops against
+    * the commit log itself (no reconciliation scan). Each batch
+    * DELIVERS ITSELF TWICE (the p_stream_sink_lake contract): the
+    * second call simulates the sink-failed-after-publish retry and
+    * must return None. `Trigger.AvailableNow` drains what is staged
+    * and stops, so a caller can stage more files and re-enter with the
+    * SAME checkpoint — a restart that must resume exactly past the
+    * published batches.
+    */
+  def streamAppendLshLake(spark: SparkSession, stageDir: String,
+      checkpoint: String, table: String, nBits: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, bid: Long) =>
+        import graft.lake.Snapshots
+        val delta = withBucketFiles(bdf, nBits)
+        val published = Snapshots.appendBatchRetry(delta, table, bid)
+          .isDefined || Snapshots.lastBatchId(table).exists(_ >= bid)
+        require(published, s"index batch $bid was not published")
+        val again = Snapshots.appendBatch(delta, table, bid)
+        require(again.isEmpty, s"duplicate index batch $bid published twice")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** EventOps' single-file stager, index-side copy: write `df` as ONE
+    * parquet file under `stage/name` with a pinned mtime so the file
+    * stream's discovery order is deterministic.
+    */
+  private def stageVecFile(df: DataFrame, stage: java.nio.file.Path,
+      name: String, mtimeMillis: Long): Unit = {
+    val tmp = graft.util.Scratch.dir(s"graft_vecstage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part file written under $tmp"))
+    val dest = stage.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+  }
+
+  /** STREAMING index maintenance gate — the freshness rung the index
+    * lifecycle was missing (build/append/compact/delete are gated;
+    * this pins "vectors streamed in become probe-visible, exactly
+    * once, across restarts"). The index lives as a snapshot-lake table
+    * (vec_id, embedding, label, bucket) rather than a `bucket=`
+    * directory tree: the manifest's per-file bucket stats give probes
+    * the same plan-time pruning ([[lshLakeTopK]]), and the commit
+    * log's batch-id high-water mark gives the stream exactly-once
+    * appends — the composition the verdict asked for
+    * ([[graft.lake.Snapshots.appendBatch]] under foreachBatch, the
+    * p_stream_sink_lake / p_wire_restart pattern on the index layout).
+    *
+    * Fixture: even vec_ids bootstrap v1; the odd ids arrive as two
+    * staged files drained by TWO AvailableNow sessions over ONE
+    * checkpoint — the second session is a mid-stream restart that must
+    * resume past batch 0 without re-publishing it. Every batch also
+    * re-delivers itself inside foreachBatch (must no-op), and a
+    * post-hoc redelivery of the final batch id must still no-op.
+    * Contract columns: full-probe top-10 (= brute force over the WHOLE
+    * corpus — a lost or doubled streamed vector shifts it),
+    * `n_versions` pinned to bootstrap + one version per batch, and the
+    * odd-id row count + id-sum (each streamed row exactly once).
+    * Solo floor ~3 s: two AvailableNow drain cycles + three lake
+    * publications — the same class as p_stream_sink_lake (SCALE.md
+    * floor table).
+    */
+  def lshIndexStreamReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val nBits = 6
+    val e = emb(spark, dir)
+    val table = graft.util.Scratch.dir("graft_lsh_lake").toString
+    Snapshots.append(withBucketFiles(e.filter(col("vec_id") % 2 === 0),
+      nBits), table)
+    val stage = graft.util.Scratch.dir("graft_lsh_lake_src")
+    val ck = graft.util.Scratch.dir("graft_lsh_lake_ck").toString
+    val base = System.currentTimeMillis()
+    stageVecFile(e.filter(pmod(col("vec_id"), lit(4)) === 1), stage,
+      "g1.parquet", base)
+    streamAppendLshLake(spark, stage.toString, ck, table, nBits, e.schema)
+    require(Snapshots.lastBatchId(table).contains(0L),
+      "first session must have published exactly batch 0")
+    // the second file lands AFTER the first session stopped: the
+    // restarted session must resume from the checkpoint (batch 1),
+    // never re-deliver batch 0's rows
+    stageVecFile(e.filter(pmod(col("vec_id"), lit(4)) === 3), stage,
+      "g2.parquet", base + 60000)
+    streamAppendLshLake(spark, stage.toString, ck, table, nBits, e.schema)
+    // post-hoc redelivery of the final batch id: still a no-op
+    require(Snapshots.appendBatch(withBucketFiles(e.limit(1), nBits),
+        table, 1L).isEmpty,
+      "redelivered final batch must no-op against the high-water mark")
+    val counters = Snapshots.read(spark, table).agg(
+      count(lit(1)).as("n"),
+      count(when(pmod(col("vec_id"), lit(2)) === 1, 1)).as("odd"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 1, col("vec_id")))
+        .as("osum")).collect().head
+    lshLakeTopK(spark, table, queryVec0(spark, dir), k = 10,
+        nBits = nBits, probes = 64, excludeVecId = Some(0L))
+      .withColumn("n_versions", lit(Snapshots.latestVersion(table).toLong))
+      .withColumn("n_rows", lit(counters.getLong(0)))
+      .withColumn("odd_rows", lit(counters.getLong(1)))
+      .withColumn("odd_sum", lit(counters.getLong(2)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
     * recall: one side of the join explodes each vector's bucket into the

@@ -714,6 +714,44 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.collect().length == 10)
   }
 
+  test("lake-table LSH index: manifest stats skip files, full probes equal brute force") {
+    import graft.lake.Snapshots
+    // build the lake layout the streaming maintenance gate publishes:
+    // bucket-augmented rows, range-partitioned so each file holds a
+    // contiguous bucket band (tight min/max stats per file)
+    val table = tmpDir("lsh_lake_spec")
+    val nBits = 6
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("bucket", graft.functions.HyperplaneBucket
+        .hyperplane_bucket(col("embedding"), nBits))
+      .repartitionByRange(8, col("bucket"))
+    Snapshots.append(e, table)
+    val qVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    // full probes == brute force over the corpus
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.lshLakeTopK(spark, table, qVec, nBits = nBits,
+      probes = 64, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    // a narrow probe set must SKIP files at plan time, through the
+    // manifest's per-file bucket min/max — the lake's data skipping is
+    // this layout's partition pruning
+    val (kept, all) = Snapshots.pruneFiles(spark, table, "bucket IN (0, 1)")
+    assert(all.size > 1, s"fixture degenerated to ${all.size} file(s)")
+    assert(kept.size < all.size,
+      s"no files skipped: kept=${kept.size} of ${all.size}")
+    // and the pruned scan still answers exactly over the probed buckets
+    val want = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("bucket", graft.functions.HyperplaneBucket
+        .hyperplane_bucket(col("embedding"), nBits))
+      .filter(col("bucket").isin(0, 1)).count()
+    assert(Snapshots.prunedScan(spark, table, "bucket IN (0, 1)")
+      .count() == want)
+  }
+
   test("filtered ANN: label predicate pushes into the index scan, exact at full probes") {
     val indexPath = tmpDir("lsh_index_filtered")
     Similarity.writeLshIndex(spark, dir, indexPath)
