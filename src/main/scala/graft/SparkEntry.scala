@@ -340,6 +340,7 @@ object SparkEntry {
     // of ImageIO-decoded planted families, banded hamming join (complete
     // for dist <= 3 by pigeonhole over 4 disjoint 16-bit bands)
     "x_multimodal_phash" -> ((s, d) => Multimodal.phashNearDup(s, d)),
+    "x_multimodal_vdup"  -> ((s, d) => Multimodal.videoPhashNearDup(s, d)),
     // audio analog: point-sampled envelope fingerprint over real RIFF
     // parses, same shared bandedHamming64 candidate machinery
     "x_multimodal_afp" -> ((s, d) => Multimodal.audioFpNearDup(s, d)),
@@ -2665,6 +2666,77 @@ object SparkEntry {
         |    AS dist
         |FROM cand
         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
+    // video temporal near-dup: per-frame aHash -> banded shift discovery
+    // -> aligned match count -> best shift per pair; the oracle replays
+    // the WHOLE chain (pixel arithmetic, hash, bands, alignment) from
+    // the fixture's integer math without decoding a single PNG
+    "x_multimodal_vdup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id - doc_id % 4 AS base,
+        |    doc_id % 4 AS off
+        |  FROM documents),
+        |frames AS (
+        |  SELECT id, base, off, CAST(f.fi AS INTEGER) AS fi,
+        |    off + f.fi AS gg
+        |  FROM ids, range(0, 5) f(fi)
+        |  WHERE f.fi < base % 2 + 4),
+        |px AS (
+        |  SELECT id, fi, gg, base, off, t.i AS gi,
+        |    ((t.i % 8) * ((base + gg * 7) % 12 + 8)) // 8 AS x,
+        |    ((t.i // 8) * ((base + gg * 5) % 8 + 8)) // 8 AS y
+        |  FROM frames, range(0, 64) t(i)),
+        |pix AS (
+        |  SELECT id, fi, gi, x, y, off,
+        |    CAST(((base * 1009 + gg * 499 + x * 37 + y * 101)
+        |      * (base * 1009 + gg * 499 + x * 37 + y * 101)) % 16777216
+        |      AS BIGINT) AS raw
+        |  FROM px),
+        |pert AS (
+        |  SELECT id, fi, gi,
+        |    CASE WHEN x = 0 AND y = 0
+        |      THEN (raw - raw % 256) + LEAST(255, raw % 256 + off)
+        |      ELSE raw END AS p
+        |  FROM pix),
+        |luma AS (
+        |  SELECT id, fi, gi,
+        |    ((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587
+        |      + (p & 255) * 114 AS lm
+        |  FROM pert),
+        |tot AS (SELECT id, fi, CAST(sum(lm) AS BIGINT) AS total
+        |        FROM luma GROUP BY id, fi),
+        |hashes AS (
+        |  SELECT l.id, l.fi,
+        |    CAST(coalesce(sum(CASE WHEN l.lm * 64 > t.total AND l.gi < 32
+        |      THEN (CAST(1 AS BIGINT) << l.gi) END), 0) AS BIGINT) AS hi,
+        |    CAST(coalesce(sum(CASE WHEN l.lm * 64 > t.total AND l.gi >= 32
+        |      THEN (CAST(1 AS BIGINT) << (l.gi - 32)) END), 0) AS BIGINT)
+        |      AS lo
+        |  FROM luma l JOIN tot t ON l.id = t.id AND l.fi = t.fi
+        |  GROUP BY l.id, l.fi),
+        |bands AS (
+        |  SELECT id, fi, hi, lo, b.bi,
+        |    CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+        |              WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        |  FROM hashes, range(0, 4) b(bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, b.fi - a.fi AS s
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+        |ver AS (
+        |  SELECT c.id_a, c.id_b, c.s, count(*) AS m
+        |  FROM cand c
+        |  JOIN hashes fa ON fa.id = c.id_a
+        |  JOIN hashes fb ON fb.id = c.id_b AND fb.fi = fa.fi + c.s
+        |  WHERE bit_count(xor(fa.hi, fb.hi))
+        |      + bit_count(xor(fa.lo, fb.lo)) <= 3
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT id_a, id_b, s, m,
+        |    row_number() OVER (PARTITION BY id_a, id_b
+        |      ORDER BY m DESC, s ASC) AS rn
+        |  FROM ver)
+        |SELECT id_a, id_b, CAST(s AS INTEGER) AS shift, m AS n_matched
+        |FROM best WHERE rn = 1 AND m >= 2""".stripMargin,
     // the video-pipeline gate: Spark demuxes a length-prefixed motion-PNG
     // container and real-decodes every frame; the oracle unnests the frame
     // range and replays the per-frame pixel arithmetic without decoding

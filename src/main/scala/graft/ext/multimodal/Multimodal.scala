@@ -370,6 +370,177 @@ object Multimodal {
       }.toDF().filter(col("ok")), maxDist)
   }
 
+  /** Per-frame perceptual hash of one demuxed video frame. */
+  case class VideoFrameHash(media_id: Long, frame_idx: Int,
+      hash_hi: Long, hash_lo: Long, ok: Boolean)
+
+  /** Temporally-SHIFTED near-dup clip fixture: four-clip families share
+    * one underlying frame sequence (indexed by the GLOBAL frame number
+    * `g`, drawn from `base = id - id % 4`), and member `off = id % 4`
+    * records the window `[off, off + nF)` of it — so two members with
+    * offsets o1 < o2 share `nF - (o2 - o1)` exact frames at temporal
+    * shift `o1 - o2`. Each clip additionally perturbs ONLY the blue
+    * channel of pixel (0, 0) of every frame by `off` (saturating — the
+    * image fixture's perturbation), making aligned frames perceptual
+    * near-duplicates rather than byte copies. Same container format as
+    * [[videoMediaFromDocuments]] (length-prefixed PNG frames).
+    */
+  def videoNearDupMediaFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val base = id - id % 4
+          val off = (id % 4).toInt
+          val nF = (base % 2 + 4).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          var f = 0
+          while (f < nF) {
+            val g = off + f
+            // dims stay >= 8 so the 8x8 sampling grid hits DISTINCT
+            // pixels: sub-8px frames collapse grid cells onto the same
+            // pixel, degenerating hashes into a handful of shared band
+            // values and blowing the candidate join up quadratically
+            val w = ((base + g * 7) % 12 + 8).toInt
+            val h = ((base + g * 5) % 8 + 8).toInt
+            val frame = encodePng(w, h, { (x, y) =>
+              // quadratic self-mix (v^2 mod 2^24): the LINEAR pattern
+              // the other fixtures use makes each pixel row an arithmetic
+              // progression whose luma pattern repeats across families —
+              // hot 16-bit bands with hundreds of frames each and a
+              // quadratic candidate blowup (measured: hottest band 479
+              // frames linear, 15 after the square); squaring varies the
+              // progression's step with v itself, spreading sampled lumas
+              val v = base * 1009L + g * 499L + x * 37L + y * 101L
+              val raw = (v * v % 16777216L).toInt
+              if (x == 0 && y == 0)
+                (raw & 0xFFFF00) | math.min(255, (raw & 0xFF) + off)
+              else raw
+            })
+            dos.writeInt(frame.length)
+            dos.write(frame)
+            f += 1
+          }
+          dos.flush()
+          MediaRow(id, "video/x-motion-png", out.toByteArray)
+        }
+      }
+  }
+
+  /** Demux + per-frame [[PHashDecoder]]: the video analog of the image
+    * hash pass — one narrow 1→N explode, real PNG decodes, 16 bytes of
+    * hash per frame downstream (payloads never cross a shuffle).
+    * Corrupt tails yield `ok = false` rows, the demux contract.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[VideoFrameHash] = {
+    implicit val enc = Encoders.product[VideoFrameHash]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes = Option(r.payload).getOrElse(Array.empty[Byte])
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val out = scala.collection.mutable.ArrayBuffer[VideoFrameHash]()
+        var idx = 0
+        var corrupt = false
+        while (!corrupt && buf.remaining() >= 4) {
+          val len = buf.getInt
+          if (len < 0 || len > buf.remaining()) corrupt = true
+          else {
+            val frame = new Array[Byte](len)
+            buf.get(frame)
+            val d = PHashDecoder.decode(MediaRow(r.media_id, "frame", frame))
+            out += VideoFrameHash(r.media_id, idx, d.hash_hi, d.hash_lo,
+              d.ok)
+            idx += 1
+          }
+        }
+        if (corrupt || buf.remaining() > 0 || out.isEmpty)
+          out += VideoFrameHash(r.media_id, idx, 0L, 0L, ok = false)
+        out
+      }
+    }
+  }
+
+  /** VIDEO temporal near-duplicate detection — the image phash pipeline
+    * extended along the time axis (the last multimodal dedup modality):
+    * per-frame aHash → banded candidate join DISCOVERS each candidate
+    * pair's temporal shift (any aligned frame pair within `maxDist`
+    * agrees on ≥ 1 of 4 disjoint 16-bit bands — the pigeonhole that
+    * makes [[bandedHamming64]] complete, reused per frame) → one
+    * aligned equi-join per (pair, shift) counts the frames matching
+    * within `maxDist` → the best shift per pair (max matches, ties to
+    * the smallest shift) survives when ≥ `minMatched` frames align.
+    * The shuffle carries (band, id, frame hash) — 16 bytes a frame,
+    * never payloads; candidate shifts are ∝ true temporal overlap plus
+    * band collisions; the alignment verify is an equi-join on
+    * `(pair, frame + shift)`, not a per-pair dynamic program — at
+    * 100 TB the decode pass dominates and everything downstream scales
+    * with candidates. The oracle replays hash, banding, shift
+    * discovery, and alignment symbolically from the fixture arithmetic
+    * without decoding a single PNG (the x_multimodal_phash precedent).
+    */
+  def videoPhashNearDup(spark: SparkSession, dir: String,
+      maxDist: Int = 3, minMatched: Int = 2): DataFrame = {
+    // consumed by both band legs AND both verify legs: pin the 16-byte
+    // hash rows once, never the decode pipeline four times
+    val fh = videoFrameHashes(videoNearDupMediaFromDocuments(spark, dir))
+      .toDF().filter(col("ok"))
+      .select(col("media_id"), col("frame_idx"), col("hash_hi"),
+        col("hash_lo"))
+      .localCheckpoint()
+    val bands = fh.select(col("media_id"), col("frame_idx"),
+      explode(array(
+        struct(lit(0).as("band_idx"),
+          shiftright(col("hash_hi"), 16).as("band_val")),
+        struct(lit(1).as("band_idx"),
+          col("hash_hi").bitwiseAND(lit(65535L)).as("band_val")),
+        struct(lit(2).as("band_idx"),
+          shiftright(col("hash_lo"), 16).as("band_val")),
+        struct(lit(3).as("band_idx"),
+          col("hash_lo").bitwiseAND(lit(65535L)).as("band_val"))
+      )).as("band"))
+      .select(col("media_id"), col("frame_idx"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+    val cand = bands.select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_a"), col("frame_idx").as("fa"))
+      .join(bands.select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_b"), col("frame_idx").as("fb")),
+        Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("fb") - col("fa")).as("shift"))
+      .distinct()
+    val fa = fh.select(col("media_id").as("id_a"),
+      col("frame_idx").as("fa"), col("hash_hi").as("ha"),
+      col("hash_lo").as("la"))
+    val fb = fh.select(col("media_id").as("id_b2"),
+      col("frame_idx").as("fb2"), col("hash_hi").as("hb"),
+      col("hash_lo").as("lb"))
+    val verified = cand
+      .join(fa, Seq("id_a"))
+      .join(fb, col("id_b") === col("id_b2") &&
+        col("fb2") === col("fa") + col("shift"))
+      .withColumn("dist",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"), col("shift"))
+      .agg(count(lit(1)).as("n_matched"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("n_matched").desc, col("shift").asc)
+    verified
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("n_matched") >= minMatched)
+      .select(col("id_a"), col("id_b"), col("shift"), col("n_matched"))
+  }
+
   /** Decoded-audio features (the audio-decoder output contract). */
   case class AudioFeatures(media_id: Long, kind: String, n_samples: Int,
       sample_rate: Int, channels: Int, checksum: Long, ok: Boolean)

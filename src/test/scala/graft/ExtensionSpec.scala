@@ -1683,6 +1683,34 @@ class MultimodalSpec extends SparkSpec {
       "most families must keep all 10 member pairs")
   }
 
+  test("video temporal near-dup recovers every planted shifted-clip pair") {
+    val rows = Multimodal.videoPhashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Int]("shift"), r.getAs[Long]("n_matched")))).toMap
+    // fixture: 4-clip families over one frame sequence, member `off`
+    // recording window [off, off+4) — members o1 < o2 share 4-(o2-o1)
+    // frames at shift o1-o2, so exactly the five pairs with overlap >= 2
+    // survive per family, with EXACT shifts and match counts
+    val docCount = spark.read.parquet(s"$dir/documents.parquet").count()
+    val families = (0L until docCount by 4).filter(_ + 3 < docCount)
+    families.foreach { base =>
+      Seq((0, 1, 3L), (1, 2, 3L), (2, 3, 3L), (0, 2, 2L), (1, 3, 2L))
+        .foreach { case (o1, o2, m) =>
+          val got = rows.get((base + o1, base + o2))
+          assert(got.contains((o1 - o2, m)),
+            s"family $base pair ($o1,$o2): got $got, want (${o1 - o2}, $m)")
+        }
+      // the 1-frame overlap pair stays below the 2-match threshold
+      assert(!rows.contains((base, base + 3)),
+        s"family $base: pair (0,3) must not survive with 1 aligned frame")
+    }
+    // and nothing beyond the planted pairs (no cross-family noise at
+    // this corpus size; band collisions are possible in principle but
+    // the quadratic-mix fixture keeps them out of the 2-match band)
+    assert(rows.size == families.size * 5,
+      s"got ${rows.size} pairs, want ${families.size * 5}")
+  }
+
   test("audio fingerprint catches every planted near-dup clip family") {
     val pairs = Multimodal.audioFpNearDup(spark, dir).collect()
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
