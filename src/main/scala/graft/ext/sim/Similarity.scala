@@ -833,9 +833,32 @@ object Similarity {
     * distributed k-means instead — this is the IVF-list builder, where k is
     * typically √n and the sample covers it.
     */
+  /** Memo for the deterministic quantizer fits over a CORPUS DIRECTORY
+    * (seeded sample → Lloyd): the IVF/PQ gates each need the same
+    * codebooks, and a serving deployment trains a quantizer once per
+    * corpus snapshot, not once per query — one fit, many consumers
+    * (the sharedLshIndex topology for driver-side artifacts). The
+    * `...Of` frame variants stay unmemoized: an arbitrary DataFrame has
+    * no stable identity to key on.
+    */
+  private val fitMemo = new graft.util.LruMemo[String, AnyRef](8)
+
+  /** Drop memoized quantizer fits (after an in-session corpus rewrite
+    * at the same directory — same contract as [[clearIndexMemo]]).
+    */
+  def clearFitMemo(): Unit = fitMemo.clear()
+
   def ivfFitCentroids(spark: SparkSession, dir: String, k: Int = 16,
-      iters: Int = 8, sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] =
-    ivfFitCentroidsOf(emb(spark, dir), k, iters, sampleSize, seed)
+      iters: Int = 8, sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] = {
+    val key = Seq("ivf", spark.sparkContext.applicationId, dir, k, iters,
+      sampleSize, seed).mkString("|")
+    fitMemo.get(key) match {
+      case Some(c) => c.asInstanceOf[Array[Array[Double]]]
+      case None => fitMemo.putIfAbsent(key,
+          ivfFitCentroidsOf(emb(spark, dir), k, iters, sampleSize, seed))
+        .asInstanceOf[Array[Array[Double]]]
+    }
+  }
 
   /** [[ivfFitCentroids]] over an explicit (vec_id, embedding) frame —
     * lets maintenance scenarios fit the quantizer on the RESIDENT corpus
@@ -1073,6 +1096,12 @@ object Similarity {
   def pqFitCodebooks(spark: SparkSession, dir: String, m: Int = 16,
       codes: Int = 128, iters: Int = 8, sampleSize: Int = 2048,
       seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val key = Seq("pq", spark.sparkContext.applicationId, dir, m, codes,
+      iters, sampleSize, seed).mkString("|")
+    fitMemo.get(key) match {
+      case Some(c) => return c.asInstanceOf[Array[Array[Array[Double]]]]
+      case None =>
+    }
     val sample = boundedSample(spark, dir, sampleSize, seed)
     require(sample.length >= codes, s"sample ${sample.length} < codes=$codes")
     val dims = sample(0).length
@@ -1086,7 +1115,9 @@ object Similarity {
     val fits = (0 until m).map { s => Future {
       lloyd(sample.map(v => v.slice(s * sub, (s + 1) * sub)), codes, iters)
     }}
-    Await.result(Future.sequence(fits), 10.minutes).toArray
+    fitMemo.putIfAbsent(key,
+        Await.result(Future.sequence(fits), 10.minutes).toArray)
+      .asInstanceOf[Array[Array[Array[Double]]]]
   }
 
   /** Distributed PQ encoding: per subspace, one codegen'd nearest-centroid
@@ -1101,14 +1132,13 @@ object Similarity {
     * [[ivfAssign]] for IVF-PQ).
     */
   def pqEncodeDf(df: DataFrame,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    // one compact codegen'd expression for all m subspaces: m separate
+    // slice+nearest_centroid trees push the fused whole-stage method
+    // past the JIT's 8 KB bytecode ceiling and the hot loop runs
+    // interpreted (see graft.functions.PqEncode's scaladoc)
     df.withColumn("codes",
-      array((0 until m).map(s =>
-        graft.functions.NearestCentroid.nearest_centroid(
-          slice(col("embedding"), s * sub + 1, sub), codebooks(s))): _*))
-  }
+      graft.functions.PqOps.pq_encode(col("embedding"), codebooks))
 
   /** The ADC approximate-cosine column over a `codes` column: per-subspace
     * lookup tables (dot product and squared norm of every codebook entry —
@@ -1125,11 +1155,11 @@ object Similarity {
       cb(s).map(c => c.indices.map(d => c(d) * qVec(s * sub + d)).sum)
     }
     val normTab = Array.tabulate(m) { s => cb(s).map(c => c.map(x => x * x).sum) }
-    val adcDot = (0 until m).map(s =>
-      element_at(typedLit(dotTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
-    val adcNorm2 = (0 until m).map(s =>
-      element_at(typedLit(normTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
-    adcDot / (lit(qNorm) * sqrt(adcNorm2))
+    // one short codegen'd loop over the two tables instead of 2·m
+    // inlined element_at(literal) trees — same subspace-order fold, so
+    // the double result is bit-equal; the tree form blew the fused
+    // method past the JIT's 8 KB limit (interpreted: ~10x slower)
+    graft.functions.PqOps.pq_adc_cosine(col("codes"), dotTab, normTab, qNorm)
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC) + exact re-rank:

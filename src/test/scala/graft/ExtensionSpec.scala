@@ -656,6 +656,52 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.sameElements(brute))
   }
 
+  test("compact PQ expressions equal their composed-tree forms bit-for-bit") {
+    import graft.functions.{NearestCentroid, PqOps}
+    val cb = Similarity.pqFitCodebooks(spark, dir)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // pq_encode == array(nearest_centroid(slice(...)), ...) — the shape
+    // it replaced (m inlined trees blew the fused method past the JIT's
+    // 8 KB bytecode limit; semantics must be unchanged)
+    val viaTree = e.select(col("vec_id"), array((0 until m).map(s =>
+        NearestCentroid.nearest_centroid(
+          slice(col("embedding"), s * sub + 1, sub), cb(s))): _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaLoop = e.select(col("vec_id"),
+        PqOps.pq_encode(col("embedding"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaLoop == viaTree)
+    // pq_adc_cosine == the element_at lookup-chain fold, bit-equal
+    // (same subspace summation order)
+    val qVec = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val dotTab = Array.tabulate(m) { s =>
+      cb(s).map(c => c.indices.map(d => c(d) * qVec(s * sub + d)).sum)
+    }
+    val normTab = Array.tabulate(m) { s => cb(s).map(c => c.map(x => x * x).sum) }
+    val encDf = Similarity.pqEncode(spark, dir, cb)
+    val chainDot = (0 until m).map(s =>
+      element_at(typedLit(dotTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
+    val chainNorm2 = (0 until m).map(s =>
+      element_at(typedLit(normTab(s).toSeq), col("codes")(s) + 1)).reduce(_ + _)
+    val viaChain = encDf.select(col("vec_id"),
+        (chainDot / (lit(qNorm) * sqrt(chainNorm2))).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaExpr = encDf.select(col("vec_id"),
+        PqOps.pq_adc_cosine(col("codes"), dotTab, normTab, qNorm).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr == viaChain)
+    // byte-packed codes (the persisted-index layout) decode identically
+    val viaByte = encDf.select(col("vec_id"),
+        PqOps.pq_adc_cosine(col("codes").cast("array<tinyint>"),
+          dotTab, normTab, qNorm).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaByte == viaChain)
+  }
+
   test("a small ADC pool still recalls most of the exact top-10") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(_.getLong(0)).toSet
