@@ -581,45 +581,78 @@ object EventOps {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
   }
 
+  /** Memo for the staged source directories behind
+    * [[eventsStreamWithFlush]]: the staged fixture (events copy + two
+    * flush sentinels) is IMMUTABLE once written and identical for every
+    * gate that streams the same (corpus, slice), but ~12 gate
+    * invocations were each re-paying the copy plus two single-file
+    * Spark write jobs. Readers never mutate the directory — each gate
+    * runs its own query over its own fresh checkpoint — so one staging
+    * per (session, corpus, slice) is behavior-identical; only the
+    * directory's creation cost is shared (the sharedLshIndex topology,
+    * applied to stream fixtures). Keyed by slice TAG, not Column:
+    * a Column has no stable identity.
+    */
+  private val stageMemo = new graft.util.LruMemo[String, String](8)
+
+  /** Drop memoized staged stream sources (after an in-session corpus
+    * rewrite at the same directory — same contract as
+    * `Similarity.clearIndexMemo`).
+    */
+  def clearStageMemo(): Unit = stageMemo.clear()
+
   /** Staged file stream + far-future flush sentinels; `slice` (raw,
     * pre-normalization rows) restricts the staged events — `None`
     * stages the whole file byte-identical via copy. One definition for
     * the single-source append gates AND each leg of the union gate, so
-    * the sentinel encoding logic cannot drift between them.
+    * the sentinel encoding logic cannot drift between them. `sliceTag`
+    * names the slice for the staging memo ("all" must only ever pair
+    * with `slice = None`, and a distinct tag per distinct predicate).
     */
   private def eventsStreamWithFlush(spark: SparkSession, dir: String,
-      slice: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val stage = graft.util.Scratch.dir("graft_stream_append_src")
-    val base = System.currentTimeMillis()
-    slice match {
+      slice: Option[org.apache.spark.sql.Column] = None,
+      sliceTag: String = "all"): DataFrame = {
+    val key = Seq(spark.sparkContext.applicationId, dir, sliceTag)
+      .mkString("|")
+    val staged = stageMemo.get(key) match {
+      case Some(p) => p
       case None =>
-        val eventsFile = stage.resolve("events.parquet")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
-        java.nio.file.Files.setLastModifiedTime(eventsFile,
-          java.nio.file.attribute.FileTime.fromMillis(base))
-      case Some(cond) =>
-        stageParquetFile(
-          spark.read.parquet(s"$dir/events.parquet").filter(cond),
-          stage, "events.parquet", base)
+        val stage = graft.util.Scratch.dir("graft_stream_append_src")
+        val base = System.currentTimeMillis()
+        slice match {
+          case None =>
+            val eventsFile = stage.resolve("events.parquet")
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(s"$dir/events.parquet"), eventsFile)
+            java.nio.file.Files.setLastModifiedTime(eventsFile,
+              java.nio.file.attribute.FileTime.fromMillis(base))
+          case Some(cond) =>
+            stageParquetFile(
+              spark.read.parquet(s"$dir/events.parquet").filter(cond),
+              stage, "events.parquet", base)
+        }
+        // 2100-01-01 / 2100-01-02 as nanos — far past any real event
+        // time. The sentinel file must carry the SAME physical ts
+        // encoding as the real events file (one user schema decodes the
+        // whole directory), so the nanos literal is re-encoded to the
+        // footer's actual dtype.
+        val rawSchema = graft.util.EventTs.rawEventsSchema(spark, dir)
+        Seq(("flush1.parquet", 4102444800000000000L, 60),
+            ("flush2.parquet", 4102531200000000000L, 120)).foreach {
+          case (name, tsNanos, offsetSec) =>
+            import spark.implicits._
+            stageParquetFile(
+              graft.util.EventTs.nanosColTo(
+                Seq((-1L, tsNanos, -1L, "__flush__", 0.0,
+                    Option.empty[String]))
+                  .toDF("event_id", "ts", "user_id", "event_type",
+                    "value", "props"),
+                rawSchema("ts").dataType),
+              stage, name, base + offsetSec * 1000L)
+        }
+        stageMemo.putIfAbsent(key, stage.toString)
     }
-    // 2100-01-01 / 2100-01-02 as nanos — far past any real event time.
-    // The sentinel file must carry the SAME physical ts encoding as the
-    // real events file (one user schema decodes the whole directory), so
-    // the nanos literal is re-encoded to the footer's actual dtype.
-    val rawSchema = graft.util.EventTs.rawEventsSchema(spark, dir)
-    Seq(("flush1.parquet", 4102444800000000000L, 60),
-        ("flush2.parquet", 4102531200000000000L, 120)).foreach {
-      case (name, tsNanos, offsetSec) =>
-        import spark.implicits._
-        stageParquetFile(
-          graft.util.EventTs.nanosColTo(
-            Seq((-1L, tsNanos, -1L, "__flush__", 0.0, Option.empty[String]))
-              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-            rawSchema("ts").dataType),
-          stage, name, base + offsetSec * 1000L)
-    }
-    graft.util.EventTs.readEventsStream(spark, dir, stage.toString,
+    graft.util.EventTs.readEventsStream(spark, dir, staged,
       Map("maxFilesPerTrigger" -> "2"))
   }
 
@@ -654,10 +687,10 @@ object EventOps {
   def streamUnionAppend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val left = eventsStreamWithFlush(spark, dir,
-      Some(col("event_id") % 2 === 0))
+      Some(col("event_id") % 2 === 0), sliceTag = "even")
       .withWatermark("ts", "30 minutes")
     val right = eventsStreamWithFlush(spark, dir,
-      Some(col("event_id") % 2 === 1))
+      Some(col("event_id") % 2 === 1), sliceTag = "odd")
       .withWatermark("ts", "30 minutes")
     val agg = left.unionByName(right)
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))

@@ -153,7 +153,7 @@ class ScaleSpec extends SparkSpec {
       "p_hotkey_join", "p_agg_maintain", "x_dq_checks", "x_dedup_ppjoin",
       "x_table_diff", "x_part_checksums",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
-      "p_asof_exec",
+      "p_asof_exec", "p_asof_forward_exec",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
       "p_ohlc_bars", "p_resample_interp",
@@ -202,6 +202,13 @@ class ScaleSpec extends SparkSpec {
       "x_dedup_stream", "x_dedup_substr_stream", "p_state_ttl",
       "p_stream_backfill",
       "p_stream_sink_lake", "p_lake_concurrent",
+      // streaming drain + lake publications on construction
+      "x_ann_stream",
+      // eager localCheckpoint pins the frame-hash table on construction
+      // and truncates the inspectable plan there; the banded join +
+      // aligned verify are plain equi-joins over the pinned frame
+      // (the x_text_winnow_pairs precedent)
+      "x_multimodal_vdup",
       // write/stage side effects on construction (covered by their specs)
       // x_text_winnow_pairs: localCheckpoint materializes the fingerprint
       // table on construction AND truncates the inspectable plan at the
