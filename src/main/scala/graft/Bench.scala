@@ -53,6 +53,30 @@ object Bench {
       s""""cpu_steal_ticks":$steal,"cpu_total_ticks":$total}"""
   }
 
+  /** Cumulative (steal, total) CPU ticks from /proc/stat's aggregate
+    * line, (-1, -1) when unreadable — sampled around EACH gate so a
+    * contaminated run self-identifies per gate, not just run-level.
+    * BENCH_r13 (916 s at 2.5% run-level steal) cost a judge session to
+    * adjudicate gate-by-gate; with per-gate windows the adjudication is
+    * mechanical (benchdiff annotates any riser whose window was dirty).
+    */
+  private def stealTicks(): (Long, Long) =
+    try {
+      val l = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.find(_.startsWith("cpu ")).get
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else -1L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  private def load1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val startLoad = loadSample()
@@ -80,7 +104,8 @@ object Bench {
     // a failed gate must NOT be scored as a (fast) success: record the
     // sentinel -1 for it, keep it out of the total, surface it on stderr
     // and in a "failed" list the harness can see
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val perGate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (st0, tt0) = stealTicks()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -88,9 +113,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val (st1, tt1) = stealTicks()
+      val stealPct =
+        if (st0 >= 0 && st1 >= 0 && tt1 > tt0)
+          math.rint(10000.0 * (st1 - st0) / (tt1 - tt0)) / 100
+        else -1.0
+      (name, sec, stealPct, load1())
     }
+    val results = perGate.map { case (n, s, _, _) => (n, s) }
     val endLoad = loadSample()
+    // per-gate contention windows: steal % over each gate's own /proc/stat
+    // delta plus the 1-min loadavg at gate end — what turns "the run was
+    // dirty" into "THESE gates' windows were dirty"
+    val gateTel = perGate.map { case (n, _, sp, l1) =>
+      graft.util.Json.str(n) + s""":{"steal_pct":$sp,"load1":$l1}"""
+    }.mkString(""","gate_env":{""", ",", "}")
     val telemetry = s""","telemetry":{"start":$startLoad,"end":$endLoad}"""
     val failed = results.collect { case (n, v) if v < 0 => n }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
@@ -107,7 +145,9 @@ object Bench {
     // (~2.8 KB) overflows that window (BENCH_r02/r03 both came back
     // parsed:null). So stdout gets a compact line: total + as many of the
     // slowest queries as fit a conservative budget, with the omitted count.
-    val full = render(results, telemetry)
+    // gate_env rides only in the full file-side line: ~90 gates of
+    // per-gate env would blow the compact stdout line's 2000-char window
+    val full = render(results, telemetry + gateTel)
     val budget = 1500  // line + sbt's trailing "[success] ..." must fit 2000
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.length

@@ -79,6 +79,54 @@ object GraftSession {
     "dict_tag_counts" -> (exprs => graft.functions.DictTagCounts(exprs.head,
       graft.ext.text.TextAnalysis.TagDict)))
 
+  /** (name, builder) for every SQL-exposed TABLE function — same
+    * single-source-of-truth contract as [[sqlFunctions]], registered by
+    * both [[register]] and [[graft.plans.GraftExtensions]].
+    *
+    * `as_of(probe_view, build_view, probe_keys, build_keys, probe_ts,
+    * build_ts[, build_tie[, mode[, tolerance_seconds]]])` — the SQL
+    * surface for the point-in-time join ([[graft.operators.AsOfJoin]]):
+    * view names and column lists arrive as string literals (keys/tie as
+    * comma-separated lists; `mode` any of '', 'strict', 'forward',
+    * 'strict,forward'), the builder resolves the views in the ACTIVE
+    * session's catalog and returns the analyzed
+    * [[graft.plans.AsOfJoinNode]] plan — so `SELECT * FROM as_of(...)`
+    * plans through the same custom merge-scan exec as the Scala API,
+    * one exchange + one sort per side.
+    */
+  private[graft] val sqlTableFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "as_of" -> (exprs => {
+      def arg(i: Int): String = {
+        val e = exprs(i)
+        require(e.foldable,
+          s"as_of argument ${i + 1} must be a literal, got $e")
+        Option(e.eval(null)).map(_.toString).getOrElse("")
+      }
+      require(exprs.length >= 6 && exprs.length <= 9,
+        "as_of(probe_view, build_view, probe_keys, build_keys, probe_ts," +
+          " build_ts[, build_tie[, mode[, tolerance_seconds]]]) takes 6-9" +
+          s" arguments, got ${exprs.length}")
+      def csv(s: String): Seq[String] =
+        s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val spark = SparkSession.active
+      val mode = if (exprs.length > 7) arg(7).toLowerCase else ""
+      require(csv(mode).forall(Seq("strict", "forward").contains),
+        s"as_of mode must be '', 'strict', 'forward' or 'strict,forward'," +
+          s" got '$mode'")
+      val tol = if (exprs.length > 8)
+        Some(exprs(8).eval(null).asInstanceOf[Number].longValue) else None
+      graft.operators.AsOfJoin.asOfExec(
+          spark.table(arg(0)), spark.table(arg(1)),
+          csv(arg(2)), csv(arg(3)), arg(4), arg(5),
+          buildTie = if (exprs.length > 6) csv(arg(6)) else Nil,
+          strict = mode.contains("strict"),
+          toleranceSeconds = tol,
+          forward = mode.contains("forward"))
+        .queryExecution.analyzed
+    }))
+
   /** Register graft's custom expressions in the session's function registry
     * so they're callable from SQL:
     * {{{
@@ -90,6 +138,10 @@ object GraftSession {
     val reg = spark.sessionState.functionRegistry
     sqlFunctions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    sqlTableFunctions.foreach { case (name, builder) =>
+      treg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 

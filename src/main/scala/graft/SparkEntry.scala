@@ -125,6 +125,9 @@ object SparkEntry {
     // the same as-of contract through the custom LogicalPlan ->
     // SparkStrategy -> merge-scan SparkPlan pipeline (AsOfJoinExec)
     "p_asof_exec"        -> EventOps.asOfStateExec _,
+    // the as-of operator reached from SQL TEXT via the as_of table
+    // function — third front door, same oracle as p_asof_exec/p_asof_state
+    "p_asof_sql"         -> EventOps.asOfStateSql _,
     "p_dedup_stream"     -> EventOps.dedupStream _,
     "p_bloom_prune"      -> EventOps.bloomPrunedStats _,
     "p_stream_join"      -> EventOps.streamStreamJoin _,
@@ -316,6 +319,11 @@ object SparkEntry {
     // serving-index twin of p_snapshot_delete
     "x_ann_delete"       -> ((s, d) => Similarity.lshIndexDeleteReport(s, d)),
     "x_ann_stream"       -> ((s, d) => Similarity.lshIndexStreamReport(s, d)),
+    // the same exactly-once streaming-append contract on the SECOND
+    // index layout (IVF-PQ lake table) — closes the r13 freshness
+    // asymmetry: restart resume, self-redelivery no-op, full-probe ==
+    // brute force, per-batch versions
+    "x_ann_ivfpq_stream" -> ((s, d) => Similarity.ivfPqIndexStreamReport(s, d)),
     // same tombstone lifecycle over the learned-quantizer IVF layout —
     // the _tombstones convention is index-agnostic
     "x_ann_ivf_delete"   -> ((s, d) => Similarity.ivfIndexDeleteReport(s, d)),
@@ -724,6 +732,7 @@ object SparkEntry {
     // custom merge-scan exec) to the same answer
     "p_asof_exec" -> asofStateOracle,
     "p_asof_state" -> asofStateOracle,
+    "p_asof_sql" -> asofStateOracle,
     // resample+ffill: per (station, epoch-aligned 6h slot), the latest
     // at-or-before event; pre-first-event slots surface with nulls
     "p_resample_ffill" ->
@@ -2329,6 +2338,26 @@ object SparkEntry {
     // count + id-sum pin the streamed rows), versions = bootstrap + one
     // per micro-batch (redeliveries no-op)
     "x_ann_stream" ->
+      """WITH top AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT vec_id, score,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  (SELECT count(*) FROM embeddings) AS n_rows,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+        |    AS odd_rows,
+        |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 2 = 1) AS odd_sum
+        |FROM top""".stripMargin,
+    // same contract on the IVF-PQ lake layout: the index table must end
+    // up holding the corpus exactly once (bootstrap + two streamed
+    // batches), so brute force over `embeddings` is the oracle for the
+    // full-probe, corpus-covering-rerank probe
+    "x_ann_ivfpq_stream" ->
       """WITH top AS (
         |  SELECT vec_id,
         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

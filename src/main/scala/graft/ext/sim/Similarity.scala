@@ -662,6 +662,160 @@ object Similarity {
       .withColumn("odd_sum", lit(counters.getLong(2)))
   }
 
+  /** IVF-PQ rows laid out for file-level skipping, the [[withBucketFiles]]
+    * analog on the learned-quantizer layout: list assignment against the
+    * RESIDENT centroids (a fixed broadcast artifact — the IVF maintenance
+    * invariant, [[appendIvfIndex]]) plus PQ encoding against the resident
+    * codebooks, stored as `(vec_id, codes tinyint, ivf_list)` — codes
+    * ONLY, the billion-scale serving artifact ([[writeIvfPqIndex]]); raw
+    * vectors stay in the corpus and are fetched just for the rerank
+    * survivors. `repartitionByRange` on `ivf_list` keeps each published
+    * file's manifest min/max on the list id tight, so a probe of
+    * `nProbe` lists is a plan-time file prune — the manifest does what
+    * `ivf_list=` directories do, with a commit protocol directories
+    * can't have.
+    */
+  private def withIvfListFiles(df: DataFrame,
+      centroids: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    pqEncodeDf(ivfAssignOf(df, centroids), cb)
+      .select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"),
+        col("ivf_list"))
+      .repartitionByRange(LakeIndexFiles, col("ivf_list"))
+
+  /** IVF-PQ top-k over a LAKE-TABLE index ([[streamAppendIvfPqLake]]'s
+    * layout): list probes prune FILES through the manifest's per-file
+    * `ivf_list` min/max stats ([[lshLakeTopK]]'s mechanism on the
+    * learned-quantizer layout), the ADC pass scores the survivors from
+    * the codes column only, and the top `rerank` candidate ids join
+    * back to the corpus for the exact re-rank ([[ivfPqTopKIndexed]]'s
+    * read path with manifest pruning instead of directory pruning).
+    */
+  def ivfPqLakeTopK(spark: SparkSession, table: String, corpus: DataFrame,
+      centroids: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      qVec: Array[Float], k: Int = 10, nProbe: Int = 4, rerank: Int = 400,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val qd = qVec.map(_.toDouble)
+    val probeLists = rankProbeLists(centroids, qd, nProbe)
+    val idx = graft.lake.Snapshots.prunedScan(spark, table,
+      s"ivf_list IN (${probeLists.mkString(", ")})")
+    val probed = excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    val cand = probed
+      .select(col("vec_id"), adcCosine(cb, qd).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerank)
+    import spark.implicits._
+    val q = broadcast(Seq(Tuple1(qVec.toSeq)).toDF("query_vec"))
+    cand.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_vec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[streamAppendLshLake]] on the IVF-PQ layout — the index-freshness
+    * asymmetry the r13 verdict flagged (streaming exactly-once appends
+    * existed for the LSH lake layout only). Same machinery end to end:
+    * each staged file becomes one micro-batch, the foreachBatch body
+    * assigns lists + PQ-encodes against the RESIDENT quantizer (both
+    * are fixed broadcast artifacts, so the transform is a narrow
+    * per-row pass — no refit, no resident rewrite), and publishes
+    * through [[graft.lake.Snapshots.appendBatchRetry]]'s batch-id
+    * high-water mark. Every batch re-delivers itself (must no-op) —
+    * the p_stream_sink_lake contract; `Trigger.AvailableNow` lets a
+    * caller stage more files and re-enter with the SAME checkpoint as
+    * a mid-stream restart.
+    */
+  def streamAppendIvfPqLake(spark: SparkSession, stageDir: String,
+      checkpoint: String, table: String,
+      centroids: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (bdf: DataFrame, bid: Long) =>
+        import graft.lake.Snapshots
+        val delta = withIvfListFiles(bdf, centroids, cb)
+        val published = Snapshots.appendBatchRetry(delta, table, bid)
+          .isDefined || Snapshots.lastBatchId(table).exists(_ >= bid)
+        require(published, s"index batch $bid was not published")
+        val again = Snapshots.appendBatch(delta, table, bid)
+        require(again.isEmpty, s"duplicate index batch $bid published twice")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING maintenance gate for the IVF-PQ layout — closes the
+    * freshness asymmetry ([[lshIndexStreamReport]]'s contract on the
+    * second index layout, the r13 verdict's #1 ask). Fixture mirrors
+    * x_ann_stream exactly: even vec_ids bootstrap v1 (and fit the IVF
+    * centroids, so streamed rows exercise STALE-quantizer assignment,
+    * the [[ivfIndexAppendReport]] honesty); the odd ids arrive as two
+    * staged files drained by TWO AvailableNow sessions over ONE
+    * checkpoint (the second IS a mid-stream restart that must resume
+    * past batch 0), every batch self-redelivers inside foreachBatch
+    * (must no-op), and a post-hoc redelivery of the final batch id
+    * must still no-op. Contract columns: full-probe top-10 (= brute
+    * force over the WHOLE corpus — the exact re-rank over a
+    * corpus-covering candidate pool makes ADC ranking error
+    * irrelevant; a lost or doubled streamed vector still shifts it),
+    * `n_versions` = bootstrap + one per batch, and the odd-id row
+    * count + id-sum over the INDEX table (each streamed row exactly
+    * once). PQ codebooks come from the corpus-level fit memo (shared
+    * with the other PQ gates — the codebook is ADC-ranking-only here,
+    * never correctness). Solo floor ~3–5 s: two AvailableNow drain
+    * cycles + three lake publications, the x_ann_stream class
+    * (SCALE.md floor table).
+    */
+  def ivfPqIndexStreamReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val nLists = 16
+    val e = emb(spark, dir)
+    val resident = e.filter(col("vec_id") % 2 === 0)
+    val centroids = ivfFitCentroidsOf(resident, k = nLists)
+    val cb = pqFitCodebooks(spark, dir)
+    val table = graft.util.Scratch.dir("graft_ivfpq_lake").toString
+    Snapshots.append(withIvfListFiles(resident, centroids, cb), table)
+    val stage = graft.util.Scratch.dir("graft_ivfpq_lake_src")
+    val ck = graft.util.Scratch.dir("graft_ivfpq_lake_ck").toString
+    val base = System.currentTimeMillis()
+    stageVecFile(e.filter(pmod(col("vec_id"), lit(4)) === 1), stage,
+      "g1.parquet", base)
+    streamAppendIvfPqLake(spark, stage.toString, ck, table, centroids, cb,
+      e.schema)
+    require(Snapshots.lastBatchId(table).contains(0L),
+      "first session must have published exactly batch 0")
+    stageVecFile(e.filter(pmod(col("vec_id"), lit(4)) === 3), stage,
+      "g2.parquet", base + 60000)
+    streamAppendIvfPqLake(spark, stage.toString, ck, table, centroids, cb,
+      e.schema)
+    require(Snapshots.appendBatch(
+        withIvfListFiles(e.limit(1), centroids, cb), table, 1L).isEmpty,
+      "redelivered final batch must no-op against the high-water mark")
+    val counters = Snapshots.read(spark, table).agg(
+      count(lit(1)).as("n"),
+      count(when(pmod(col("vec_id"), lit(2)) === 1, 1)).as("odd"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 1, col("vec_id")))
+        .as("osum")).collect().head
+    // rerank ≥ the full corpus: the candidate pool IS the probed index,
+    // so the exact re-rank equals brute force no matter how the
+    // stale-ish codebook orders the ADC pass — the gate pins streaming
+    // delivery, not ADC recall (x_ann_pq/x_ann_ivfpq own that)
+    val poolSize = counters.getLong(0).toInt
+    ivfPqLakeTopK(spark, table, e, centroids, cb, queryVec0(spark, dir),
+        k = 10, nProbe = nLists, rerank = poolSize, excludeVecId = Some(0L))
+      .withColumn("n_versions", lit(Snapshots.latestVersion(table).toLong))
+      .withColumn("n_rows", lit(counters.getLong(0)))
+      .withColumn("odd_rows", lit(counters.getLong(1)))
+      .withColumn("odd_sum", lit(counters.getLong(2)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * agreement verified by exact cosine ≥ threshold, with MULTI-PROBE
     * recall: one side of the join explodes each vector's bucket into the

@@ -154,6 +154,11 @@ case class PqAdcCosine(child: Expression, dotTab: Array[Array[Double]],
           s"pq_adc_cosine requires ARRAY<INT|TINYINT> codes, got ${t.catalogString}")
     }
 
+  // NULL semantics match the element_at chain this replaces: a null code
+  // element or a code outside the table yields NULL (element_at returns
+  // null out of bounds), never garbage or an exception. Byte codes are
+  // unsigned-packed (up to 256 entries per codebook), so mask the signed
+  // JVM byte read with & 0xFF.
   override def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[ArrayData]
     val m = math.min(dotTab.length, codes.numElements())
@@ -161,7 +166,9 @@ case class PqAdcCosine(child: Expression, dotTab: Array[Array[Double]],
     var norm2 = 0.0
     var s = 0
     while (s < m) {
-      val c = if (isByte) codes.getByte(s).toInt else codes.getInt(s)
+      if (codes.isNullAt(s)) return null
+      val c = if (isByte) codes.getByte(s) & 0xFF else codes.getInt(s)
+      if (c < 0 || c >= dotTab(s).length) return null
       dot += dotTab(s)(c)
       norm2 += normTab(s)(c)
       s += 1
@@ -169,24 +176,29 @@ case class PqAdcCosine(child: Expression, dotTab: Array[Array[Double]],
     dot / (qNorm * math.sqrt(norm2))
   }
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, codes => {
       val dt = ctx.addReferenceObj("dotTab", dotTab, "double[][]")
       val nt = ctx.addReferenceObj("normTab", normTab, "double[][]")
       val m = ctx.freshName("m"); val s = ctx.freshName("s")
       val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
-      val norm2 = ctx.freshName("norm2")
+      val norm2 = ctx.freshName("norm2"); val bad = ctx.freshName("bad")
       val getCode =
-        if (isByte) s"(int) $codes.getByte($s)" else s"$codes.getInt($s)"
+        if (isByte) s"$codes.getByte($s) & 0xFF" else s"$codes.getInt($s)"
       s"""
-         |double $dot = 0.0; double $norm2 = 0.0;
+         |double $dot = 0.0; double $norm2 = 0.0; boolean $bad = false;
          |int $m = java.lang.Math.min($dt.length, $codes.numElements());
          |for (int $s = 0; $s < $m; $s++) {
+         |  if ($codes.isNullAt($s)) { $bad = true; break; }
          |  int $c = $getCode;
+         |  if ($c < 0 || $c >= $dt[$s].length) { $bad = true; break; }
          |  $dot += $dt[$s][$c];
          |  $norm2 += $nt[$s][$c];
          |}
-         |${ev.value} = $dot / ($qNorm * java.lang.Math.sqrt($norm2));
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / ($qNorm * java.lang.Math.sqrt($norm2)); }
        """.stripMargin
     })
 

@@ -149,7 +149,17 @@ object Snapshots {
       // guard to catch, not throw mid-prune
       case TimestampType if statsv >= 2 =>
         timestamp_micros(raw.try_cast("long"))
-      case TimestampType => try_to_timestamp(raw)
+      // v1 covers two disjoint legacy renders: the session-zone string
+      // (`yyyy-MM-dd HH:mm:ss[.SSS]`, which try_to_timestamp parses) and
+      // the unmarked epoch-micros era — manifests written by the micros
+      // encoder just before the #statsv header existed (a bare integer
+      // string, which try_to_timestamp yields NULL on). Decoding both
+      // recovers pruning for the unmarked-micros era; the renders can't
+      // collide (one has separators, the other is all digits), so this
+      // can never mis-decode a bound into a wrong prune
+      case TimestampType =>
+        coalesce(try_to_timestamp(raw),
+          timestamp_micros(raw.try_cast("long")))
       case _ => raw.try_cast(dt.sql)
     }
 
@@ -202,7 +212,10 @@ object Snapshots {
     * unconditionally.
     */
   def fileStats(table: String, version: Int): Seq[FileStat] =
-    statsLines(table, version).map { l =>
+    fileStatsOf(manifestLines(table, version))
+
+  private def fileStatsOf(lines: Seq[String]): Seq[FileStat] =
+    lines.filter(_.startsWith("#stats=")).map { l =>
       val parts = l.stripPrefix("#stats=").split('|')
       val cols = parts.drop(2).filter(_.nonEmpty).map { p =>
         val Array(c, mn, mx, nn) = p.split(':')
@@ -668,8 +681,14 @@ object Snapshots {
   def pruneFiles(spark: SparkSession, table: String, predicate: String,
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val v = version.getOrElse(latestVersion(table))
-    val files = manifestFiles(table, v)
-    val stats = fileStats(table, v)
+    // one manifest read serves files + stats + format version — a second
+    // manifestLines pass per prune is pure redundant IO on large tables
+    val lines = manifestLines(table, v)
+    val files = lines.filterNot(_.startsWith("#"))
+    val stats = fileStatsOf(lines)
+    val statsv = lines.collectFirst {
+      case l if l.startsWith("#statsv=") => l.stripPrefix("#statsv=").toInt
+    }.getOrElse(1)
     if (stats.isEmpty) return (files, files)
     val schema = read(spark, table, Some(v)).schema
     import spark.implicits._
@@ -683,7 +702,7 @@ object Snapshots {
     // analysis, so the rewriter would see one unknown leaf and keep all
     val pred = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicate)
-    val possible = sdf.filter(possibility(pred, schema, statsVersion(table, v)))
+    val possible = sdf.filter(possibility(pred, schema, statsv))
       .select("file").collect().map(_.getString(0)).toSet // ∝ file count
     val hasStats = stats.map(_.file).toSet
     (files.filter(f => !hasStats(f) || possible(f)), files)

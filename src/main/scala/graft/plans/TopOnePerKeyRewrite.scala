@@ -261,5 +261,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.functions", name),
         builder))
     }
+    // table functions too (the as_of point-in-time join's SQL surface)
+    graft.GraftSession.sqlTableFunctions.foreach { case (name, builder) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.operators", name),
+        builder))
+    }
   }
 }

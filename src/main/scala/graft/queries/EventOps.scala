@@ -1193,6 +1193,42 @@ object EventOps {
         round(col("b_value"), 2).as("value"))
   }
 
+  /** [[asOfStateExec]] reached from SQL TEXT — the as-of operator's SQL
+    * surface (the r13 verdict's ask: winnow_fp/bpe_tokenize set the
+    * function-registration precedent; the as-of pair was Scala-only).
+    * The `as_of` TABLE function ([[graft.GraftSession.sqlTableFunctions]],
+    * registered on both the programmatic and `spark.sql.extensions`
+    * surfaces) resolves the probe/build temp views and returns the
+    * analyzed [[graft.plans.AsOfJoinNode]] plan, so the SQL query plans
+    * through the SAME custom merge-scan exec as the Scala API — and this
+    * gate shares p_asof_exec's oracle, pinning the two front doors
+    * answer-equal.
+    */
+  def asOfStateSql(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val pv = s"asof_probes_$tag"; val bv = s"asof_build_$tag"
+    ev.select(col("user_id").as("station_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 37 minutes"))
+          .as("probe_ts"))
+      .distinct().createOrReplaceTempView(pv)
+    ev.select(col("user_id").as("b_station"),
+        col("ts").as("b_ts"), col("event_id").as("b_sno"),
+        col("value").as("b_value")).createOrReplaceTempView(bv)
+    try spark.sql(
+      s"""SELECT station_id,
+        |  date_format(probe_ts, 'yyyy-MM-dd HH:mm:ss') AS probe_ts,
+        |  b_sno AS s_no,
+        |  date_format(b_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS event_ts,
+        |  round(b_value, 2) AS value
+        |FROM as_of('$pv', '$bv', 'station_id', 'b_station',
+        |           'probe_ts', 'b_ts', 'b_sno')""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(pv)
+      spark.catalog.dropTempView(bv)
+    }
+  }
+
   def asOfState(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val probes = ev

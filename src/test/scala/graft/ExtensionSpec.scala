@@ -702,6 +702,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaByte == viaChain)
   }
 
+  test("pq_adc_cosine: element_at NULL semantics on malformed codes, unsigned bytes") {
+    import graft.functions.PqOps
+    import spark.implicits._
+    // 1 subspace, 200-entry tables: element_at's contract is NULL for a
+    // null element and NULL out of range — the compact expression must
+    // preserve it (garbage reads / AIOOBE are the regression ADVICE
+    // flagged), in both the interpreted and codegen paths
+    val dotTab = Array(Array.tabulate(200)(_.toDouble))
+    val normTab = Array(Array.fill(200)(1.0))
+    def adcInt(df: org.apache.spark.sql.DataFrame) = df.select(
+      PqOps.pq_adc_cosine(col("codes"), dotTab, normTab, 1.0).as("adc"))
+    val ok = adcInt(Seq(Tuple1(Seq[Integer](7))).toDF("codes")).collect()
+    assert(ok.head.getDouble(0) == 7.0)
+    // only codes[s] for s < m are read (the chain's shape) — the null
+    // must sit inside the subspace range to be observable
+    val nullElem = adcInt(Seq(Tuple1(Seq[Integer](null, 3)))
+      .toDF("codes")).collect()
+    assert(nullElem.head.isNullAt(0), "null code element must yield NULL")
+    val oob = adcInt(Seq(Tuple1(Seq[Integer](500))).toDF("codes")).collect()
+    assert(oob.head.isNullAt(0), "out-of-range code must yield NULL")
+    val neg = adcInt(Seq(Tuple1(Seq[Integer](-1))).toDF("codes")).collect()
+    assert(neg.head.isNullAt(0), "negative code must yield NULL")
+    // byte codes are unsigned-packed: (byte) -56 = code 200... is out of
+    // this 200-entry table; (byte) -126 = code 130 reads entry 130 —
+    // a signed read would have thrown on the negative index
+    val byteDf = Seq(Tuple1(Seq(130.toByte))).toDF("codes")
+    val viaByte = byteDf.select(
+      PqOps.pq_adc_cosine(col("codes"), dotTab, normTab, 1.0).as("adc"))
+      .collect()
+    assert(viaByte.head.getDouble(0) == 130.0,
+      s"byte code 130 must read table entry 130 (unsigned), got ${viaByte.head}")
+    val byteOob = Seq(Tuple1(Seq(200.toByte))).toDF("codes").select(
+      PqOps.pq_adc_cosine(col("codes"), dotTab, normTab, 1.0).as("adc"))
+      .collect()
+    assert(byteOob.head.isNullAt(0), "byte code 200 is past a 200-entry table")
+  }
+
   test("a small ADC pool still recalls most of the exact top-10") {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .map(_.getLong(0)).toSet
@@ -795,6 +832,46 @@ class SimilaritySpec extends SparkSpec {
         .hyperplane_bucket(col("embedding"), nBits))
       .filter(col("bucket").isin(0, 1)).count()
     assert(Snapshots.prunedScan(spark, table, "bucket IN (0, 1)")
+      .count() == want)
+  }
+
+  test("lake-table IVF-PQ index: manifest stats skip files on ivf_list, full probes equal brute force") {
+    import graft.lake.Snapshots
+    // the layout streamAppendIvfPqLake publishes: codes-only rows
+    // assigned + PQ-encoded against the resident quantizer, range-
+    // partitioned on ivf_list so each file holds a contiguous list band
+    val table = tmpDir("ivfpq_lake_spec")
+    val nLists = 16
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Similarity.ivfFitCentroidsOf(e, k = nLists)
+    val cb = Similarity.pqFitCodebooks(spark, dir)
+    Snapshots.append(
+      Similarity.pqEncodeDf(Similarity.ivfAssignOf(e, centroids), cb)
+        .select(col("vec_id"),
+          col("codes").cast("array<tinyint>").as("codes"), col("ivf_list"))
+        .repartitionByRange(8, col("ivf_list")),
+      table)
+    val qVec = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    // full probes + corpus-covering rerank == brute force
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfPqLakeTopK(spark, table, e, centroids, cb,
+      qVec, nProbe = nLists, rerank = e.count().toInt,
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute))
+    // a narrow probe set must SKIP files at plan time through the
+    // manifest's per-file ivf_list min/max — the learned-quantizer
+    // analog of the LSH lake layout's bucket skipping
+    val (kept, all) = Snapshots.pruneFiles(spark, table, "ivf_list IN (0, 1)")
+    assert(all.size > 1, s"fixture degenerated to ${all.size} file(s)")
+    assert(kept.size < all.size,
+      s"no files skipped: kept=${kept.size} of ${all.size}")
+    // and the pruned scan still answers exactly over the probed lists
+    val want = Similarity.ivfAssignOf(e, centroids)
+      .filter(col("ivf_list").isin(0, 1)).count()
+    assert(Snapshots.prunedScan(spark, table, "ivf_list IN (0, 1)")
       .count() == want)
   }
 

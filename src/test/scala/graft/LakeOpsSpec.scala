@@ -377,6 +377,39 @@ class MergeUpsertSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("unmarked-micros manifests (pre-header era) keep timestamp pruning") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // manifests written by the micros encoder just BEFORE the #statsv
+    // header existed: epoch-micros renders, no marker. statsVersion
+    // reads them as v1; the v1 decode must recover the micros bounds
+    // (coalesce with the string parse — the renders are disjoint), not
+    // NULL-out and silently keep every file
+    val table = graft.util.Scratch.dir("graft_skip_unmarked").toString
+    Snapshots.append(Seq(1L, 2L).toDF("id").select(col("id"),
+      to_timestamp(lit("2024-03-01 01:00:00")).as("ts")).repartition(1),
+      table)
+    Snapshots.append(Seq(3L, 4L).toDF("id").select(col("id"),
+      to_timestamp(lit("2024-03-01 13:00:00")).as("ts")).repartition(1),
+      table)
+    val pred = "ts >= TIMESTAMP'2024-03-01 13:00:00'"
+    val m = Paths.get(table, "_manifests", "v2.list")
+    val unmarked = Files.readAllLines(m).asScala.toSeq
+      .filterNot(_.startsWith("#statsv="))
+    Files.delete(m)
+    Files.write(m, unmarked.asJava)
+    assert(Snapshots.statsVersion(table, 2) == 1)
+    // pruning BITES on the unmarked micros bounds...
+    val (kept, all) = Snapshots.pruneFiles(spark, table, pred)
+    assert(all.size == 2 && kept.size == 1,
+      s"unmarked-micros era lost pruning: kept=${kept.size} of ${all.size}")
+    // ...and the answer is unchanged
+    assert(Snapshots.prunedScan(spark, table, pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("stats tolerate column names with dots and backticks") {
     import spark.implicits._
     import graft.lake.Snapshots

@@ -19,6 +19,9 @@ from broad drift (many queries over threshold).
 import sys, json
 
 
+STEAL_DIRTY = 0.5  # % steal over a gate's window that marks it environmental
+
+
 def load(path):
     d = json.load(open(path))
     if "parsed" in d and d["parsed"]:
@@ -40,15 +43,32 @@ def load(path):
                       f"({dsteal} of {dtotal} ticks)")
         except (KeyError, TypeError):
             pass
-    return d.get("queries", {})
+    return d.get("queries", {}), d.get("gate_env", {})
 
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_env), (new, new_env) = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+
+    def dirty(env, q):
+        """True when q's own bench window saw host-side contention."""
+        g = env.get(q) or {}
+        s = g.get("steal_pct")
+        return s is not None and s > STEAL_DIRTY
+
+    def annot(q):
+        """Environment annotation for a riser: a dirty window on EITHER
+        side explains the delta away (new-side steal inflates new; a
+        dirty old window means the baseline itself was contaminated)."""
+        tags = []
+        if dirty(new_env, q):
+            tags.append(f"new window steal {new_env[q]['steal_pct']}%")
+        if dirty(old_env, q):
+            tags.append(f"old window steal {old_env[q]['steal_pct']}%")
+        return f"  [ENVIRONMENT: {'; '.join(tags)}]" if tags else ""
     common = sorted(set(old) & set(new))
     if not common:
         print("no common queries between the two files")
@@ -73,8 +93,15 @@ def main():
         print(f"no regressions > {ratio}x")
         sys.exit(0)
     print(f"\nregressions > {ratio}x (new/old):")
+    real = 0
     for r, q in regressions:
-        print(f"  {q}: {old[q]} -> {new[q]}  ({r:.2f}x)")
+        a = annot(q)
+        real += 0 if a else 1
+        print(f"  {q}: {old[q]} -> {new[q]}  ({r:.2f}x){a}")
+    if real == 0 and any(annot(q) for _, q in regressions):
+        print("every riser's window was contaminated (per-gate steal > "
+              f"{STEAL_DIRTY}%) — adjudicate with a quiet solo TimeOne, "
+              "not a judge session")
     sys.exit(1)
 
 
