@@ -478,6 +478,9 @@ object SparkEntry {
     // conjunctive 2-dim skipping: each conjunct prunes files the other
     // cannot — the OPTIMIZE-ZORDER read-side contract (1 of 4 kept)
     "p_lake_skipping2d"  -> EventOps.lakeSkipping2d _,
+    // engine-PRODUCED z-order layout from a flat shuffle: both single-dim
+    // predicates must prune files afterwards, neither pruned before
+    "p_lake_zorder"      -> EventOps.lakeZorder _,
     // backfill: dynamic INSERT OVERWRITE replaces ONLY the touched
     // partition; every other type must survive byte-identical
     "p_partition_overwrite" -> EventOps.partitionOverwrite _,
@@ -3299,6 +3302,23 @@ object SparkEntry {
         |    AS cents,
         |  count(DISTINCT user_id) AS n_users,
         |  1 AS n_kept_files, 4 AS n_total_files
+        |FROM events
+        |WHERE event_id >= (SELECT (max(event_id) + 1) // 2 FROM events)
+        |  AND value >= 100.0
+        |GROUP BY event_type""".stripMargin,
+    // the filtered answer replayed over events (content preservation),
+    // plus the layout contract as pinned booleans: flat → nothing
+    // prunable; engine z-order → EACH dim prunes alone
+    "p_lake_zorder" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  FALSE AS flat_pruned,
+        |  TRUE AS zorder_prunes_id,
+        |  TRUE AS zorder_prunes_value,
+        |  4 AS n_total_files,
+        |  (SELECT count(*) FROM events) AS n_rows_total
         |FROM events
         |WHERE event_id >= (SELECT (max(event_id) + 1) // 2 FROM events)
         |  AND value >= 100.0

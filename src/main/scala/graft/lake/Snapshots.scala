@@ -456,6 +456,115 @@ object Snapshots {
     rewrite(spark, table, targetFiles)
   }
 
+  /** Multi-dimensional clustering REWRITE — the write side of
+    * `OPTIMIZE ZORDER BY (colA, colB)`: republish the latest version's
+    * content (bit-for-bit, the [[rewrite]] contract) laid out along the
+    * Z-curve over two columns, so the manifest's per-file min/max stats
+    * prune range predicates on EITHER dimension afterwards — the layout
+    * [[pruneFiles]] exploits, produced by the engine from an arbitrarily
+    * clustered table instead of constructed by a fixture.
+    *
+    * Mechanism: each column is normalized to a `2^bits`-tile grid from
+    * its live min/max (one 4-scalar aggregate), the tiles interleave
+    * through [[graft.functions.ZOrderCode]] (codegen'd Morton code),
+    * and the rows `repartitionByRange` on the code into `targetFiles`
+    * output files — contiguous Z-ranges per file, which is what makes
+    * BOTH dims' per-file intervals tight — then sort within partitions
+    * on the code so parquet row-group stats inherit the same locality.
+    * Null/constant dimensions park on tile 0 (a null has no position;
+    * any fixed tile preserves answers and keeps stats truthful).
+    *
+    * At 100 TB: cost ∝ live table — ONE range-shuffle + rewrite, the
+    * same bill `OPTIMIZE ZORDER` pays (the range partitioner's sample
+    * pass replaces a global sort); production runs it per partition on
+    * a cadence, not per query. Min/max tile normalization (the
+    * default) is skew-sensitive — a hot value crowds one tile;
+    * `quantileTiles = true` switches to equi-DEPTH tiles from one
+    * `approx_percentile` pass per column (2^bits quantile cuts,
+    * kilobytes to the driver), so every tile holds ~equal rows no
+    * matter the distribution — same interleave, same publication path,
+    * one extra corpus aggregate. Returns the new version.
+    */
+  def zorderRewrite(spark: SparkSession, table: String,
+      colA: String, colB: String, targetFiles: Int = 4,
+      bits: Int = 8, quantileTiles: Boolean = false): Int = {
+    val current = latestVersion(table)
+    require(current > 0, s"table $table has no published versions")
+    val df = read(spark, table, Some(current))
+    def minmaxTile(name: String, mnIdx: Int,
+        r: org.apache.spark.sql.Row): org.apache.spark.sql.Column = {
+      if (r.isNullAt(mnIdx) || r.isNullAt(mnIdx + 1)) return lit(0L)
+      val (mn, mx) = (r.getDouble(mnIdx), r.getDouble(mnIdx + 1))
+      if (!(mx > mn)) return lit(0L) // constant column: one tile
+      // values land in [0, 2^bits]; ZOrderCode saturates the top edge
+      coalesce(
+        floor((qcol(name).cast("double") - mn) / (mx - mn) * (1L << bits))
+          .cast("long"),
+        lit(0L))
+    }
+    // equi-depth tile: index of the first quantile cut >= value (binary
+    // search over the 2^bits-1 interior cuts, broadcast as a sorted
+    // literal array; duplicate cuts from a hot value collapse adjacent
+    // tiles onto it, which is exactly equi-depth's answer to skew)
+    def quantileTile(name: String,
+        cuts: Array[Double]): org.apache.spark.sql.Column =
+      if (cuts.isEmpty || cuts.forall(_ == cuts(0))) lit(0L)
+      else {
+        val arr = typedLit(cuts.toSeq)
+        coalesce(
+          aggregate(arr, lit(0L), (acc, cut) =>
+            acc + when(qcol(name).cast("double") > cut, lit(1L))
+              .otherwise(lit(0L))),
+          lit(0L))
+      }
+    val zkey =
+      if (quantileTiles) {
+        val nCuts = (1 << bits) - 1
+        val cutsSql = (1 to nCuts)
+          .map(i => (i.toDouble / (1 << bits)).toString)
+          .mkString("array(", ",", ")")
+        def pct(c: String) =
+          expr("approx_percentile(CAST(`" + c.replace("`", "``") +
+            "` AS DOUBLE), " + cutsSql + ")")
+        val r = df.agg(pct(colA), pct(colB)).head
+        def cutsOf(i: Int): Array[Double] =
+          if (r.isNullAt(i)) Array.empty
+          else r.getSeq[Double](i).toArray
+        graft.functions.ZOrderCode.zorder_code(
+          quantileTile(colA, cutsOf(0)), quantileTile(colB, cutsOf(1)), bits)
+      } else {
+        val r = df.agg(
+          min(qcol(colA)).cast("double"), max(qcol(colA)).cast("double"),
+          min(qcol(colB)).cast("double"), max(qcol(colB)).cast("double"))
+          .head
+        graft.functions.ZOrderCode.zorder_code(
+          minmaxTile(colA, 0, r), minmaxTile(colB, 2, r), bits)
+      }
+    publish(
+      df.withColumn("__zorder", zkey)
+        .repartitionByRange(targetFiles, col("__zorder"))
+        .sortWithinPartitions(col("__zorder"))
+        .drop("__zorder"),
+      table, Some(current), carryForward = false)
+  }
+
+  /** [[zorderRewrite]] under the same OCC retry loop as
+    * [[rewriteRetry]]: a lost publication race re-reads the (new)
+    * latest version and re-tiles — min/max and layout are recomputed
+    * against what actually won.
+    */
+  def zorderRewriteRetry(spark: SparkSession, table: String,
+      colA: String, colB: String, targetFiles: Int = 4, bits: Int = 8,
+      quantileTiles: Boolean = false, maxAttempts: Int = 32): Int = {
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return zorderRewrite(spark, table, colA, colB, targetFiles,
+        bits, quantileTiles)
+      catch { case _: IllegalStateException => attempt += 1 }
+    }
+    zorderRewrite(spark, table, colA, colB, targetFiles, bits, quantileTiles)
+  }
+
   /** Commit history — DESCRIBE HISTORY for the snapshot table: one row
     * per version with the op kind, file count, delta row count, and the
     * ingest batch id where one was recorded. Reads only manifests

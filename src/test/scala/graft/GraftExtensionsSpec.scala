@@ -47,6 +47,20 @@ class GraftExtensionsSpec extends SparkSpec {
         Seq("k"), Seq("bk"), "pt", "t", buildTie = Seq("id"))
       assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin ["))
       assert(asof.collect().map(_.getLong(4)).toSeq == Seq(7L))
+      // TABLE function injected: as_of reachable from pure SQL text,
+      // planning through the same custom exec, answer-equal to the
+      // Scala front door
+      probe.createOrReplaceTempView("ge_probe")
+      build.createOrReplaceTempView("ge_build")
+      val viaSql = s2.sql(
+        "SELECT * FROM as_of('ge_probe', 'ge_build', 'k', 'bk', 'pt', 't', 'id')")
+      assert(viaSql.queryExecution.executedPlan.toString
+        .contains("AsOfJoin ["))
+      assert(viaSql.collect().map(_.getLong(4)).toSeq == Seq(7L))
+      // strict mode via SQL: an equal-ts build row is excluded
+      val strictSql = s2.sql("SELECT * FROM as_of('ge_probe', 'ge_build'," +
+        " 'k', 'bk', 'pt', 't', 'id', 'strict')")
+      assert(strictSql.collect().map(_.getLong(4)).toSeq == Seq(7L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -410,6 +410,148 @@ class MergeUpsertSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("timestamp stats round-trip across all three manifest eras on random timelines") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // random micros spanning pre-1970 and fractional seconds — the
+    // decode matrix: v2 (#statsv=2, micros), the unmarked-micros era
+    // (no header, micros renders), and legacy v1 (no header, session-
+    // zone string renders). Contract: prunedScan == read().filter for
+    // every predicate under every era (decode may only LOSE pruning,
+    // never answers)
+    val rnd = new scala.util.Random(421L)
+    val span = 200L * 365 * 86400 * 1000000L // ±200 years in micros
+    val micros = (1 to 48).map(i =>
+      (i.toLong, math.floorMod(rnd.nextLong(), 2 * span) - span))
+    val table = graft.util.Scratch.dir("graft_skip_eras").toString
+    // range-partition on ts: two NON-EMPTY files with disjoint ts bands
+    // (a hash split can leave an empty stats-less part file, which
+    // pruning must conservatively keep — not what this test probes)
+    Snapshots.append(
+      micros.toDF("id", "us")
+        .select(col("id"), timestamp_micros(col("us")).as("ts"))
+        .repartitionByRange(2, col("ts")),
+      table)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def lit6(us: Long): String = "TIMESTAMP'" + fmt.format(
+      java.time.Instant.EPOCH.plusNanos(us * 1000L)) + "'"
+    val probes = rnd.shuffle(micros.map(_._2)).take(5)
+    val preds =
+      probes.map(us => s"ts >= ${lit6(us)}") ++
+      probes.map(us => s"ts <= ${lit6(us)}") :+
+      s"ts >= ${lit6(micros.map(_._2).max)}" // extreme: must prune
+    def checkAll(era: String): Unit = preds.foreach { p =>
+      val want = Snapshots.read(spark, table).filter(expr(p))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = Snapshots.prunedScan(spark, table, p)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"[$era] answer drifted under '$p'")
+    }
+    checkAll("v2")
+    val m = Paths.get(table, "_manifests", "v1.list")
+    val v2Lines = Files.readAllLines(m).asScala.toSeq
+    // era: unmarked micros (header stripped, micros renders kept)
+    Files.delete(m)
+    Files.write(m, v2Lines.filterNot(_.startsWith("#statsv=")).asJava)
+    assert(Snapshots.statsVersion(table, 1) == 1)
+    checkAll("unmarked-micros")
+    val extreme = s"ts >= ${lit6(micros.map(_._2).max)}"
+    val (xk, xa) = Snapshots.pruneFiles(spark, table, extreme)
+    assert(xk.size <= 1,
+      s"unmarked-micros decode must still prune '$extreme': kept $xk of" +
+        s" $xa; stats=${Snapshots.fileStats(table, 1)}")
+    // era: legacy v1 strings — re-render every ts bound through Spark's
+    // own CAST(ts AS STRING) under the pinned UTC session zone (exactly
+    // what pre-micros code wrote, fractional seconds included)
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def unb64(s: String) =
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    def castRender(us: Long): String =
+      Seq(Tuple1(us)).toDF("us")
+        .select(timestamp_micros(col("us")).cast("string"))
+        .collect().head.getString(0)
+    val legacy = v2Lines.filterNot(_.startsWith("#statsv=")).map { l =>
+      if (!l.startsWith("#stats=")) l
+      else {
+        val Array(head, rows, parts @ _*) = l.split('|')
+        val fixed = parts.map { p =>
+          val Array(c, mn, mx, nn) = p.split(':')
+          if (unb64(c) != "ts") p
+          else Seq(c,
+            if (mn == "-") "-" else b64(castRender(unb64(mn).toLong)),
+            if (mx == "-") "-" else b64(castRender(unb64(mx).toLong)),
+            nn).mkString(":")
+        }
+        (head +: rows +: fixed).mkString("|")
+      }
+    }
+    Files.delete(m)
+    Files.write(m, legacy.asJava)
+    checkAll("legacy-strings")
+  }
+
+  test("zorderRewrite: content preserved bit-for-bit; null and constant dims degrade gracefully") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("graft_zorder_spec").toString
+    // nulls in one dim, a constant second dim, plus negative values —
+    // the tile normalization's edge cases (nulls park on tile 0, a
+    // constant column collapses to one tile, min/max shifting handles
+    // negatives since tiles are offsets from the live min)
+    val rows = (1L to 97L).map(i =>
+      (i, if (i % 7 == 0) None else Some(i * 3 - 50), "k"))
+    val df = rows.toDF("id", "v", "c")
+    Snapshots.append(df.repartition(3), table)
+    val before = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    val v2 = Snapshots.zorderRewrite(spark, table, "id", "v",
+      targetFiles = 3)
+    assert(v2 == 2)
+    val after = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "zorder rewrite must preserve content exactly")
+    // constant dim: every row on tile 0 of that axis — still publishes,
+    // still preserves content (degenerates to a 1-dim range layout)
+    val t2 = graft.util.Scratch.dir("graft_zorder_spec_const").toString
+    Snapshots.append(df.withColumn("k", lit(5L)).repartition(2), t2)
+    Snapshots.zorderRewrite(spark, t2, "k", "id", targetFiles = 2)
+    assert(Snapshots.read(spark, t2).count() == 97L)
+    // the produced layout prunes on the id dim from the manifest
+    val (kept, all) = Snapshots.pruneFiles(spark, t2, "id >= 90")
+    assert(all.size == 2 && kept.size == 1,
+      s"1-dim degenerate z-layout should still prune: ${kept.size}/${all.size}")
+  }
+
+  test("zorderRewrite quantile tiles: equi-depth layout prunes under heavy skew") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    // 90% of v sits on ONE hot value — min/max tiles would crowd the
+    // whole corpus onto tile 0 of that axis; equi-depth cuts collapse
+    // the duplicates and spread the layout by id instead
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 10 != 0) 1.0 else 1000.0 + i))
+    val table = graft.util.Scratch.dir("graft_zorder_skew").toString
+    Snapshots.append(rows.toDF("id", "v").repartition(4), table)
+    val before = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    Snapshots.zorderRewrite(spark, table, "id", "v", targetFiles = 4,
+      quantileTiles = true)
+    val after = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    val (kId, aId) = Snapshots.pruneFiles(spark, table, "id >= 450")
+    assert(aId.size == 4 && kId.size < aId.size,
+      s"id dim must prune under skewed v: ${kId.size}/${aId.size}")
+    val (kV, aV) = Snapshots.pruneFiles(spark, table, "v >= 1000.0")
+    assert(kV.size < aV.size,
+      s"skewed dim's tail must prune: ${kV.size}/${aV.size}")
+  }
+
   test("stats tolerate column names with dots and backticks") {
     import spark.implicits._
     import graft.lake.Snapshots
