@@ -324,6 +324,9 @@ object SparkEntry {
     // asymmetry: restart resume, self-redelivery no-op, full-probe ==
     // brute force, per-batch versions
     "x_ann_ivfpq_stream" -> ((s, d) => Similarity.ivfPqIndexStreamReport(s, d)),
+    // lake-layout delete + clustered compaction: commit-log mutation
+    // instead of tombstones, file skipping restored post-compact
+    "x_ann_lake_delete"  -> ((s, d) => Similarity.lshLakeDeleteReport(s, d)),
     // same tombstone lifecycle over the learned-quantizer IVF layout —
     // the _tombstones convention is index-agnostic
     "x_ann_ivf_delete"   -> ((s, d) => Similarity.ivfIndexDeleteReport(s, d)),
@@ -2355,6 +2358,24 @@ object SparkEntry {
         |    AS odd_rows,
         |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 2 = 1) AS odd_sum
+        |FROM top""".stripMargin,
+    // survivors-only brute force: a vector the delete missed (or a
+    // compaction resurrected) lands in the top-10 or the checksums
+    "x_ann_lake_delete" ->
+      """WITH surv AS (
+        |  SELECT * FROM embeddings WHERE vec_id % 5 <> 1),
+        |top AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |  FROM surv WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT vec_id, score,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  (SELECT count(*) FROM surv) AS n_rows,
+        |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM surv) AS id_sum,
+        |  TRUE AS pruned_after_compact
         |FROM top""".stripMargin,
     // same contract on the IVF-PQ lake layout: the index table must end
     // up holding the corpus exactly once (bootstrap + two streamed

@@ -662,6 +662,46 @@ object Similarity {
       .withColumn("odd_sum", lit(counters.getLong(2)))
   }
 
+  /** Lake-layout ANN DELETE + COMPACT lifecycle — the remaining cell of
+    * the index-maintenance matrix (directory layouts have tombstone
+    * delete + reclaim gated in both LSH and IVF forms; the lake layout
+    * had build/stream-append/probe but no mutation story). The lake
+    * table does it with the COMMIT LOG instead of tombstones:
+    * [[graft.lake.Snapshots.delete]] swaps affected files for survivor
+    * files under a new version (deleted vectors vanish from probes
+    * atomically, no live-view anti-join), and
+    * [[graft.lake.Snapshots.rewriteClustered]] on `bucket` is the
+    * compaction — a plain coalescing rewrite would merge unrelated
+    * bucket bands into wide-interval files and destroy the manifest's
+    * file skipping; the clustered form restores one tight band per
+    * file. Gate contract: full corpus published (v1), `vec_id % 5 = 1`
+    * row-level-deleted (v2), cluster-compacted back to
+    * [[LakeIndexFiles]] banded files (v3); full-probe top-10 == brute
+    * force over the SURVIVORS (a resurrected or lost vector shifts
+    * it), survivor count + id-sum pin the delete's row arithmetic,
+    * `n_versions` pins the lifecycle, and the post-compact layout must
+    * still file-prune a narrow probe (`pruned_after_compact`).
+    */
+  def lshLakeDeleteReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val nBits = 6
+    val e = emb(spark, dir)
+    val table = graft.util.Scratch.dir("graft_lsh_lake_del").toString
+    Snapshots.append(withBucketFiles(e, nBits), table)
+    Snapshots.delete(spark, table, "vec_id % 5 = 1")
+    Snapshots.rewriteClustered(spark, table, Seq("bucket"), LakeIndexFiles)
+    val counters = Snapshots.read(spark, table).agg(
+      count(lit(1)).as("n"),
+      sum(col("vec_id")).as("idsum")).collect().head
+    val (kept, all) = Snapshots.pruneFiles(spark, table, "bucket IN (0, 1)")
+    lshLakeTopK(spark, table, queryVec0(spark, dir), k = 10,
+        nBits = nBits, probes = 64, excludeVecId = Some(0L))
+      .withColumn("n_versions", lit(Snapshots.latestVersion(table).toLong))
+      .withColumn("n_rows", lit(counters.getLong(0)))
+      .withColumn("id_sum", lit(counters.getLong(1)))
+      .withColumn("pruned_after_compact", lit(kept.size < all.size))
+  }
+
   /** IVF-PQ rows laid out for file-level skipping, the [[withBucketFiles]]
     * analog on the learned-quantizer layout: list assignment against the
     * RESIDENT centroids (a fixed broadcast artifact — the IVF maintenance

@@ -456,6 +456,32 @@ object Snapshots {
     rewrite(spark, table, targetFiles)
   }
 
+  /** Content-preserving CLUSTERED rewrite — [[rewrite]] that re-RANGES
+    * instead of coalescing: republish the latest version's rows
+    * range-partitioned (and within-partition sorted) on `cols`, so
+    * each fresh file covers a contiguous band of the clustering key
+    * and its manifest min/max stay tight. This is the compaction an
+    * index-shaped lake table needs: after row-level deletes fragment a
+    * bucket-banded layout ([[delete]] swaps affected files for
+    * survivor files whose bands the delete predicate chose, not the
+    * index key), a plain coalescing [[rewrite]] would merge unrelated
+    * bands into wide-interval files and destroy the probe-side file
+    * skipping — this one restores it. Same OCC publication, same
+    * bit-for-bit content contract; cost ∝ live table (one range
+    * shuffle), the OPTIMIZE bill.
+    */
+  def rewriteClustered(spark: SparkSession, table: String,
+      cols: Seq[String], targetFiles: Int): Int = {
+    require(cols.nonEmpty, "rewriteClustered needs at least one column")
+    val current = latestVersion(table)
+    require(current > 0, s"table $table has no published versions")
+    publish(
+      read(spark, table, Some(current))
+        .repartitionByRange(targetFiles, cols.map(qcol): _*)
+        .sortWithinPartitions(cols.map(qcol): _*),
+      table, Some(current), carryForward = false)
+  }
+
   /** Multi-dimensional clustering REWRITE — the write side of
     * `OPTIMIZE ZORDER BY (colA, colB)`: republish the latest version's
     * content (bit-for-bit, the [[rewrite]] contract) laid out along the

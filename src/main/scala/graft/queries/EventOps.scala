@@ -1205,6 +1205,10 @@ object EventOps {
     * answer-equal.
     */
   def asOfStateSql(spark: SparkSession, dir: String): DataFrame = {
+    // idempotent: the gate must work in any session (the driver's
+    // harness session already registers; a foreign session gets the
+    // same two-surface registration here)
+    graft.GraftSession.register(spark)
     val ev = events(spark, dir)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val pv = s"asof_probes_$tag"; val bv = s"asof_build_$tag"

@@ -154,6 +154,9 @@ class ScaleSpec extends SparkSpec {
       "x_table_diff", "x_part_checksums",
       "p_enum_validate", "p_doc_json", "p_full_scan", "p_asof_state",
       "p_asof_exec", "p_asof_forward_exec",
+      // the SQL front door resolves to the same AsOfJoinNode plan —
+      // swept like the Scala form (temp views are inlined at analysis)
+      "p_asof_sql",
       "p_asof_forward", "p_merge_upsert", "p_cdc_apply", "p_scd2",
       "p_resample_ffill",
       "p_ohlc_bars", "p_resample_interp",
@@ -203,7 +206,14 @@ class ScaleSpec extends SparkSpec {
       "p_stream_backfill",
       "p_stream_sink_lake", "p_lake_concurrent",
       // streaming drain + lake publications on construction
-      "x_ann_stream",
+      "x_ann_stream", "x_ann_ivfpq_stream",
+      // lake publications (append + delete + clustered rewrite) and
+      // manifest prunes on construction; the probe afterwards is the
+      // same plan shape the swept lake probes share
+      "x_ann_lake_delete",
+      // append + z-rewrite publications and 3 manifest prunes on
+      // construction (the p_lake_skipping2d class)
+      "p_lake_zorder",
       // eager localCheckpoint pins the frame-hash table on construction
       // and truncates the inspectable plan there; the banded join +
       // aligned verify are plain equi-joins over the pinned frame
