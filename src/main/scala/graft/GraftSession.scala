@@ -60,6 +60,11 @@ object GraftSession {
       val bits = exprs(2).eval(null).asInstanceOf[Number].intValue
       graft.functions.ZOrderCode(exprs.head, exprs(1), bits)
     }),
+    // n-ary form: zorder_code_n(c1, ..., cn, bitsPer)
+    "zorder_code_n" -> (exprs => {
+      val bits = exprs.last.eval(null).asInstanceOf[Number].intValue
+      graft.functions.ZOrderCodeN(exprs.init, bits)
+    }),
     "winnow_fp" -> (exprs => {
       val k = exprs(1).eval(null).asInstanceOf[Number].intValue
       val w = exprs(2).eval(null).asInstanceOf[Number].intValue

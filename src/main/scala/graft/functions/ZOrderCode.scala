@@ -99,4 +99,85 @@ object ZOrderCode {
   def zorder_code(a: Column, b: Column, bitsPer: Int = 16): Column =
     GraftBridge.toColumn(ZOrderCode(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b), bitsPer))
+
+  def zorder_code_n(cols: Seq[Column], bitsPer: Int): Column =
+    GraftBridge.toColumn(ZOrderCodeN(
+      cols.map(GraftBridge.toExpression), bitsPer))
+}
+
+/** N-dimensional Morton code — [[ZOrderCode]] generalized to any arity
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY` takes n columns): bit `i` of
+  * dimension `j` lands at position `i·n + j`, so for n = 2 the code is
+  * BIT-IDENTICAL to [[ZOrderCode]] (left = dimension 0 at even
+  * positions). Same saturation-not-truncation clamp per dimension,
+  * same non-negative contract, one codegen'd double loop regardless of
+  * arity (the [[PqEncode]] lesson: n inlined per-dimension trees would
+  * bloat the fused method; a loop over a references array cannot).
+  * `n · bitsPer` must fit a positive long (≤ 63 bits).
+  *
+  * CodegenFallback, deliberately: the n-ary form is evaluated once per
+  * row per OPTIMIZE rewrite — a pass whose cost is the range shuffle
+  * and parquet I/O, not the key computation — and never sits in a
+  * probe/scan hot path (probes read the LAYOUT the key produced, not
+  * the key). The 2-dim [[ZOrderCode]] keeps its generated form for the
+  * gated expression surface.
+  */
+case class ZOrderCodeN(children: Seq[Expression], bitsPer: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(children.size >= 2, s"zorder_code_n needs >= 2 dims, got ${children.size}")
+  require(bitsPer >= 1 && children.size * bitsPer <= 63,
+    s"zorder_code_n needs n*bitsPer <= 63, got ${children.size} * $bitsPer")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.map(_.dataType).filterNot {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (bad.isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zorder_code_n requires integral inputs, got " +
+          bad.map(_.catalogString).mkString(", "))
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.size
+    val max = (1L << bitsPer) - 1
+    var z = 0L
+    var j = 0
+    while (j < n) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      val x = math.min(toLong(v), max)
+      if (x < 0) throw new IllegalArgumentException(
+        s"zorder_code_n inputs must be non-negative, got $x in dim $j")
+      var i = 0
+      while (i < bitsPer) {
+        z |= ((x >> i) & 1L) << (i * n + j)
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderCodeN =
+    copy(children = newChildren)
+
+  override def prettyName: String = "zorder_code_n"
 }

@@ -513,7 +513,24 @@ object Snapshots {
     */
   def zorderRewrite(spark: SparkSession, table: String,
       colA: String, colB: String, targetFiles: Int = 4,
+      bits: Int = 8, quantileTiles: Boolean = false): Int =
+    zorderRewriteN(spark, table, Seq(colA, colB), targetFiles, bits,
+      quantileTiles)
+
+  /** [[zorderRewrite]] over ANY number of dimensions (the full
+    * `OPTIMIZE ZORDER BY (c1, ..., cn)` arity): same tile
+    * normalization per column, interleaved through the n-ary
+    * [[graft.functions.ZOrderCodeN]] Morton code (bit-identical to the
+    * 2-dim form at n = 2). `n · bits` must fit a long, so wide
+    * clusterings trade per-dim resolution: n = 2 → 8 bits/dim default,
+    * n = 6 → 10 bits/dim max. More dims also dilute each dim's
+    * locality (the curse the Z-curve inherits) — 2–4 is the practical
+    * production range, same guidance as Delta's.
+    */
+  def zorderRewriteN(spark: SparkSession, table: String,
+      cols: Seq[String], targetFiles: Int = 4,
       bits: Int = 8, quantileTiles: Boolean = false): Int = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
     val current = latestVersion(table)
     require(current > 0, s"table $table has no published versions")
     val df = read(spark, table, Some(current))
@@ -543,7 +560,7 @@ object Snapshots {
               .otherwise(lit(0L))),
           lit(0L))
       }
-    val zkey =
+    val tiles =
       if (quantileTiles) {
         val nCuts = (1 << bits) - 1
         val cutsSql = (1 to nCuts)
@@ -552,20 +569,22 @@ object Snapshots {
         def pct(c: String) =
           expr("approx_percentile(CAST(`" + c.replace("`", "``") +
             "` AS DOUBLE), " + cutsSql + ")")
-        val r = df.agg(pct(colA), pct(colB)).head
+        val r = df.agg(pct(cols.head), cols.tail.map(pct): _*).head
         def cutsOf(i: Int): Array[Double] =
           if (r.isNullAt(i)) Array.empty
           else r.getSeq[Double](i).toArray
-        graft.functions.ZOrderCode.zorder_code(
-          quantileTile(colA, cutsOf(0)), quantileTile(colB, cutsOf(1)), bits)
+        cols.zipWithIndex.map { case (c, i) => quantileTile(c, cutsOf(i)) }
       } else {
-        val r = df.agg(
-          min(qcol(colA)).cast("double"), max(qcol(colA)).cast("double"),
-          min(qcol(colB)).cast("double"), max(qcol(colB)).cast("double"))
-          .head
-        graft.functions.ZOrderCode.zorder_code(
-          minmaxTile(colA, 0, r), minmaxTile(colB, 2, r), bits)
+        val aggs = cols.flatMap(c => Seq(
+          min(qcol(c)).cast("double"), max(qcol(c)).cast("double")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        cols.zipWithIndex.map { case (c, i) => minmaxTile(c, 2 * i, r) }
       }
+    val zkey =
+      if (cols.size == 2)
+        graft.functions.ZOrderCode.zorder_code(tiles(0), tiles(1), bits)
+      else
+        graft.functions.ZOrderCode.zorder_code_n(tiles, bits)
     publish(
       df.withColumn("__zorder", zkey)
         .repartitionByRange(targetFiles, col("__zorder"))

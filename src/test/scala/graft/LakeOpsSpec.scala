@@ -527,6 +527,45 @@ class MergeUpsertSpec extends SparkSpec {
       s"1-dim degenerate z-layout should still prune: ${kept.size}/${all.size}")
   }
 
+  test("zorder_code_n: bit-identical to the 2-dim form; 3-dim rewrite prunes each dim") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    import graft.functions.ZOrderCode
+    // n = 2 must be BIT-IDENTICAL to the gated binary expression (the
+    // generalization cannot silently re-order the interleave)
+    val pairs = (0L to 300L by 7).flatMap(a => Seq((a, (a * 13) % 256)))
+    val df2 = pairs.toDF("a", "b")
+    val viaBin = df2.select(ZOrderCode.zorder_code(col("a"), col("b"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    val viaN = df2.select(ZOrderCode.zorder_code_n(Seq(col("a"), col("b")), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaN == viaBin)
+    // null in any dim -> null code
+    assert(Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(ZOrderCode.zorder_code_n(Seq(col("a"), col("b")), 8))
+      .collect().head.isNullAt(0))
+    // 3-dim OPTIMIZE: flat table, rewrite on (x, y, w), every
+    // single-dim range predicate prunes files from the manifest alone
+    val rows = (1L to 729L).map { i =>
+      (i, (i * 7) % 729, (i * 31) % 729, s"p$i")
+    }
+    val table = graft.util.Scratch.dir("graft_zorder_3d").toString
+    Snapshots.append(rows.toDF("x", "y", "w", "payload").repartition(4),
+      table)
+    val before = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    Snapshots.zorderRewriteN(spark, table, Seq("x", "y", "w"),
+      targetFiles = 8, bits = 6)
+    val after = Snapshots.read(spark, table)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "3-dim zorder rewrite must preserve content")
+    for (c <- Seq("x", "y", "w")) {
+      val (kept, all) = Snapshots.pruneFiles(spark, table, s"$c >= 700")
+      assert(all.size == 8 && kept.size < all.size,
+        s"dim $c must prune post-rewrite: ${kept.size}/${all.size}")
+    }
+  }
+
   test("zorderRewrite quantile tiles: equi-depth layout prunes under heavy skew") {
     import spark.implicits._
     import graft.lake.Snapshots
