@@ -193,6 +193,14 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle/spill files follow the scratch root (guide §6): ephemeral
+      // by definition, small-write-heavy, and the root is parameterized
+      // (SPARK_GRAFT_SCRATCH) so a deployment points it at its fast local
+      // disks — the default here prefers tmpfs over the virtual disk,
+      // whose sync-write latency both slowed and devarianced every
+      // state-commit-heavy gate (measured 16 vs 821 MB/s at 4k dsync)
+      .config("spark.local.dir",
+        graft.util.Scratch.dir("spark_local").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
