@@ -299,14 +299,27 @@ object Corpus {
     val clusters = graft.ext.dedup.TextDedup.dedupClustersShared(spark, dir)
     val nonCanon = clusters.filter(!col("is_canonical"))
       .select(col("doc_id"), lit(true).as("is_dup"))
+    // pin the quality+dedup survivor set: it is referenced twice (the
+    // contamination pass derives spans from it, the clean set subtracts
+    // from it), and unpinned each reference re-inlines the corpus scan +
+    // tokenize + classifier subtree — the stage the "ONE corpus scan"
+    // contract says must run once. Project to the columns the funnel
+    // still needs before pinning so the artifact is narrow (guide §2.3).
     val deduped = q.join(nonCanon, Seq("doc_id"), "left")
       .filter(col("is_dup").isNull)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        col("n_tokens"))
+      .localCheckpoint(true)
     val contaminated = graft.ext.dedup.TextDedup
       .contaminatedDocsBloom(deduped, bench)
       .select(col("doc_id"), lit(true).as("is_contam"))
     val clean = deduped.join(contaminated, Seq("doc_id"), "left")
       .filter(col("is_contam").isNull)
     val reps = clusters.select(col("doc_id"), col("cluster_id"))
+    // pin the post-split frame too: train feeds two consumers (language
+    // counts, the sampled join) and the non-train branch a third — each
+    // would otherwise re-run the contamination join chain above. Narrow:
+    // the report needs only (split, source, lang, n_tokens).
     val split = clean.join(reps, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket",
@@ -315,6 +328,9 @@ object Corpus {
         when(col("bucket") < trainPerMille, "train")
           .when(col("bucket") < trainPerMille + devPerMille, "dev")
           .otherwise("test"))
+      .select(col("doc_id"), col("split"), col("source"), col("lang"),
+        col("n_tokens"))
+      .localCheckpoint(true)
     val train = split.filter(col("split") === "train")
     val counts = train.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val sampledTrain = train.join(broadcast(sqrtThresholds(counts, grain)),
