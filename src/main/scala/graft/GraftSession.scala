@@ -210,6 +210,14 @@ object GraftSession {
       // checkpoints and restart only from the LATEST batch, so retaining
       // 2 is the recovery contract with less maintenance I/O per commit
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // ContextCleaner only reclaims checkpoint/broadcast/shuffle state
+      // once the JVM garbage-collects the referencing objects; a 24g heap
+      // under a 231-query sweep GCs so rarely that dead localCheckpoint
+      // blocks pile up for hundreds of queries (default periodicGC is
+      // 30min — longer than the whole sweep) and the tail of the sweep
+      // runs against a storage-full block manager. 2min keeps reclamation
+      // inside the sweep; long-lived production sessions want the same.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     register(spark)
