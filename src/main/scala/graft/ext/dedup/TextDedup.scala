@@ -840,14 +840,22 @@ object TextDedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      // carry each node's PREVIOUS label through the same aggregate that
+      // computes the new one (every node appears exactly once in the
+      // labels branch, so max over its non-null prev IS that label): the
+      // convergence check becomes a filter over the just-checkpointed
+      // round instead of a per-round join of two label tables — one
+      // shuffle per round, not two
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-        .union(labels)
-      val next = msgs.groupBy("doc_id").agg(min("label").as("label"))
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(null).cast("long").as("prev"))
+        .union(labels.select(col("doc_id"), col("label"),
+          col("label").as("prev")))
+      val next = msgs.groupBy("doc_id")
+        .agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
       it += 1
     }
     edges.unpersist()
