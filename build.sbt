@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stores + memory-sink tables across 220 gates and the extra
   // headroom keeps GC out of the drain floors
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the session's spark.cleaner.periodicGC (needed so ContextCleaner
+  // reclaims dead checkpoint blocks inside one long sweep) calls
+  // System.gc(); without this flag that is a stop-the-world full
+  // collection on a 24g heap — measured 1-3 s pauses landing inside
+  // whichever gate is running. Concurrent G1 cycles give the cleaner
+  // the same reclamation signal without the pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
