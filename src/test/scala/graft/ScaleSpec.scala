@@ -1038,6 +1038,38 @@ class ScaleSpec extends SparkSpec {
       "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       pack.take(800))
   }
+
+  test("triangle gate truncates the fixture subtree: zero in-plan scans") {
+    // round-14 pin: the folded fixture edge list is localCheckpointed in
+    // triangleGate and the 3 triangle corners are emitted by ONE explode
+    // (Generate) pass — before that, the plan inlined the lineitem scan +
+    // distinct up to 90 times (one per subtree reference) and unioned
+    // THREE copies of the whole wedge-join subtree for the corner counts.
+    // A reappearing parquet scan here means a refactor un-pinned the
+    // artifact; a missing Generate means the corner union came back. The
+    // one legitimate Union left is the degree computation's two-sided
+    // read of the pinned edge list — cheap, over checkpointed blocks.
+    val plan = graft.ext.graph.GraphOps
+      .triangleGate(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan.take(800))
+    assert(plan.contains("Generate"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("pipeline funnel pins its stages: zero in-plan scans, no SMJ") {
+    // round-14 pin: pipelineReport materializes the survivor set and the
+    // post-split frame, so the returned plan aggregates over pinned
+    // blocks. Before the pin the corpus tokenize+classify subtree was
+    // re-inlined per downstream reference (246-operator plan, 32
+    // SortMergeJoins); the operator's own scaladoc promises ONE corpus
+    // scan, and this asserts the plan actually honors it.
+    val plan = graft.ext.corpus.Corpus
+      .pipelineReport(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
 }
 
 class WindowedStatsSpec extends SparkSpec {
@@ -1273,33 +1305,5 @@ class WindowedStatsSpec extends SparkSpec {
         assert(hi1 <= lo2, s"overlapping file z-ranges: ${ranges.toSeq}")
       case _ =>
     }
-  }
-
-  test("triangle gate truncates the fixture subtree: zero in-plan scans") {
-    // round-14 pin: the folded fixture edge list is localCheckpointed in
-    // triangleGate and the 3 triangle corners are emitted by ONE explode
-    // pass — before that, the plan inlined the lineitem scan + distinct
-    // up to 90 times (one per subtree reference) and unioned three copies
-    // of the wedge join. A reappearing scan or union here means a refactor
-    // un-pinned the artifact and the gate re-reads the corpus per branch.
-    val plan = graft.ext.graph.GraphOps
-      .triangleGate(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Scan parquet"), plan.take(800))
-    assert(!plan.contains("Union"), plan.take(800))
-  }
-
-  test("pipeline funnel pins its stages: zero in-plan scans, no SMJ") {
-    // round-14 pin: pipelineReport materializes the survivor set and the
-    // post-split frame, so the returned plan aggregates over pinned
-    // blocks. Before the pin the corpus tokenize+classify subtree was
-    // re-inlined per downstream reference (246-operator plan, 32
-    // SortMergeJoins); the operator's own scaladoc promises ONE corpus
-    // scan, and this asserts the plan actually honors it.
-    val plan = graft.ext.corpus.Corpus
-      .pipelineReport(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Scan parquet"), plan.take(800))
-    assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 }
