@@ -911,7 +911,18 @@ object TextDedup {
     var it = 0
     while (changed > 0 && it < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      changed = next.exceptAll(edges).union(edges.exceptAll(next)).count()
+      // both frames are DISTINCT canonical edge sets, so set equality is
+      // |next| == |edges| == |next ∪ edges|: two cheap counts over
+      // checkpointed blocks short-circuit unequal sizes, and one
+      // union-distinct shuffle settles the equal-size case — the
+      // two-exceptAll symmetric difference this replaces paid TWO
+      // anti-join shuffles of the full edge set per round purely for
+      // convergence detection
+      val n0 = edges.count()
+      val n1 = next.count()
+      changed =
+        if (n1 != n0) math.abs(n1 - n0)
+        else next.union(edges).distinct().count() - n0
       edges = next
       it += 1
     }
