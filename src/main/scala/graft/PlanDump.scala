@@ -51,5 +51,8 @@ object PlanDump {
     println(s"[plandump] wrote ${names.length - failed} plans to $outDir" +
       (if (failed > 0) s" ($failed failed)" else ""))
     spark.stop()
+    // a scripted plan-audit step must see partial artifacts as a failure,
+    // not silently proceed on an incomplete dump
+    if (failed > 0) sys.exit(1)
   }
 }

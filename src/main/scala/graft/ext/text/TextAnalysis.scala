@@ -586,13 +586,34 @@ object TextAnalysis {
     */
   private def bm25Operands(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
-    val d = docs(spark, dir)
+    // ONE tokenize pass over the corpus, not four: tf, df, dl and the
+    // collection stats each re-inline the tokenize subtree (the tf
+    // explode twice — its aggregate and the df re-aggregate plan
+    // different exchanges, so ReuseExchange never merges them; measured
+    // 4 corpus scans / 2 corpus-wide Generates per call in the committed
+    // plans/r15/x_rag_bm25_before.txt). Materialize the narrow per-doc
+    // frame once (localCheckpoint, the substrSpans/minhashLshPairsOf
+    // pattern): doc length plus ONLY the query-term occurrences —
+    // ~16 B + matched terms per doc, corpus-size-independent per row,
+    // vs re-reading and re-splitting every document per consumer at
+    // 100 TB. localCheckpoint is eager and executor-local (rebuilt per
+    // session, lost on executor failure — acceptable for a per-query
+    // scratch artifact; a serving deployment persists the postings
+    // table instead, which is the x_index_postings path).
+    val base = docs(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-    val dl = d.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
-    val tf = d.select(col("doc_id"), explode(col("t")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), tok => tok.isInCollection(terms)).as("tq"))
+      .localCheckpoint(true)
+    val dl = base.select(col("doc_id"), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_total"))
+    // filter-then-explode ≡ the previous explode-then-filter (same
+    // multiset of (doc_id, term) survivors; split() never yields null
+    // tokens), but the explode now runs over the pinned matched-term
+    // arrays instead of every token of every document
+    val tf = base.select(col("doc_id"), explode(col("tq")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -844,13 +865,21 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "passageTopK needs at least one query term")
     val Scale = 1000000L
     val terms = queryTerms.distinct
+    // ONE chunking+tokenize pass, not three: stats, tf and the dl join
+    // each re-inline the chunk explode (12 Generate nodes in the
+    // committed plans/r15/x_rag_passage_before.txt). Same narrow pin as
+    // [[bm25Operands]]: chunk length plus only the query-term
+    // occurrences, materialized once — filter-then-explode ≡ the
+    // previous explode-then-filter per chunk.
     val ch = chunkTokens(docs(spark, dir).filter(col("text").isNotNull))
       .select(col("doc_id"), col("chunk_id"),
-        col("n_chunk_tokens").as("dl"), tokens(col("chunk_text")).as("t"))
+        col("n_chunk_tokens").as("dl"),
+        filter(tokens(col("chunk_text")),
+          tok => tok.isInCollection(terms)).as("tq"))
+      .localCheckpoint(true)
     val stats = ch.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
     val tf = ch
-      .select(col("doc_id"), col("chunk_id"), explode(col("t")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("chunk_id"), explode(col("tq")).as("term"))
       .groupBy(col("doc_id"), col("chunk_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
