@@ -218,6 +218,20 @@ object GraftSession {
       // runs against a storage-full block manager. 2min keeps reclamation
       // inside the sweep; long-lived production sessions want the same.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // RocksDB state-store commits upload a full snapshot (zip + fsync
+      // of every sst file, per store, per batch) by default — measured
+      // (DrainProbe, p_stream_join_rocks: 8 partitions × 4 join stores):
+      // rocksdbCommitFileSyncLatencyMs was ~40% of summed commit time
+      // and SnapshotLastUploaded advanced every batch. Changelog
+      // checkpointing writes the batch's delta instead and defers
+      // snapshots to background maintenance; recovery replays last
+      // snapshot + changelogs, so exactly-once is unchanged. At real
+      // state volume the per-batch upload grows with STATE SIZE while
+      // the changelog grows with batch delta — this is the documented
+      // production setting for any nontrivial RocksDB state, not a
+      // local-mode tweak.
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     register(spark)
