@@ -354,12 +354,18 @@ object Snapshots {
     // nondeterministic. Carried files keep their original stats lines
     // (immutable files, immutable stats).
     val (statHdrs, rows) = deltaStats(df.sparkSession, table, fresh)
-    val carried = if (current == 0 || !carryForward) Seq.empty[String]
-                  else manifestFiles(table, current)
+    // ONE read of the current manifest for both the carried file list
+    // and the carried stats lines: the manifest grows with the table's
+    // file count, so every publication at 10^5-file scale was paying
+    // the read twice (the pruneFiles single-read precedent)
+    val curLines = if (current == 0 || !carryForward) Seq.empty[String]
+                   else manifestLines(table, current)
+    val carried = curLines.filterNot(_.startsWith("#"))
     val carriedSet = carried.toSet
     val carriedStats =
       if (carried.isEmpty) Seq.empty[String]
-      else statsLines(table, current).filter(l => carriedSet(statsRelOf(l)))
+      else curLines.filter(_.startsWith("#stats="))
+        .filter(l => carriedSet(statsRelOf(l)))
     val all = carried ++ fresh
     val op = if (carryForward) "append" else "rewrite"
     publishManifest(table, next,
@@ -617,12 +623,20 @@ object Snapshots {
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
+    // ONE manifest read per version: op kind, file count, row count and
+    // batch id all come from the same lines — the per-header helpers
+    // each re-read the file, which at 10^5-file manifests makes the
+    // history scan 4x more I/O than the data it returns
     (1 to latestVersion(table)).map { v =>
-      val batch = manifestLines(table, v).collectFirst {
-        case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+      val lines = manifestLines(table, v)
+      def hdr(p: String): Option[String] = lines.collectFirst {
+        case l if l.startsWith(p) => l.stripPrefix(p)
       }
-      (v, opKind(table, v), manifestFiles(table, v).size.toLong,
-        rowsWritten(table, v), batch)
+      (v,
+        hdr("#op=").map(_.takeWhile(_ != '|')).getOrElse("append"),
+        lines.count(!_.startsWith("#")).toLong,
+        hdr("#rows=").map(_.toLong).getOrElse(-1L),
+        hdr("#batch=").map(_.toLong))
     }.toDF("version", "op", "n_files", "rows_written", "batch_id")
   }
 
