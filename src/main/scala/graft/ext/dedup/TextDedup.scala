@@ -854,7 +854,11 @@ object TextDedup {
       val next = msgs.groupBy("doc_id")
         .agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
+      // null-safe inequality: a node whose group somehow lacked a
+      // labels-branch row would have prev = null, and a plain =!= would
+      // DROP it from the changed count — converging silently on wrong
+      // labels. With <=> the drift surfaces as non-convergence instead.
+      changed = next.filter(!(col("label") <=> col("prev"))).count()
       labels = next.select(col("doc_id"), col("label"))
       it += 1
     }

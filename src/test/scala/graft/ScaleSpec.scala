@@ -1049,9 +1049,14 @@ class ScaleSpec extends SparkSpec {
     // artifact; a missing Generate means the corner union came back. The
     // one legitimate Union left is the degree computation's two-sided
     // read of the pinned edge list — cheap, over checkpointed blocks.
-    val plan = graft.ext.graph.GraphOps
+    // execute BEFORE asserting: under AQE, executedPlan.toString on an
+    // unexecuted frame renders the INITIAL plan (isFinalPlan=false) and
+    // the join-strategy verdict could differ from the finalized runtime
+    // plan the committed plans/ artifacts were captured from
+    val df = graft.ext.graph.GraphOps
       .triangleGate(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Scan parquet"), plan.take(800))
     assert(plan.contains("Generate"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
@@ -1064,11 +1069,31 @@ class ScaleSpec extends SparkSpec {
     // re-inlined per downstream reference (246-operator plan, 32
     // SortMergeJoins); the operator's own scaladoc promises ONE corpus
     // scan, and this asserts the plan actually honors it.
-    val plan = graft.ext.corpus.Corpus
+    // executed first so the assertion reads the AQE-final plan (see the
+    // triangle pin above)
+    val df = graft.ext.corpus.Corpus
       .pipelineReport(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Scan parquet"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("BM25 operand pin: one tokenize pass, zero in-plan corpus scans") {
+    // round-15 pin: bm25Operands materializes the narrow per-doc frame
+    // (doc length + query-term occurrences) once; before the pin the
+    // tokenize subtree re-inlined into the tf/df/dl/stats branches — 4
+    // corpus scans and 2 corpus-wide explodes per retrieval (committed
+    // plans/r15/x_rag_bm25_before.txt). A reappearing parquet scan means
+    // a refactor un-pinned the artifact. passageTopK carries the same
+    // pin for its chunk explode (12 -> 4 Generate nodes).
+    val dir = "/root/testdata/sf0.001"
+    for (df <- Seq(graft.ext.text.TextAnalysis.bm25Report(spark, dir),
+        graft.ext.text.TextAnalysis.passageTopK(spark, dir))) {
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"), plan.take(800))
+    }
   }
 }
 
