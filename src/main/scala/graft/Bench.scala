@@ -53,6 +53,43 @@ object Bench {
       s""""cpu_steal_ticks":$steal,"cpu_total_ticks":$total}"""
   }
 
+  /** Extended machine sample for the FILE-side metric line only (the
+    * round-14 verdict's ask: attribute or bound the ~2x contamination
+    * channel that CPU steal does not see). Additive fields, never on the
+    * stdout line (which is budgeted) and never on the timing path:
+    * cumulative /proc/diskstats totals (sectors read/written, ms doing
+    * I/O summed over devices — a start→end delta exposes disk-level
+    * contention) and /proc/pressure/memory avg10 stall percentages.
+    */
+  private def extSample(): String = {
+    def read(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    val (secR, secW, ioMs) = read("/proc/diskstats").map { s =>
+      var r = 0L; var w = 0L; var m = 0L
+      s.linesIterator.foreach { l =>
+        val f = l.trim.split("\\s+")
+        if (f.length >= 13) {
+          r += f(5).toLong; w += f(9).toLong; m += f(12).toLong
+        }
+      }
+      (r.toString, w.toString, m.toString)
+    }.getOrElse(("null", "null", "null"))
+    def pct(line: String): String =
+      line.split("\\s+").collectFirst {
+        case kv if kv.startsWith("avg10=") => kv.stripPrefix("avg10=")
+      }.getOrElse("null")
+    val (memSome, memFull) = read("/proc/pressure/memory").map { s =>
+      val ls = s.linesIterator.toSeq
+      (ls.find(_.startsWith("some")).map(pct).getOrElse("null"),
+       ls.find(_.startsWith("full")).map(pct).getOrElse("null"))
+    }.getOrElse(("null", "null"))
+    s"""{"disk_sectors_read":$secR,"disk_sectors_written":$secW,""" +
+      s""""disk_io_ms":$ioMs,"mem_some_avg10":$memSome,""" +
+      s""""mem_full_avg10":$memFull}"""
+  }
+
   /** Cumulative (steal, total) CPU ticks from /proc/stat's aggregate
     * line, (-1, -1) when unreadable — sampled around EACH gate so a
     * contaminated run self-identifies per gate, not just run-level.
@@ -80,6 +117,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val startLoad = loadSample()
+    val startExt = extSample()
     val spark = GraftSession.harnessSession()
 
     // warmup: file metadata + scan paths, plus one aggregate query so
@@ -123,6 +161,7 @@ object Bench {
     }
     val results = perGate.map { case (n, s, _, _) => (n, s) }
     val endLoad = loadSample()
+    val endExt = extSample()
     // per-gate contention windows: steal % over each gate's own /proc/stat
     // delta plus the 1-min loadavg at gate end — what turns "the run was
     // dirty" into "THESE gates' windows were dirty"
@@ -145,9 +184,12 @@ object Bench {
     // (~2.8 KB) overflows that window (BENCH_r02/r03 both came back
     // parsed:null). So stdout gets a compact line: total + as many of the
     // slowest queries as fit a conservative budget, with the omitted count.
-    // gate_env rides only in the full file-side line: ~90 gates of
-    // per-gate env would blow the compact stdout line's 2000-char window
-    val full = render(results, telemetry + gateTel)
+    // gate_env and the extended disk/memory-pressure sample ride only in
+    // the full file-side line: ~90 gates of per-gate env (or any growth
+    // of the telemetry block) would shrink the compact stdout line's
+    // printed-query coverage inside its 2000-char window
+    val extTel = s""","telemetry_ext":{"start":$startExt,"end":$endExt}"""
+    val full = render(results, telemetry + extTel + gateTel)
     val budget = 1500  // line + sbt's trailing "[success] ..." must fit 2000
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.length

@@ -275,6 +275,16 @@ object Corpus {
     * not a stored column); the cluster table itself comes from the
     * shared artifact, already computed once per corpus snapshot. The
     * corpus is never joined against itself.
+    *
+    * Execution note: the two stage pins below use `localCheckpoint(true)`,
+    * so BUILDING this DataFrame is eager (Spark jobs run at construction
+    * even if the result is never consumed) and the pinned blocks are
+    * executor-local — lost on executor failure with no lineage to
+    * recompute from. Correct for a single-process analytics session (the
+    * gate/bench contract); a long-lived cluster deployment should swap
+    * the pins for reliable `checkpoint()` or a persisted intermediate
+    * table. Same caveat applies to
+    * [[graft.ext.graph.GraphOps.triangleGate]].
     */
   def pipelineReport(spark: SparkSession, dir: String,
       minTokens: Int = 20, maxDupRatio: Double = 0.7,

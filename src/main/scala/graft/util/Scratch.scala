@@ -22,8 +22,19 @@ import java.nio.file.{Files, Path, Paths}
   *   1. `SPARK_GRAFT_SCRATCH` — deployments choose the medium: durable
   *      storage where checkpoint survival across machine loss matters,
   *      fast local disk/ramdisk for throwaway analytics scratch;
-  *   2. `/dev/shm` when present and writable (Linux tmpfs);
+  *   2. `/dev/shm` when present, writable AND holding at least
+  *      [[MinTmpfsBytes]] of usable space (Linux tmpfs);
   *   3. `java.io.tmpdir` otherwise.
+  *
+  * SIZING CONSTRAINT (the tmpfs default is deliberate but not free):
+  * tmpfs pages compete with the JVM heap and the OS page cache for the
+  * same RAM, and a shuffle/spill volume that would survive on disk can
+  * instead OOM-kill the host process. The default is only correct while
+  * peak concurrent scratch volume (shuffle files + spill + staged
+  * fixtures + state checkpoints) stays well under free RAM — point
+  * `SPARK_GRAFT_SCRATCH` at a real fast disk when spill volume
+  * approaches memory (see SCALE.md "Scratch medium sizing"). The chosen
+  * root is logged once at first use so the choice is never silent.
   *
   * The per-process subdirectory keeps concurrent JVMs (sbt test forks,
   * a Verify beside a Bench) from colliding and makes the shutdown sweep
@@ -31,17 +42,34 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Scratch {
 
+  /** Minimum usable space for the unconfigured tmpfs default: below
+    * this, memory is already too tight for RAM-backed scratch to be a
+    * sane silent choice and the fallback prefers the real-disk tmpdir.
+    */
+  private val MinTmpfsBytes: Long = 2L << 30
+
   /** Chosen scratch base + per-process subdir, created lazily. */
   lazy val root: Path = {
     val base = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
       .orElse {
         val shm = Paths.get("/dev/shm")
-        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+            (try Files.getFileStore(shm).getUsableSpace >= MinTmpfsBytes
+             catch { case _: Throwable => false })) Some(shm)
         else None
       }
       .getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
     Files.createDirectories(base)
     val r = Files.createTempDirectory(base, "graft-scratch-")
+    // never silent: tmpfs scratch trades RAM for I/O latency, and the
+    // operator reading the logs should see which medium was picked
+    System.err.println(s"[scratch] root=$r" +
+      (if (!sys.env.contains("SPARK_GRAFT_SCRATCH") &&
+          r.startsWith("/dev/shm"))
+        " (tmpfs default: shuffle/spill competes with the heap for RAM —" +
+          " set SPARK_GRAFT_SCRATCH to fast disk when spill volume" +
+          " approaches free memory)"
+      else ""))
     created.add(r)
     r
   }
